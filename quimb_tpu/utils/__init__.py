@@ -1,0 +1,497 @@
+"""Misc utilities: ordered sets, LRU caches, tree mapping, progress bars,
+disk persistence, number formatting.
+
+Mirrors the role of reference ``quimb/utils.py`` (oset utils.py:351,
+LRU :489, save/load :312, tree utils :617-890) with a pure-python,
+dependency-light implementation (no cytoolz / joblib).
+"""
+
+import functools
+import itertools
+import math
+import pickle
+import time
+
+
+def check_opt(name, value, valid):
+    """Check whether ``value`` takes one of ``valid`` options, raise
+    informatively if not."""
+    if value not in valid:
+        raise ValueError(
+            f"'{name}' should be one of {valid} but got '{value}' instead."
+        )
+
+
+# --------------------------------------------------------------------------
+# ordered set — the core index/tag container
+# --------------------------------------------------------------------------
+
+
+class oset:
+    """An ordered set: insertion-ordered, hashable-element container with
+    fast membership and set-like operations. Built on a dict (python dicts
+    preserve insertion order)."""
+
+    __slots__ = ("_d",)
+
+    def __init__(self, it=()):
+        self._d = dict.fromkeys(it)
+
+    @classmethod
+    def _from_dict(cls, d):
+        obj = object.__new__(cls)
+        obj._d = d
+        return obj
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls._from_dict(d)
+
+    def copy(self):
+        return oset._from_dict(self._d.copy())
+
+    def __deepcopy__(self, memo):
+        new = oset._from_dict(self._d.copy())
+        memo[id(self)] = new
+        return new
+
+    def add(self, k):
+        self._d[k] = None
+
+    def discard(self, k):
+        self._d.pop(k, None)
+
+    def remove(self, k):
+        del self._d[k]
+
+    def clear(self):
+        self._d.clear()
+
+    def update(self, *others):
+        for o in others:
+            if isinstance(o, oset):
+                self._d.update(o._d)
+            else:
+                self._d.update(dict.fromkeys(o))
+
+    def union(self, *others):
+        u = self.copy()
+        u.update(*others)
+        return u
+
+    def intersection_update(self, *others):
+        if len(others) == 1:
+            other = others[0]
+        else:
+            other = oset.union(*others)
+        difference = set(self._d).difference(other)
+        for d in difference:
+            del self._d[d]
+
+    def intersection(self, *others):
+        n_others = len(others)
+        if n_others == 0:
+            return self.copy()
+        if n_others == 1:
+            other = others[0]
+        else:
+            other = oset.union(*others)
+        return oset._from_dict(
+            {k: None for k in self._d if k in other}
+        )
+
+    def difference_update(self, *others):
+        for o in others:
+            for k in o:
+                self._d.pop(k, None)
+
+    def difference(self, *others):
+        new = self.copy()
+        new.difference_update(*others)
+        return new
+
+    def symmetric_difference(self, other):
+        return oset(
+            itertools.chain(
+                (k for k in self._d if k not in other),
+                (k for k in other if k not in self._d),
+            )
+        )
+
+    def popleft(self):
+        k = next(iter(self._d))
+        del self._d[k]
+        return k
+
+    def popright(self):
+        return self._d.popitem()[0]
+
+    pop = popright
+
+    def __eq__(self, other):
+        if isinstance(other, oset):
+            return self._d == other._d
+        return NotImplemented
+
+    def __or__(self, other):
+        return self.union(other)
+
+    def __ior__(self, other):
+        self.update(other)
+        return self
+
+    def __and__(self, other):
+        return self.intersection(other)
+
+    def __iand__(self, other):
+        self.intersection_update(other)
+        return self
+
+    def __sub__(self, other):
+        return self.difference(other)
+
+    def __isub__(self, other):
+        self.difference_update(other)
+        return self
+
+    def __len__(self):
+        return len(self._d)
+
+    def __iter__(self):
+        return iter(self._d)
+
+    def __contains__(self, x):
+        return x in self._d
+
+    def __repr__(self):
+        return f"oset({list(self._d)})"
+
+
+# --------------------------------------------------------------------------
+# LRU cache dict
+# --------------------------------------------------------------------------
+
+
+class LRU(dict):
+    """Least-recently-used capped dict (reference quimb/utils.py:489)."""
+
+    def __init__(self, maxsize, *args, **kwds):
+        self.maxsize = maxsize
+        super().__init__(*args, **kwds)
+
+    def __getitem__(self, key):
+        value = super().__getitem__(key)
+        self.move_to_end(key)
+        return value
+
+    def move_to_end(self, key):
+        value = super().pop(key)
+        super().__setitem__(key, value)
+
+    def __setitem__(self, key, value):
+        if key in self:
+            self.move_to_end(key)
+        super().__setitem__(key, value)
+        if len(self) > self.maxsize:
+            oldest = next(iter(self))
+            del self[oldest]
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+
+# --------------------------------------------------------------------------
+# disk persistence (reference utils.py:312-324 used joblib; plain pickle here)
+# --------------------------------------------------------------------------
+
+
+def save_to_disk(obj, fname, **kwargs):
+    """Save an object to disk using pickle."""
+    with open(fname, "wb") as f:
+        pickle.dump(obj, f, **kwargs)
+
+
+def load_from_disk(fname, **kwargs):
+    """Load an object from disk saved with ``save_to_disk``."""
+    with open(fname, "rb") as f:
+        return pickle.load(f, **kwargs)
+
+
+# --------------------------------------------------------------------------
+# progress bar (tqdm-compatible subset, dependency free fallback)
+# --------------------------------------------------------------------------
+
+try:
+    from tqdm import tqdm as _tqdm
+
+    class continuous_progbar(_tqdm):
+        """A continuous version of tqdm for monitoring reaching a target
+        value (e.g. evolution time)."""
+
+        def __init__(self, start, stop, total=100, **kwargs):
+            kwargs.setdefault("ascii", True)
+            super().__init__(total=total, unit="%", **kwargs)
+            self.start = start
+            self.range = stop - start
+
+        def cupdate(self, x):
+            percent_done = int(100 * (x - self.start) / self.range)
+            self.update(percent_done - self.n)
+
+    def progbar(it=None, ascii=True, **kwargs):
+        return _tqdm(it, ascii=ascii, **kwargs)
+
+except ImportError:  # pragma: no cover
+
+    class progbar:
+        """Minimal progress-bar stand-in when tqdm is unavailable."""
+
+        def __init__(self, it=None, total=None, desc=None, **_):
+            self._it = it
+            self.total = total
+            self.n = 0
+            self.desc = desc
+
+        def __iter__(self):
+            for x in self._it:
+                yield x
+                self.n += 1
+
+        def update(self, n=1):
+            self.n += n
+
+        def set_description(self, desc, refresh=True):
+            self.desc = desc
+
+        def close(self):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            self.close()
+
+    class continuous_progbar(progbar):
+        def __init__(self, start, stop, total=100, **kwargs):
+            super().__init__(total=total, **kwargs)
+            self.start = start
+            self.range = stop - start
+
+        def cupdate(self, x):
+            pass
+
+
+# --------------------------------------------------------------------------
+# numbers / formatting
+# --------------------------------------------------------------------------
+
+
+def format_number_with_error(x, err):
+    """Given ``x`` with error ``err``, format as a string with the
+    uncertainty bracketed, e.g. ``1.234(5)``.
+    (reference quimb/utils.py:259)."""
+    if err <= 0.0 or not math.isfinite(err):
+        return f"{x}"
+    # number of digits after decimal point to display
+    mag_err = math.floor(math.log10(err))
+    err_digit = round(err / 10**mag_err)
+    if err_digit == 10:
+        mag_err += 1
+        err_digit = 1
+    ndp = max(-mag_err, 0)
+    if ndp == 0:
+        return f"{round(x):d}({err_digit * 10**mag_err:d})"
+    return f"{x:.{ndp}f}({err_digit})"
+
+
+def deprecated(fn, old_name, new_name):
+    """Wrap ``fn`` to warn about deprecation of ``old_name``."""
+
+    @functools.wraps(fn)
+    def new_fn(*args, **kwargs):
+        import warnings
+
+        warnings.warn(
+            f"The {old_name} function is deprecated in favor of {new_name}",
+            FutureWarning,
+        )
+        return fn(*args, **kwargs)
+
+    return new_fn
+
+
+def int2tup(x):
+    return (
+        x
+        if isinstance(x, tuple)
+        else (x,)
+        if isinstance(x, int)
+        else tuple(x)
+    )
+
+
+def ensure_dict(x):
+    """Make sure ``x`` is a dict, creating an empty one if ``x is None``."""
+    if x is None:
+        return {}
+    return dict(x)
+
+
+def pairwise(iterable):
+    """s -> (s0,s1), (s1,s2), (s2,s3), ..."""
+    a, b = itertools.tee(iterable)
+    next(b, None)
+    return zip(a, b)
+
+
+def unique(it):
+    """Yield unique elements of ``it``, preserving order."""
+    return iter(dict.fromkeys(it))
+
+
+def concat(its):
+    return itertools.chain.from_iterable(its)
+
+
+def frequencies(it):
+    f = {}
+    for k in it:
+        f[k] = f.get(k, 0) + 1
+    return f
+
+
+def partition_all(n, it):
+    it = iter(it)
+    while True:
+        chunk = tuple(itertools.islice(it, n))
+        if not chunk:
+            return
+        yield chunk
+
+
+def valmap(fn, d):
+    return {k: fn(v) for k, v in d.items()}
+
+
+# --------------------------------------------------------------------------
+# generic tree mapping (reference utils.py:617-890)
+# --------------------------------------------------------------------------
+
+
+def is_not_container(x):
+    """The default ``is_leaf`` definition: anything that isn't a
+    tuple/list/dict."""
+    return not isinstance(x, (tuple, list, dict))
+
+
+def tree_map(f, tree, is_leaf=is_not_container):
+    """Map ``f`` over all leaves of ``tree``, rebuilding the same nested
+    structure of tuples, lists and dicts."""
+    if is_leaf(tree):
+        return f(tree)
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(tree_map(f, x, is_leaf) for x in tree)
+    if isinstance(tree, dict):
+        return {k: tree_map(f, v, is_leaf) for k, v in tree.items()}
+    return f(tree)
+
+
+def tree_apply(f, tree, is_leaf=is_not_container):
+    """Apply ``f`` to all leaves of ``tree``, no new tree built."""
+    if is_leaf(tree):
+        f(tree)
+    elif isinstance(tree, (list, tuple)):
+        for x in tree:
+            tree_apply(f, x, is_leaf)
+    elif isinstance(tree, dict):
+        for v in tree.values():
+            tree_apply(f, v, is_leaf)
+    else:
+        f(tree)
+
+
+def tree_flatten(tree, is_leaf=is_not_container):
+    """Flatten ``tree`` into a list of leaves."""
+    out = []
+    tree_apply(out.append, tree, is_leaf)
+    return out
+
+
+def tree_unflatten(leaves, tree, is_leaf=is_not_container):
+    """Rebuild a tree with the structure of ``tree`` from the flat
+    iterator ``leaves``."""
+    leaves = iter(leaves)
+
+    def _rebuild(t):
+        if is_leaf(t):
+            return next(leaves)
+        if isinstance(t, (list, tuple)):
+            return type(t)(_rebuild(x) for x in t)
+        if isinstance(t, dict):
+            return {k: _rebuild(v) for k, v in t.items()}
+        return next(leaves)
+
+    return _rebuild(tree)
+
+
+# --------------------------------------------------------------------------
+# rolling statistics (reference utils.py:512-570) — used for convergence
+# --------------------------------------------------------------------------
+
+
+class RollingMeanVar:
+    """Tracks mean and variance over a rolling window."""
+
+    def __init__(self, window=10):
+        self.window = window
+        self.xs = []
+
+    def update(self, x):
+        self.xs.append(x)
+        if len(self.xs) > self.window:
+            self.xs.pop(0)
+
+    @property
+    def mean(self):
+        return sum(self.xs) / len(self.xs)
+
+    @property
+    def var(self):
+        m = self.mean
+        return sum((x - m) ** 2 for x in self.xs) / len(self.xs)
+
+    @property
+    def std(self):
+        return self.var**0.5
+
+
+class Timer:
+    """Simple context-manager timer."""
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.t = time.perf_counter() - self.t0
+
+
+def default_to_neutral_style(fn):
+    """Decorator for plotting functions — wrap to use a neutral
+    matplotlib style (reference quimb/utils_plot.py)."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            import matplotlib.pyplot as plt
+
+            with plt.style.context("default"):
+                return fn(*args, **kwargs)
+        except ImportError:
+            return fn(*args, **kwargs)
+
+    return wrapper

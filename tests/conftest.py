@@ -1,0 +1,37 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's approach of exercising 'distributed' code paths in
+single-host CI (SURVEY.md §4): XLA's forced host device count stands in for
+a real multi-chip TPU topology; the driver separately dry-runs the
+multi-chip path on real shardings via ``__graft_entry__.dryrun_multichip``.
+
+Note: on this image a TPU plugin force-registers itself and ignores
+``JAX_PLATFORMS``, so we pin the *default device* to CPU instead.
+"""
+
+import os
+
+# must be set before jax initializes its backends
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+_CPUS = jax.devices("cpu")
+jax.config.update("jax_default_device", _CPUS[0])
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return _CPUS
+
+
+@pytest.fixture(scope="session")
+def mesh8(cpu_devices):
+    import numpy as np
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(cpu_devices), ("d",))
