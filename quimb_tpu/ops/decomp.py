@@ -717,6 +717,10 @@ def svd_truncated_masked(
         sp = s
     csp = cumsum_last(sp)
     tot = csp[..., -1:]
+    # exclusive prefix sums: value i is kept if the sum *before* it has
+    # not yet crossed the threshold (reference counts `above + 1`,
+    # decomp.py:715)
+    csp_exc = csp - sp
 
     idx = jnp.arange(k)
     if cutoff_mode == 1:
@@ -724,11 +728,9 @@ def svd_truncated_masked(
     elif cutoff_mode == 2:
         mask = skept > cutoff * skept[..., 0:1]
     elif cutoff_mode in (4, 6):
-        mask = csp[..., :k] < tot * (1 - cutoff)
-        mask = mask.at[..., 0].set(True)
+        mask = csp_exc[..., :k] < tot * (1 - cutoff)
     else:
-        mask = csp[..., :k] < tot - cutoff
-        mask = mask.at[..., 0].set(True)
+        mask = csp_exc[..., :k] < tot - cutoff
     # always keep at least one value
     mask = jnp.logical_or(mask, idx == 0)
     rank = jnp.sum(mask, axis=-1)

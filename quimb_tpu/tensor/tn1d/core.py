@@ -1,0 +1,993 @@
+"""1D tensor networks: MPS, MPO, canonical forms, expectations, sampling.
+
+TPU-native re-design of reference ``quimb/tensor/tn1d/core.py``
+(``TensorNetwork1D`` :~200, ``TensorNetwork1DFlat`` :815 canonical
+machinery, ``MatrixProductState`` :1670, ``MatrixProductOperator`` :3946,
+``Dense1D`` :4467, ``gate_TN_1D`` :98, ``expec_TN_1D`` :55).
+
+All canonicalization sweeps lower to the stabilized square-QR kernels of
+S0; expectations contract with the structured left-to-right path (each
+step a single (chi*d, chi)-by-(chi, chi) class matmul on the MXU);
+sampling uses jax PRNG keys with host-side chain-rule marginals.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import decomp
+from ...utils import check_opt, oset
+from ..core import (
+    Tensor,
+    TensorNetwork,
+    bonds,
+    rand_uuid,
+    tags_to_oset,
+    tensor_canonize_bond,
+    tensor_compress_bond,
+    tensor_contract,
+)
+
+
+class TensorNetwork1D(TensorNetwork):
+    """Base for 1D networks: integer sites, ``site_tag_id`` tagging."""
+
+    _EXTRA_PROPS = ("_site_tag_id", "_L")
+    _CONTRACT_STRUCTURED = True
+
+    @property
+    def L(self):
+        return self._L
+
+    @property
+    def nsites(self):
+        return self._L
+
+    @property
+    def site_tag_id(self):
+        return self._site_tag_id
+
+    def site_tag(self, i):
+        return self._site_tag_id.format(i % self._L)
+
+    @property
+    def site_tags(self):
+        return tuple(self.site_tag(i) for i in self.gen_site_coos())
+
+    def gen_site_coos(self):
+        return range(self._L)
+
+    @property
+    def sites(self):
+        return tuple(self.gen_site_coos())
+
+    def maybe_convert_coo(self, x):
+        """Allow integer and slice site indexing."""
+        if isinstance(x, (int, np.integer)):
+            return self.site_tag(x)
+        if isinstance(x, slice):
+            start = 0 if x.start is None else x.start
+            stop = self._L if x.stop is None else x.stop
+            return tuple(map(self.site_tag, range(start, stop)))
+        return x
+
+    def slice2sites(self, tag_slice):
+        start = 0 if tag_slice.start is None else tag_slice.start
+        stop = self._L if tag_slice.stop is None else tag_slice.stop
+        return tuple(range(start, stop))
+
+    def contract_structured(self, tag_slice=None, output_inds=None,
+                            inplace=False, **opts):
+        """Contract sites left-to-right (the structured 1D path)."""
+        tn = self if inplace else self.copy()
+        if tag_slice is None:
+            tag_slice = slice(0, self._L)
+        sites = self.slice2sites(tag_slice)
+        result = tn
+        for i in sites:
+            tag = self.site_tag(i)
+            if tag not in result.tag_map:
+                continue
+            ctags = tags_to_oset(tag)
+            # merge into one running tensor tagged with all seen site tags
+            result = result.contract_tags_(
+                ctags, which="any", **opts
+            ) if isinstance(result, TensorNetwork) else result
+            if not isinstance(result, TensorNetwork):
+                return result
+        if isinstance(result, TensorNetwork) and result.num_tensors > 1:
+            return result.contract_tags_(None, which="any", **opts)
+        if isinstance(result, TensorNetwork) and result.num_tensors == 1:
+            (t,) = result.tensor_map.values()
+            if not t.inds:
+                return t.data * 10 ** result.exponent \
+                    if result.exponent else t.data
+        return result
+
+
+class TensorNetwork1DVector(TensorNetwork1D):
+    """Mixin for 1D networks with one physical ('site') index per site."""
+
+    _EXTRA_PROPS = ("_site_tag_id", "_site_ind_id", "_L")
+
+    @property
+    def site_ind_id(self):
+        return self._site_ind_id
+
+    def site_ind(self, i):
+        return self._site_ind_id.format(i % self._L)
+
+    @property
+    def site_inds(self):
+        return tuple(self.site_ind(i) for i in self.gen_site_coos())
+
+    def phys_dim(self, i=0):
+        return self.ind_size(self.site_ind(i))
+
+    def reindex_sites(self, new_id, where=None, inplace=False):
+        where = range(self._L) if where is None else where
+        tn = self.reindex(
+            {self.site_ind(i): new_id.format(i) for i in where},
+            inplace=inplace,
+        )
+        tn._site_ind_id = new_id
+        return tn
+
+    reindex_sites_ = functools.partialmethod(reindex_sites, inplace=True)
+
+    def to_dense(self, *inds_seq, **contract_opts):
+        if not inds_seq:
+            inds_seq = (self.site_inds,)
+        t = super().to_dense(*inds_seq, **contract_opts)
+        return jnp.reshape(t, (-1, 1)) if t.ndim == 1 else t
+
+    def gate(self, G, where, contract=False, **opts):
+        return gate_TN_1D(self, G, where, contract=contract, **opts)
+
+    gate_ = functools.partialmethod(gate, inplace=True)
+
+    def expec(self, *args, **kwargs):
+        return expec_TN_1D(*args, **kwargs)
+
+    def correlation(self, A, i, j, B=None, **expec_opts):
+        """<A_i B_j> - <A_i><B_j> style correlation (unnormalized
+        product form: returns <psi|A_i B_j|psi> / <psi|psi>)."""
+        B = A if B is None else B
+        bra = self.H
+        kA = self.gate(A, i, contract=True)
+        kAB = kA.gate(B, j, contract=True)
+        norm = expec_TN_1D(bra, self)
+        return expec_TN_1D(bra, kAB) / norm
+
+
+class TensorNetwork1DOperator(TensorNetwork1D):
+    _EXTRA_PROPS = ("_site_tag_id", "_upper_ind_id", "_lower_ind_id", "_L")
+
+    @property
+    def upper_ind_id(self):
+        return self._upper_ind_id
+
+    @property
+    def lower_ind_id(self):
+        return self._lower_ind_id
+
+    def upper_ind(self, i):
+        return self._upper_ind_id.format(i % self._L)
+
+    def lower_ind(self, i):
+        return self._lower_ind_id.format(i % self._L)
+
+    @property
+    def upper_inds(self):
+        return tuple(map(self.upper_ind, self.gen_site_coos()))
+
+    @property
+    def lower_inds(self):
+        return tuple(map(self.lower_ind, self.gen_site_coos()))
+
+    def phys_dim(self, i=0):
+        return self.ind_size(self.upper_ind(i))
+
+    def reindex_upper_sites(self, new_id, where=None, inplace=False):
+        where = range(self._L) if where is None else where
+        tn = self.reindex(
+            {self.upper_ind(i): new_id.format(i) for i in where},
+            inplace=inplace,
+        )
+        tn._upper_ind_id = new_id
+        return tn
+
+    def reindex_lower_sites(self, new_id, where=None, inplace=False):
+        where = range(self._L) if where is None else where
+        tn = self.reindex(
+            {self.lower_ind(i): new_id.format(i) for i in where},
+            inplace=inplace,
+        )
+        tn._lower_ind_id = new_id
+        return tn
+
+    reindex_lower_sites_ = functools.partialmethod(
+        reindex_lower_sites, inplace=True
+    )
+    reindex_upper_sites_ = functools.partialmethod(
+        reindex_upper_sites, inplace=True
+    )
+
+    def to_dense(self, *inds_seq, **contract_opts):
+        if not inds_seq:
+            inds_seq = (self.upper_inds, self.lower_inds)
+        return super().to_dense(*inds_seq, **contract_opts)
+
+
+class TensorNetwork1DFlat(TensorNetwork1D):
+    """Mixin with canonicalization machinery for flat (MPS/MPO) networks
+    (reference tn1d/core.py:815)."""
+
+    def bond(self, i, j):
+        (b,) = bonds(self[self.site_tag(i)], self[self.site_tag(j)])
+        return b
+
+    def bond_size(self, i, j):
+        return self[self.site_tag(i)].ind_size(self.bond(i, j))
+
+    def bond_sizes(self):
+        return [self.bond_size(i, i + 1) for i in range(self._L - 1)]
+
+    def left_canonize_site(self, i, bra=None):
+        """QR site i, absorbing R into site i+1."""
+        t1 = self[self.site_tag(i)]
+        t2 = self[self.site_tag(i + 1)]
+        tensor_canonize_bond(t1, t2, absorb="right")
+        if bra is not None:
+            bra[self.site_tag(i)].modify(data=jnp.conj(t1.data),
+                                         inds=t1.inds)
+            bra[self.site_tag(i + 1)].modify(data=jnp.conj(t2.data),
+                                             inds=t2.inds)
+
+    def right_canonize_site(self, i, bra=None):
+        """LQ site i, absorbing L into site i-1."""
+        t1 = self[self.site_tag(i)]
+        t2 = self[self.site_tag(i - 1)]
+        tensor_canonize_bond(t1, t2, absorb="right")
+        if bra is not None:
+            bra[self.site_tag(i)].modify(data=jnp.conj(t1.data),
+                                         inds=t1.inds)
+            bra[self.site_tag(i - 1)].modify(data=jnp.conj(t2.data),
+                                             inds=t2.inds)
+
+    def left_canonize(self, stop=None, start=None, normalize=False,
+                      bra=None):
+        """Left-canonize all sites in [start, stop)
+        (reference tn1d/core.py:933)."""
+        if start is None:
+            start = 0
+        if stop is None:
+            stop = self._L - 1
+        for i in range(start, stop):
+            self.left_canonize_site(i, bra=bra)
+        if normalize:
+            t = self[self.site_tag(self._L - 1)]
+            t.normalize_()
+            if bra is not None:
+                bra[self.site_tag(self._L - 1)].modify(
+                    data=jnp.conj(t.data)
+                )
+
+    def right_canonize(self, stop=None, start=None, normalize=False,
+                       bra=None):
+        if start is None:
+            start = self._L - 1
+        if stop is None:
+            stop = 0
+        for i in range(start, stop, -1):
+            self.right_canonize_site(i, bra=bra)
+        if normalize:
+            t = self[self.site_tag(0)]
+            t.normalize_()
+            if bra is not None:
+                bra[self.site_tag(0)].modify(data=jnp.conj(t.data))
+
+    def canonize(self, where, cur_orthog="calc", bra=None):
+        """Mixed-canonize: orthogonality center at site(s) ``where``
+        (reference ``canonize`` tn1d/core.py)."""
+        if isinstance(where, int):
+            i = j = where
+        else:
+            i, j = min(where), max(where)
+        self.left_canonize(stop=i, bra=bra)
+        self.right_canonize(stop=j, bra=bra)
+        return self
+
+    canonize_cyclic = canonize
+
+    def shift_orthogonality_center(self, current, new, bra=None):
+        if new > current:
+            for i in range(current, new):
+                self.left_canonize_site(i, bra=bra)
+        else:
+            for i in range(current, new, -1):
+                self.right_canonize_site(i, bra=bra)
+
+    def calc_current_orthog_center(self, atol=1e-10):
+        """Find the (left, right) sites bounding the region that is not
+        yet canonical."""
+        lo = 0
+        while lo < self._L - 1 and self._site_is_left_canonical(lo, atol):
+            lo += 1
+        hi = self._L - 1
+        while hi > 0 and self._site_is_right_canonical(hi, atol):
+            hi -= 1
+        return (min(lo, hi), max(lo, hi))
+
+    def _site_is_left_canonical(self, i, atol=1e-10):
+        t = self[self.site_tag(i)]
+        rix = (
+            bonds(t, self[self.site_tag(i + 1)])
+            if i < self._L - 1 else oset()
+        )
+        lix = [ix for ix in t.inds if ix not in rix]
+        mat = jnp.reshape(
+            t.transpose(*lix, *rix).data,
+            (int(np.prod([t.ind_size(ix) for ix in lix])), -1),
+        )
+        g = jnp.conj(mat.T) @ mat
+        return bool(
+            np.allclose(np.asarray(g), np.eye(g.shape[0]), atol=atol)
+        )
+
+    def _site_is_right_canonical(self, i, atol=1e-10):
+        t = self[self.site_tag(i)]
+        lix = (
+            bonds(t, self[self.site_tag(i - 1)]) if i > 0 else oset()
+        )
+        rix = [ix for ix in t.inds if ix not in lix]
+        mat = jnp.reshape(
+            t.transpose(*lix, *rix).data,
+            (-1, int(np.prod([t.ind_size(ix) for ix in rix]))),
+        )
+        g = mat @ jnp.conj(mat.T)
+        return bool(
+            np.allclose(np.asarray(g), np.eye(g.shape[0]), atol=atol)
+        )
+
+    def compress_site(self, i, canonize=True, cur_orthog="calc",
+                      bra=None, **compress_opts):
+        if canonize:
+            self.canonize(i, bra=bra)
+        if i > 0:
+            tensor_compress_bond(
+                self[self.site_tag(i - 1)], self[self.site_tag(i)],
+                absorb="right", **compress_opts,
+            )
+        if i < self._L - 1:
+            tensor_compress_bond(
+                self[self.site_tag(i)], self[self.site_tag(i + 1)],
+                absorb="left", **compress_opts,
+            )
+
+    def compress(self, form=None, **compress_opts):
+        """Sweep-compress the whole chain into canonical ``form``
+        ('left', 'right', 'flat' or an int site)."""
+        if form is None:
+            form = "right"
+        if form == "left" or form == 0:
+            # right-canonize first then compress sweeping left->right
+            self.right_canonize()
+            for i in range(self._L - 1):
+                tensor_compress_bond(
+                    self[self.site_tag(i)], self[self.site_tag(i + 1)],
+                    absorb="right", **compress_opts,
+                )
+        elif form == "right" or form == self._L - 1:
+            self.left_canonize()
+            for i in range(self._L - 1, 0, -1):
+                tensor_compress_bond(
+                    self[self.site_tag(i - 1)], self[self.site_tag(i)],
+                    absorb="left", **compress_opts,
+                )
+        elif isinstance(form, int):
+            self.compress("right", **compress_opts)
+            self.canonize(form)
+        else:
+            raise ValueError(f"invalid form {form}")
+        return self
+
+    def expand_bond_dimension(self, new_bond_dim, rand_strength=0.0,
+                              inplace=True):
+        """Pad all bonds up to ``new_bond_dim`` (reference
+        tn1d/core.py expand_bond_dimension)."""
+        tn = self if inplace else self.copy()
+        for i in range(tn._L - 1):
+            b = tn.bond(i, i + 1)
+            d = tn.bond_size(i, i + 1)
+            if d < new_bond_dim:
+                tn[tn.site_tag(i)].expand_ind(
+                    b, new_bond_dim, rand_strength=rand_strength
+                )
+                tn[tn.site_tag(i + 1)].expand_ind(
+                    b, new_bond_dim, rand_strength=rand_strength
+                )
+        return tn
+
+    def amplitude(self, b):
+        """Amplitude <b|psi> of a computational basis configuration."""
+        psi = self.copy()
+        for i, bi in enumerate(b):
+            t = psi[psi.site_tag(i)]
+            t.isel_({psi.site_ind(i): int(bi)})
+        return psi.contract(...)
+
+
+# ---------------------------------------------------------------------------
+# MPS
+# ---------------------------------------------------------------------------
+
+
+class MatrixProductState(TensorNetwork1DVector, TensorNetwork1DFlat):
+    """Matrix product state (reference ``MatrixProductState``
+    tn1d/core.py:1670). Arrays follow ``shape`` convention (default
+    'lrp'); end sites omit the missing bond."""
+
+    _EXTRA_PROPS = ("_site_tag_id", "_site_ind_id", "_L")
+
+    def __init__(self, arrays, *, shape="lrp", tags=None, site_ind_id="k{}",
+                 site_tag_id="I{}", **tn_opts):
+        if isinstance(arrays, MatrixProductState):
+            super().__init__(arrays)
+            return
+        arrays = tuple(arrays)
+        self._L = len(arrays)
+        self._site_ind_id = site_ind_id
+        self._site_tag_id = site_tag_id
+        tags = tags_to_oset(tags)
+
+        bond_inds = [rand_uuid() for _ in range(self._L - 1)]
+        tensors = []
+        for i, arr in enumerate(arrays):
+            # determine this site's layout chars
+            order = [c for c in shape if not (
+                (i == 0 and c == "l") or (i == self._L - 1 and c == "r")
+            )]
+            inds = []
+            for c in order:
+                if c == "l":
+                    inds.append(bond_inds[i - 1])
+                elif c == "r":
+                    inds.append(bond_inds[i])
+                else:
+                    inds.append(site_ind_id.format(i))
+            tensors.append(Tensor(
+                arr, inds=inds,
+                tags=tags | oset((site_tag_id.format(i),)),
+            ))
+        super().__init__(tensors, virtual=True, **tn_opts)
+
+    @classmethod
+    def from_dense(cls, psi, dims=2, site_ind_id="k{}", site_tag_id="I{}",
+                   **split_opts):
+        """Build an MPS from a dense state vector by successive SVDs
+        (reference tn1d/core.py:1896)."""
+        psi = jnp.asarray(psi).reshape(-1)
+        if isinstance(dims, int):
+            L = int(round(math.log(psi.size, dims)))
+            dims = (dims,) * L
+        L = len(dims)
+        split_opts.setdefault("cutoff", 1e-12)
+        arrays = []
+        rem = jnp.reshape(psi, (1, -1))
+        chi_l = 1
+        for i in range(L - 1):
+            d = dims[i]
+            rem = jnp.reshape(rem, (chi_l * d, -1))
+            U, _, sVH = decomp.array_split(
+                rem, method="svd", absorb="right", **split_opts
+            )
+            chi_r = U.shape[-1]
+            arrays.append(jnp.reshape(U, (chi_l, d, chi_r)))
+            rem = sVH
+            chi_l = chi_r
+        arrays.append(jnp.reshape(rem, (chi_l, dims[-1], 1)))
+        # built in 'lpr' layout; convert to 'lrp' (first site (r, p),
+        # last site (l, p))
+        mps_arrays = []
+        for i, a in enumerate(arrays):
+            if i == 0:
+                mps_arrays.append(jnp.transpose(a[0], (1, 0)))
+            elif i == L - 1:
+                mps_arrays.append(a[..., 0])
+            else:
+                mps_arrays.append(jnp.transpose(a, (0, 2, 1)))
+        return cls(mps_arrays, shape="lrp", site_ind_id=site_ind_id,
+                   site_tag_id=site_tag_id)
+
+    def normalize(self, insert=None):
+        """Normalize in place, returning the old norm."""
+        norm = float(self.norm())
+        if insert is None:
+            self.multiply_(1 / norm)
+        else:
+            self[self.site_tag(insert)].modify(
+                apply=lambda d: d / norm
+            )
+        return norm
+
+    normalize_ = normalize
+
+    def gate_split(self, G, where, inplace=False, **compress_opts):
+        """Apply a 2-site gate and immediately split back (TEBD move,
+        reference ``gate_split`` tn1d/core.py:2052)."""
+        psi = self if inplace else self.copy()
+        i, j = sorted(where)
+        assert j == i + 1, "gate_split needs neighboring sites"
+        from ..gating import tensor_network_gate_inds
+
+        compress_opts.setdefault("contract", "reduce-split")
+        tensor_network_gate_inds(
+            psi, G, (psi.site_ind(i), psi.site_ind(j)),
+            inplace=True, **compress_opts,
+        )
+        return psi
+
+    gate_split_ = functools.partialmethod(gate_split, inplace=True)
+
+    def gate_with_auto_swap(self, G, where, inplace=False, cur_orthog=None,
+                            **compress_opts):
+        """Apply a 2-site gate to arbitrary (non-neighboring) sites by
+        swapping them adjacent, gating, and swapping back
+        (reference tn1d/core.py:2210)."""
+        psi = self if inplace else self.copy()
+        i, j = sorted(where)
+        need_swap = j - i > 1
+        # swap j down to i+1
+        swap_seq = list(range(j, i + 1, -1))
+        SWAP = _swap_gate(psi.phys_dim(i), psi.dtype)
+        for s in swap_seq:
+            psi.gate_split_(SWAP, (s - 1, s), **compress_opts)
+        psi.gate_split_(G, (i, i + 1), **compress_opts)
+        for s in reversed(swap_seq):
+            psi.gate_split_(SWAP, (s - 1, s), **compress_opts)
+        return psi
+
+    gate_with_auto_swap_ = functools.partialmethod(
+        gate_with_auto_swap, inplace=True
+    )
+
+    def magnetization(self, i, direction="Z"):
+        from ...gen.operators import pauli
+
+        G = pauli(direction)
+        bra = self.H
+        ket = self.gate(G, i, contract=True)
+        norm = expec_TN_1D(bra, self)
+        return expec_TN_1D(bra, ket) / norm
+
+    def schmidt_values(self, i, cur_orthog=None, method="svd"):
+        """Schmidt values across the (i-1, i) bond
+        (reference tn1d/core.py:2588)."""
+        self.canonize(i)
+        t = self[self.site_tag(i)]
+        if i == 0:
+            raise ValueError("need i >= 1")
+        left_bond = self.bond(i - 1, i)
+        other = [ix for ix in t.inds if ix != left_bond]
+        mat = jnp.reshape(
+            t.transpose(left_bond, *other).data,
+            (t.ind_size(left_bond), -1),
+        )
+        s = jnp.linalg.svd(mat, compute_uv=False)
+        return s**2
+
+    def entropy(self, i, cur_orthog=None):
+        """Von Neumann entanglement entropy across bond (i-1, i)."""
+        S = self.schmidt_values(i, cur_orthog=cur_orthog)
+        S = S[S > 1e-16]
+        return float(-jnp.sum(S * jnp.log2(S)))
+
+    def schmidt_gap(self, i, cur_orthog=None):
+        S = self.schmidt_values(i, cur_orthog=cur_orthog)
+        return float(S[0] - S[1])
+
+    def partial_trace(self, keep, upper_ind_id="b{}", rescale_sites=True):
+        """Reduced density matrix over sites ``keep``, as a dense
+        matrix."""
+        bra = self.H
+        kix = [self.site_ind(i) for i in keep]
+        bix = [upper_ind_id.format(i) for i in keep]
+        bra.reindex_({
+            self.site_ind(i): upper_ind_id.format(i) for i in keep
+        })
+        rho = (self & bra).contract(
+            ..., output_inds=tuple(kix) + tuple(bix)
+        )
+        d = int(np.prod([self.phys_dim(i) for i in keep]))
+        return jnp.reshape(rho.data, (d, d))
+
+    ptr = partial_trace
+
+    def measure(self, site, remove=False, outcome=None, renorm=True,
+                seed=None, inplace=False):
+        """Measure a site in the computational basis (reference
+        tn1d/core.py:3684). Returns (outcome, post-measurement state)."""
+        psi = self if inplace else self.copy()
+        psi.canonize(site)
+        t = psi[psi.site_tag(site)]
+        ind = psi.site_ind(site)
+        d = psi.phys_dim(site)
+        # probabilities from the orthogonality-center tensor
+        other = [ix for ix in t.inds if ix != ind]
+        tt = t.transpose(ind, *other)
+        probs = np.asarray(
+            jnp.sum(jnp.abs(jnp.reshape(tt.data, (d, -1))) ** 2, axis=1)
+        )
+        probs = probs / probs.sum()
+        if outcome is None:
+            rng = np.random.default_rng(seed)
+            outcome = int(rng.choice(d, p=probs))
+        if remove:
+            t.isel_({ind: outcome})
+            # merge into neighbor to keep chain structure
+            nbr = site + 1 if site < psi._L - 1 else site - 1
+            tn_new = psi  # indices contract automatically on contraction
+        else:
+            proj = np.zeros(d)
+            proj[outcome] = 1.0
+            t.modify(
+                data=ar_multiply_axis(tt.data, jnp.asarray(proj), 0),
+                inds=tt.inds,
+            )
+        if renorm:
+            t.modify(apply=lambda x: x / jnp.sqrt(probs[outcome]))
+        return outcome, psi
+
+    measure_ = functools.partialmethod(measure, inplace=True)
+
+    def sample(self, C, seed=None, info=None):
+        """Generate ``C`` samples from the MPS in the computational basis
+        via sequential (perfect) sampling (reference tn1d/core.py:3822).
+        Yields (config, omega) with omega the exact probability."""
+        psi = self.copy()
+        psi.canonize(0)
+        rng = np.random.default_rng(seed)
+        for _ in range(C):
+            yield self._sample_one(psi, rng)
+
+    def _sample_one(self, psi, rng):
+        L = psi._L
+        config = []
+        omega = 1.0
+        # left environment vector starts trivial
+        env = None
+        for i in range(L):
+            t = psi[psi.site_tag(i)]
+            ind = psi.site_ind(i)
+            d = psi.phys_dim(i)
+            left_bond = (
+                list(bonds(psi[psi.site_tag(i - 1)], t)) if i > 0 else []
+            )
+            right_bond = (
+                list(bonds(t, psi[psi.site_tag(i + 1)]))
+                if i < L - 1 else []
+            )
+            tt = t.transpose(*left_bond, ind, *right_bond)
+            A = tt.data
+            if env is not None:
+                A = jnp.tensordot(env, A, axes=((0,), (0,)))
+            # A now has shape (d, chi_r) or (d,)
+            Am = jnp.reshape(A, (d, -1))
+            probs = np.asarray(jnp.sum(jnp.abs(Am) ** 2, axis=1))
+            probs = probs / probs.sum()
+            b = int(rng.choice(d, p=probs))
+            config.append(b)
+            omega *= probs[b]
+            env = Am[b]
+            env = env / jnp.linalg.norm(env)
+        return tuple(config), omega
+
+    @property
+    def arrays_lrp(self):
+        out = []
+        for i in range(self._L):
+            t = self[self.site_tag(i)]
+            order = []
+            if i > 0:
+                order.extend(bonds(self[self.site_tag(i - 1)], t))
+            if i < self._L - 1:
+                order.extend(bonds(t, self[self.site_tag(i + 1)]))
+            order.append(self.site_ind(i))
+            out.append(t.transpose(*order).data)
+        return out
+
+
+def ar_multiply_axis(x, v, axis):
+    shape = [1] * x.ndim
+    shape[axis] = -1
+    return x * jnp.reshape(v.astype(x.dtype), shape)
+
+
+def _swap_gate(d, dtype):
+    SWAP = np.zeros((d, d, d, d))
+    for a in range(d):
+        for b in range(d):
+            SWAP[b, a, a, b] = 1.0
+    return jnp.asarray(SWAP.reshape(d * d, d * d), dtype=str(dtype))
+
+
+# ---------------------------------------------------------------------------
+# MPO
+# ---------------------------------------------------------------------------
+
+
+class MatrixProductOperator(TensorNetwork1DOperator, TensorNetwork1DFlat):
+    """Matrix product operator (reference tn1d/core.py:3946). Default
+    array layout 'lrud'."""
+
+    _EXTRA_PROPS = (
+        "_site_tag_id", "_upper_ind_id", "_lower_ind_id", "_L"
+    )
+
+    def __init__(self, arrays, *, shape="lrud", tags=None,
+                 upper_ind_id="k{}", lower_ind_id="b{}",
+                 site_tag_id="I{}", **tn_opts):
+        if isinstance(arrays, MatrixProductOperator):
+            super().__init__(arrays)
+            return
+        arrays = tuple(arrays)
+        self._L = len(arrays)
+        self._upper_ind_id = upper_ind_id
+        self._lower_ind_id = lower_ind_id
+        self._site_tag_id = site_tag_id
+        tags = tags_to_oset(tags)
+
+        bond_inds = [rand_uuid() for _ in range(self._L - 1)]
+        tensors = []
+        for i, arr in enumerate(arrays):
+            order = [c for c in shape if not (
+                (i == 0 and c == "l") or (i == self._L - 1 and c == "r")
+            )]
+            inds = []
+            for c in order:
+                if c == "l":
+                    inds.append(bond_inds[i - 1])
+                elif c == "r":
+                    inds.append(bond_inds[i])
+                elif c == "u":
+                    inds.append(upper_ind_id.format(i))
+                else:
+                    inds.append(lower_ind_id.format(i))
+            tensors.append(Tensor(
+                arr, inds=inds,
+                tags=tags | oset((site_tag_id.format(i),)),
+            ))
+        super().__init__(tensors, virtual=True, **tn_opts)
+
+    def apply(self, other, compress=False, **compress_opts):
+        """Apply this MPO to an MPS (or MPO): ``A|x>``
+        (reference ``MatrixProductOperator.apply``). Exact zip then
+        optional compression."""
+        if isinstance(other, MatrixProductState):
+            return self._apply_mps(other, compress=compress,
+                                   **compress_opts)
+        elif isinstance(other, MatrixProductOperator):
+            return self._apply_mpo(other, compress=compress,
+                                   **compress_opts)
+        raise TypeError(f"cannot apply MPO to {type(other)}")
+
+    dot = apply
+
+    def _apply_mps(self, psi, compress=False, **compress_opts):
+        A = self.copy()
+        x = psi.copy()
+        # contract site-by-site: new site tensor = A_i x_i
+        x.reindex_sites_("__mpo_apply{}__")
+        A.reindex_lower_sites_("__mpo_apply{}__")
+        new_arrays = []
+        L = self._L
+        for i in range(L):
+            ta = A[A.site_tag(i)]
+            tx = x[x.site_tag(i)]
+            new_arrays.append(
+                tensor_contract(ta, tx, preserve_tensor=True)
+            )
+        # fuse pairs of bonds between consecutive new tensors
+        for i in range(L - 1):
+            t1, t2 = new_arrays[i], new_arrays[i + 1]
+            shared = list(bonds(t1, t2))
+            if len(shared) > 1:
+                fused = rand_uuid()
+                t1.fuse_({fused: shared})
+                t2.fuse_({fused: shared})
+        mps_arrays = []
+        for i, t in enumerate(new_arrays):
+            order = []
+            if i > 0:
+                order.extend(bonds(new_arrays[i - 1], t))
+            if i < L - 1:
+                order.extend(bonds(t, new_arrays[i + 1]))
+            order.append(self.upper_ind(i))
+            mps_arrays.append(t.transpose(*order).data)
+        new = MatrixProductState(
+            mps_arrays, shape="lrp",
+            site_ind_id=self._upper_ind_id,
+            site_tag_id=psi._site_tag_id,
+        )
+        if compress:
+            new.compress(**compress_opts)
+        return new
+
+    def _apply_mpo(self, other, compress=False, **compress_opts):
+        A = self.copy()
+        B = other.copy()
+        tmp_id = "__mpo_mpo{}__"
+        A.reindex_lower_sites_(tmp_id)
+        B.reindex_upper_sites_(tmp_id)
+        L = self._L
+        new_tensors = []
+        for i in range(L):
+            tnew = tensor_contract(
+                A[A.site_tag(i)], B[B.site_tag(i)], preserve_tensor=True
+            )
+            new_tensors.append(tnew)
+        for i in range(L - 1):
+            t1, t2 = new_tensors[i], new_tensors[i + 1]
+            shared = list(bonds(t1, t2))
+            if len(shared) > 1:
+                fused = rand_uuid()
+                t1.fuse_({fused: shared})
+                t2.fuse_({fused: shared})
+        arrays = []
+        for i, t in enumerate(new_tensors):
+            order = []
+            if i > 0:
+                order.extend(bonds(new_tensors[i - 1], t))
+            if i < L - 1:
+                order.extend(bonds(t, new_tensors[i + 1]))
+            order.append(self.upper_ind(i))
+            order.append(other.lower_ind(i))
+            arrays.append(t.transpose(*order).data)
+        new = MatrixProductOperator(
+            arrays, shape="lrud",
+            upper_ind_id=self._upper_ind_id,
+            lower_ind_id=other._lower_ind_id,
+            site_tag_id=self._site_tag_id,
+        )
+        if compress:
+            new.compress(**compress_opts)
+        return new
+
+    def trace(self, **contract_opts):
+        """Trace of the full operator."""
+        tn = self.reindex({
+            self.lower_ind(i): self.upper_ind(i) for i in range(self._L)
+        })
+        return tn.contract(..., **contract_opts)
+
+    def partial_transpose(self, sysa, inplace=False):
+        """Partial transpose over sites ``sysa``."""
+        tn = self if inplace else self.copy()
+        remap = {}
+        for i in sysa:
+            remap[tn.upper_ind(i)] = tn.lower_ind(i)
+            remap[tn.lower_ind(i)] = tn.upper_ind(i)
+        return tn.reindex_(remap)
+
+    @property
+    def H(self):
+        """Hermitian conjugate: conj data and swap upper/lower."""
+        A = self.conj()
+        remap = {}
+        for i in range(self._L):
+            remap[A.upper_ind(i)] = A.lower_ind(i)
+            remap[A.lower_ind(i)] = A.upper_ind(i)
+        return A.reindex_(remap)
+
+    def rand_state(self, bond_dim, dtype=None, **kwargs):
+        """Random MPS with the same physical indices (for DMRG init)."""
+        from .builders import MPS_rand_state
+
+        return MPS_rand_state(
+            self._L, bond_dim,
+            phys_dim=self.phys_dim(),
+            dtype=dtype or str(self.dtype),
+            site_ind_id=self._upper_ind_id,
+            site_tag_id=self._site_tag_id, **kwargs,
+        )
+
+    def identity(self, **kwargs):
+        from .builders import MPO_identity_like
+
+        return MPO_identity_like(self, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Dense1D and helpers
+# ---------------------------------------------------------------------------
+
+
+class Dense1D(TensorNetwork1DVector):
+    """A dense state viewed as a single-tensor 1D network
+    (reference tn1d/core.py:4467)."""
+
+    _EXTRA_PROPS = ("_site_tag_id", "_site_ind_id", "_L")
+
+    def __init__(self, array, phys_dim=2, tags=None, site_ind_id="k{}",
+                 site_tag_id="I{}", **tn_opts):
+        array = jnp.asarray(array)
+        L = int(round(math.log(array.size, phys_dim)))
+        self._L = L
+        self._site_ind_id = site_ind_id
+        self._site_tag_id = site_tag_id
+        data = jnp.reshape(array, (phys_dim,) * L)
+        t = Tensor(
+            data, inds=[site_ind_id.format(i) for i in range(L)],
+            tags=tags_to_oset(tags) | oset(
+                site_tag_id.format(i) for i in range(L)
+            ),
+        )
+        TensorNetwork.__init__(self, (t,), virtual=True, **tn_opts)
+
+
+def gate_TN_1D(tn, G, where, contract=False, tags=None, inplace=False,
+               **compress_opts):
+    """Apply a gate to one or more sites of a 1D vector network
+    (reference ``gate_TN_1D`` tn1d/core.py:98)."""
+    from ..gating import tensor_network_gate_inds
+
+    if isinstance(where, (int, np.integer)):
+        where = (int(where),)
+    inds = tuple(tn.site_ind(i) for i in where)
+    return tensor_network_gate_inds(
+        tn, G, inds, contract=contract, tags=tags, inplace=inplace,
+        **compress_opts,
+    )
+
+
+def expec_TN_1D(*tns, compress=None, eff=False, optimize=None):
+    """Expectation of a 1D sandwich of networks, contracted left to
+    right in one pass (reference ``expec_TN_1D`` tn1d/core.py:55)."""
+    tn = functools.reduce(lambda a, b: a & b, tns)
+    L = max(t._L for t in tns if hasattr(t, "_L"))
+    # structured left-to-right contraction
+    result = tn
+    for i in range(L):
+        tag = tns[0].site_tag(i)
+        result = result.contract_tags_(tag, which="any",
+                                       optimize=optimize)
+        if not isinstance(result, TensorNetwork):
+            return result
+    out = result.contract(...) if isinstance(result, TensorNetwork) \
+        else result
+    return out
+
+
+def align_TN_1D(*tns, ind_ids=None, inplace=False):
+    """Align a sandwich of 1D TNs so that their physical indices chain:
+    ket site inds -> op lower inds, op upper -> next, etc.
+    (reference ``tensor_network_align``)."""
+    tns = [tn if inplace else tn.copy() for tn in tns]
+    for i, tn in enumerate(tns):
+        if isinstance(tn, TensorNetwork1DOperator):
+            if i == 0:
+                pass
+            else:
+                # lower inds bind to previous object's outgoing ids
+                prev = tns[i - 1]
+                prev_id = (
+                    prev._site_ind_id
+                    if isinstance(prev, TensorNetwork1DVector)
+                    else prev._upper_ind_id
+                )
+                tn.reindex_lower_sites_(prev_id)
+                if i < len(tns) - 1:
+                    tn.reindex_upper_sites_(f"__al{i}" + "_{}__")
+        elif isinstance(tn, TensorNetwork1DVector) and i > 0:
+            prev = tns[i - 1]
+            prev_id = (
+                prev._site_ind_id
+                if isinstance(prev, TensorNetwork1DVector)
+                else prev._upper_ind_id
+            )
+            tn.reindex_sites_(prev_id)
+    return tns

@@ -1,0 +1,729 @@
+"""DMRG: density-matrix renormalization group ground-state search.
+
+Re-design of reference ``quimb/tensor/tn1d/dmrg.py`` (``MovingEnvironment``
+:105, ``DMRG`` :501, ``DMRG1`` :1147, ``DMRG2`` :1166, ``DMRGX`` :1190).
+
+TPU-first architecture: instead of generic TN bookkeeping in the hot loop,
+the sweep runs on a **uniform array representation** — site tensors
+``(l, p, r)``, MPO tensors ``(wl, wr, u, d)`` (boundaries padded with
+size-1 bonds), environments ``(b, w, k)`` — with every step a jitted XLA
+program:
+
+- ``_env_step_left/right``: one environment absorption = three dot_generals
+  on the MXU (the reference's MovingEnvironment O(1) update, dmrg.py:427).
+- ``_local_solve_2site``: matrix-free restarted-Lanczos on the effective
+  Hamiltonian (the reference calls ARPACK through
+  ``TNLinearOperator._matvec`` tensor_core.py:12085 — here the matvec is
+  a closed jitted einsum chain over L/W/W/R).
+- ``_split_2site``: truncated SVD of the updated theta with static
+  ``max_bond`` (S0 kernel).
+
+Per-(shape-signature) jit caching means the first sweep compiles a handful
+of edge shapes plus the bulk shape; later sweeps are pure cached execution
+(SURVEY §7 'shapes stabilize after sweep 1').
+"""
+
+import functools
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import decomp
+from ...utils import progbar as Progbar
+from ..core import TensorNetwork
+from .core import MatrixProductOperator, MatrixProductState
+
+
+def get_default_opts(cyclic=False):
+    """Advanced options for DMRG, with defaults mirroring the
+    reference's 19 documented knobs (dmrg.py:19)."""
+    return {
+        "default_sweep_sequence": "R",
+        "bond_compress_method": "svd",
+        "bond_compress_cutoff_mode": "rel",
+        "bond_expand_rand_strength": 1e-6,
+        "local_eig_tol": 1e-3,
+        "local_eig_ncv": 4,
+        "local_eig_backend": None,
+        "local_eig_maxiter": None,
+        "local_eig_restarts": 2,
+        "local_eig_ham_dense": None,
+        "local_eig_EPSType": None,
+        "periodic_segment_size": 1 / 2,
+        "periodic_compress_method": "isvd",
+        "periodic_compress_norm_eps": 1e-6,
+        "periodic_compress_tol": 1e-6,
+        "periodic_compress_max_bond": -1,
+        "periodic_nullspace_fudge_factor": 1e-12,
+        "periodic_canonize_inv_tol": 1e-10,
+        "periodic_orthog_tol": 1e-6,
+    }
+
+
+class DMRGError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# jitted kernels (uniform array layout)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _env_step_right(L, Ab, W, Ak):
+    """Absorb one site into a left environment:
+    L (b,w,k), Ab=conj ket (b,p,b2) bra side, W (w,w2,u,d), Ak (k,d,k2)
+    -> (b2,w2,k2)."""
+    # L·Ak -> (b, w, d, k2)
+    T = jnp.einsum("bwk,kdx->bwdx", L, Ak)
+    # ·W -> (b, w2, u, k2)
+    T = jnp.einsum("bwdx,wyud->byux", T, W)
+    # ·conj(bra) -> (b2, w2, k2)
+    return jnp.einsum("byux,bua->ayx", T, Ab)
+
+
+@jax.jit
+def _env_step_left(R, Ab, W, Ak):
+    """Absorb one site into a right environment:
+    R (b,w,k), Ab (b2,p,b), W (w2,w,u,d), Ak (k2,d,k) -> (b2,w2,k2)."""
+    T = jnp.einsum("bwk,xdk->bwxd", R, Ak)
+    T = jnp.einsum("bwxd,ywud->byxu", T, W)
+    return jnp.einsum("byxu,aub->ayx", T, Ab)
+
+
+def _heff_matvec_2site(L, W1, W2, R, theta):
+    """theta (k,d1,d2,r) -> (b_out, u1, u2, b2_out) with hermitian
+    layout: inputs contract the MPO 'd' legs, outputs are 'u' legs."""
+    T = jnp.einsum("awk,kpqr->awpqr", L, theta)
+    T = jnp.einsum("awpqr,wxup->axuqr", T, W1)
+    T = jnp.einsum("axuqr,xyvq->ayuvr", T, W2)
+    return jnp.einsum("ayuvr,byr->auvb", T, R)
+
+
+def _heff_matvec_1site(L, W, R, theta):
+    T = jnp.einsum("awk,kpr->awpr", L, theta)
+    T = jnp.einsum("awpr,wxup->axur", T, W)
+    return jnp.einsum("axur,bxr->aub", T, R)
+
+
+@functools.partial(jax.jit, static_argnames=("ncv", "restarts"))
+def _local_solve_2site(L, W1, W2, R, theta0, ncv, restarts):
+    """Restarted-Lanczos ground state of the 2-site effective
+    Hamiltonian. Returns (energy, theta)."""
+    from ...linalg.lanczos import _lanczos_basis, _tridiag_eigh
+
+    def matvec(th):
+        return _heff_matvec_2site(L, W1, W2, R, th)
+
+    v = theta0 / jnp.linalg.norm(jnp.reshape(theta0, (-1,)))
+    lam = None
+    for _ in range(restarts):
+        V, alpha, beta = _lanczos_basis(matvec, v, ncv)
+        w, S = _tridiag_eigh(alpha, beta)
+        lam = w[0]
+        coeff = S[:, 0].astype(V.dtype)
+        vflat = coeff @ V
+        vflat = vflat / jnp.linalg.norm(vflat)
+        v = jnp.reshape(vflat, theta0.shape)
+    return lam, v
+
+
+@functools.partial(jax.jit, static_argnames=("ncv", "restarts"))
+def _local_solve_1site(L, W, R, theta0, ncv, restarts):
+    from ...linalg.lanczos import _lanczos_basis, _tridiag_eigh
+
+    def matvec(th):
+        return _heff_matvec_1site(L, W, R, th)
+
+    v = theta0 / jnp.linalg.norm(jnp.reshape(theta0, (-1,)))
+    lam = None
+    for _ in range(restarts):
+        V, alpha, beta = _lanczos_basis(matvec, v, ncv)
+        w, S = _tridiag_eigh(alpha, beta)
+        lam = w[0]
+        coeff = S[:, 0].astype(V.dtype)
+        vflat = coeff @ V
+        vflat = vflat / jnp.linalg.norm(vflat)
+        v = jnp.reshape(vflat, theta0.shape)
+    return lam, v
+
+
+@functools.partial(jax.jit, static_argnames=("max_bond", "absorb"))
+def _split_2site(theta, max_bond, cutoff, absorb):
+    """Split updated theta (k,d1,d2,r) -> A1 (k,d1,c), A2 (c,d2,r) with
+    static max_bond (masked dynamic cutoff)."""
+    k, d1, d2, r = theta.shape
+    mat = jnp.reshape(theta, (k * d1, d2 * r))
+    U, s, VH, rank = decomp.svd_truncated_masked(
+        mat, max_bond=max_bond, cutoff=cutoff, cutoff_mode=4,
+        absorb=absorb,
+    )
+    chi = U.shape[-1]
+    A1 = jnp.reshape(U, (k, d1, chi))
+    A2 = jnp.reshape(VH, (chi, d2, r))
+    return A1, A2, rank
+
+
+# ---------------------------------------------------------------------------
+# MovingEnvironment — TN-level API parity (used by tests & other algos)
+# ---------------------------------------------------------------------------
+
+
+class MovingEnvironment:
+    """Maintain the environments of a contiguous block of ``bsz`` sites
+    in a 1D-structured TN, with O(1) moves (reference
+    ``MovingEnvironment`` dmrg.py:105). Open boundary conditions."""
+
+    def __init__(self, tn, begin, bsz, ssz=0.5, cyclic=False, **kwargs):
+        if cyclic:
+            raise NotImplementedError(
+                "periodic MovingEnvironment segments TODO"
+            )
+        self.tn = tn
+        self.begin = begin
+        self.bsz = bsz
+        self.L = tn._L
+        self.site_tag = tn.site_tag
+        self._envs = {}
+        self.init_environments()
+
+    def init_environments(self):
+        L, bsz = self.L, self.bsz
+        tn = self.tn
+        if self.begin == "left":
+            # build right environments R[j]: contraction of columns >= j
+            env = None
+            self._renvs = {L: None}
+            for j in range(L - 1, bsz - 1, -1):
+                col = tn.select(self.site_tag(j), which="any")
+                new = col.copy(virtual=False)
+                if env is not None:
+                    new.add_tensor_network(env, virtual=True,
+                                           check_collisions=False)
+                envt = new.contract(
+                    ..., preserve_tensor=True,
+                    output_inds=self._boundary_inds(j),
+                )
+                env = TensorNetwork((envt,), virtual=True,
+                                    check_collisions=False)
+                self._renvs[j] = env
+            self._lenvs = {0: None}
+            self.pos = 0
+        else:
+            env = None
+            self._lenvs = {-1: None}
+            for j in range(0, L - bsz):
+                col = tn.select(self.site_tag(j), which="any")
+                new = col.copy(virtual=False)
+                if env is not None:
+                    new.add_tensor_network(env, virtual=True,
+                                           check_collisions=False)
+                envt = new.contract(
+                    ..., preserve_tensor=True,
+                    output_inds=self._boundary_inds(j, side="right"),
+                )
+                env = TensorNetwork((envt,), virtual=True,
+                                    check_collisions=False)
+                self._lenvs[j] = env
+            self._renvs = {L: None}
+            self.pos = L - bsz
+
+    def _boundary_inds(self, j, side="left"):
+        """Indices crossing the boundary between column j and j-1 (side=
+        'left': inds shared between columns >= j and columns < j)."""
+        tn = self.tn
+        block = tn.select_any(
+            tuple(self.site_tag(i) for i in (
+                range(j, self.L) if side == "left" else range(0, j + 1)
+            ))
+        )
+        rest_tags = tuple(self.site_tag(i) for i in (
+            range(0, j) if side == "left" else range(j + 1, self.L)
+        ))
+        if not rest_tags:
+            return block.outer_inds()
+        rest = tn.select_any(rest_tags)
+        rest_inds = set(rest.ind_map)
+        return tuple(
+            ix for ix in block.ind_map if ix in rest_inds
+        ) + tuple(
+            ix for ix in block.outer_inds() if ix not in rest_inds
+        )
+
+    def move_right(self):
+        i = self.pos
+        tn = self.tn
+        col = tn.select(self.site_tag(i), which="any")
+        new = col.copy(virtual=False)
+        prev = self._lenvs.get(i - 1)
+        if prev is not None:
+            new.add_tensor_network(prev, virtual=True,
+                                   check_collisions=False)
+        envt = new.contract(..., preserve_tensor=True)
+        self._lenvs[i] = TensorNetwork((envt,), virtual=True,
+                                       check_collisions=False)
+        self.pos += 1
+
+    def move_left(self):
+        i = self.pos + self.bsz - 1
+        tn = self.tn
+        col = tn.select(self.site_tag(i), which="any")
+        new = col.copy(virtual=False)
+        prev = self._renvs.get(i + 1)
+        if prev is not None:
+            new.add_tensor_network(prev, virtual=True,
+                                   check_collisions=False)
+        envt = new.contract(..., preserve_tensor=True)
+        self._renvs[i] = TensorNetwork((envt,), virtual=True,
+                                       check_collisions=False)
+        self.pos -= 1
+
+    def move_to(self, i):
+        while self.pos < i:
+            self.move_right()
+        while self.pos > i:
+            self.move_left()
+
+    def __call__(self):
+        """The current environment TN: left env + block sites + right
+        env (block tensors are virtual views)."""
+        i = self.pos
+        parts = []
+        le = self._lenvs.get(i - 1)
+        if le is not None:
+            parts.append(le)
+        block = self.tn.select_any(
+            tuple(self.site_tag(j) for j in range(i, i + self.bsz))
+        )
+        parts.append(block)
+        re = self._renvs.get(i + self.bsz)
+        if re is not None:
+            parts.append(re)
+        out = TensorNetwork((), virtual=True)
+        for p in parts:
+            out.add_tensor_network(p, virtual=True,
+                                   check_collisions=False)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# DMRG driver
+# ---------------------------------------------------------------------------
+
+
+def _mpo_uniform_arrays(ham):
+    """MPO site arrays as uniform (wl, wr, u, d), boundaries padded."""
+    L = ham.L
+    out = []
+    for i in range(L):
+        t = ham[ham.site_tag(i)]
+        u, d = ham.upper_ind(i), ham.lower_ind(i)
+        lshared = [ix for ix in t.inds if i > 0 and
+                   ix in ham[ham.site_tag(i - 1)].inds]
+        rshared = [ix for ix in t.inds if i < L - 1 and
+                   ix in ham[ham.site_tag(i + 1)].inds]
+        order = lshared + rshared + [u, d]
+        arr = t.transpose(*order).data
+        if not lshared:
+            arr = arr[None, ...]
+        if not rshared:
+            arr = arr[:, None, ...]
+        out.append(arr)
+    return out
+
+
+def _mps_uniform_arrays(psi):
+    """MPS site arrays as uniform (l, p, r), boundaries padded."""
+    L = psi.L
+    out = []
+    for i in range(L):
+        t = psi[psi.site_tag(i)]
+        p = psi.site_ind(i)
+        lshared = [ix for ix in t.inds if i > 0 and
+                   ix in psi[psi.site_tag(i - 1)].inds]
+        rshared = [ix for ix in t.inds if i < L - 1 and
+                   ix in psi[psi.site_tag(i + 1)].inds]
+        arr = t.transpose(*(lshared + [p] + rshared)).data
+        if not lshared:
+            arr = arr[None, ...]
+        if not rshared:
+            arr = arr[..., None]
+        out.append(arr)
+    return out
+
+
+def _arrays_to_mps(arrays, like):
+    """Write uniform (l,p,r) arrays back into an MPS like ``like``."""
+    L = like.L
+    site_arrays = []
+    for i, a in enumerate(arrays):
+        if i == 0:
+            a = a[0]  # (p, r)
+            a = jnp.transpose(a, (1, 0))  # (r, p)
+        elif i == L - 1:
+            a = a[..., 0]  # (l, p)
+        else:
+            a = jnp.transpose(a, (0, 2, 1))  # (l, r, p)
+        site_arrays.append(a)
+    return MatrixProductState(
+        site_arrays, shape="lrp",
+        site_ind_id=like._site_ind_id, site_tag_id=like._site_tag_id,
+    )
+
+
+@jax.jit
+def _right_canonize_step(A_next, A):
+    """Make A (l,p,r) right-isometric by LQ, absorbing L into A_next."""
+    l, p, r = A.shape
+    mat = jnp.reshape(A, (l, p * r))
+    Lf, _, Q = decomp.lq_stabilized(mat)
+    chi = Q.shape[0]
+    newA = jnp.reshape(Q, (chi, p, r))
+    newAnext = jnp.einsum("apk,kc->apc", A_next, Lf)
+    return newAnext, newA
+
+
+class DMRG:
+    """Flexible DMRG solver (reference ``DMRG`` dmrg.py:501).
+
+    Parameters mirror the reference: ``ham`` an MPO, ``bond_dims`` an int
+    or schedule, ``cutoffs`` float or schedule, ``bsz`` 1 or 2, ``p0``
+    optional initial MPS.
+    """
+
+    def __init__(self, ham, bond_dims, cutoffs=1e-9, bsz=2, which="SA",
+                 p0=None):
+        self.L = ham.L
+        self.phys_dim = ham.phys_dim()
+        self.bsz = bsz
+        self.which = which
+        self._set_bond_dim_seq(bond_dims)
+        self._set_cutoff_seq(cutoffs)
+        self.opts = get_default_opts()
+
+        self.ham = ham
+        if p0 is not None:
+            self._k = p0.copy()
+        else:
+            self._k = ham.rand_state(self._bond_dim0)
+        self._k.add_tag("_KET")
+
+        self.energies = []
+        self.local_energies = []
+        self.total_energies = []
+        # uniform array representations
+        self._W = [jnp.asarray(a) for a in _mpo_uniform_arrays(ham)]
+        dtype = jnp.result_type(*(a.dtype for a in self._W),
+                                *(t.dtype for t in self._k))
+        self._W = [a.astype(dtype) for a in self._W]
+        self._A = [a.astype(dtype)
+                   for a in _mps_uniform_arrays(self._k)]
+
+    def _set_bond_dim_seq(self, bond_dims):
+        if isinstance(bond_dims, int):
+            self._bond_dims = itertools.repeat(bond_dims)
+            self._bond_dim0 = bond_dims
+        else:
+            bond_dims = list(bond_dims)
+            self._bond_dim0 = bond_dims[0]
+            self._bond_dims = itertools.chain(
+                bond_dims, itertools.repeat(bond_dims[-1])
+            )
+
+    def _set_cutoff_seq(self, cutoffs):
+        if isinstance(cutoffs, float):
+            self._cutoffs = itertools.repeat(cutoffs)
+        else:
+            cutoffs = list(cutoffs)
+            self._cutoffs = itertools.chain(
+                cutoffs, itertools.repeat(cutoffs[-1])
+            )
+
+    @property
+    def state(self):
+        psi = _arrays_to_mps(self._A, self._k)
+        psi.drop_tags("_KET")
+        return psi
+
+    @property
+    def energy(self):
+        return self.energies[-1] if self.energies else None
+
+    # -- array-level machinery ------------------------------------------------
+
+    def _right_canonize_all(self):
+        """Bring all sites into right-canonical form (B-form)."""
+        for i in range(self.L - 1, 0, -1):
+            self._A[i - 1], self._A[i] = _right_canonize_step(
+                self._A[i - 1], self._A[i]
+            )
+        # normalize the first site
+        a0 = self._A[0]
+        self._A[0] = a0 / jnp.linalg.norm(jnp.reshape(a0, (-1,)))
+
+    def _build_right_envs(self):
+        """All right environments: renv[j] = contraction of sites >= j."""
+        dtype = self._A[0].dtype
+        renv = [None] * (self.L + 1)
+        renv[self.L] = jnp.ones((1, 1, 1), dtype=dtype)
+        for j in range(self.L - 1, -1, -1):
+            A = self._A[j]
+            renv[j] = _env_step_left(
+                renv[j + 1], jnp.conj(A), self._W[j], A
+            )
+        return renv
+
+    def _sweep_right(self, max_bond, cutoff, verbosity=0):
+        ncv = max(self.opts["local_eig_ncv"] * 3, 8)
+        restarts = self.opts["local_eig_restarts"]
+        renv = self._build_right_envs()
+        dtype = self._A[0].dtype
+        lenv = jnp.ones((1, 1, 1), dtype=dtype)
+        energies = []
+        for i in range(self.L - self.bsz + 1):
+            if self.bsz == 2:
+                A1, A2 = self._A[i], self._A[i + 1]
+                theta0 = jnp.einsum("kpc,cqr->kpqr", A1, A2)
+                en, theta = _local_solve_2site(
+                    lenv, self._W[i], self._W[i + 1], renv[i + 2],
+                    theta0, ncv=ncv, restarts=restarts,
+                )
+                N1, N2, rank = _split_2site(
+                    theta, max_bond=max_bond, cutoff=cutoff,
+                    absorb="right",
+                )
+                self._A[i], self._A[i + 1] = N1, N2
+                lenv = _env_step_right(
+                    lenv, jnp.conj(N1), self._W[i], N1
+                )
+            else:
+                A1 = self._A[i]
+                en, theta = _local_solve_1site(
+                    lenv, self._W[i], renv[i + 1], A1,
+                    ncv=ncv, restarts=restarts,
+                )
+                if i < self.L - 1:
+                    l, p, r = theta.shape
+                    Q, _, Rf = decomp.qr_stabilized(
+                        jnp.reshape(theta, (l * p, r))
+                    )
+                    self._A[i] = jnp.reshape(Q, (l, p, Q.shape[-1]))
+                    self._A[i + 1] = jnp.einsum(
+                        "ck,kpr->cpr", Rf, self._A[i + 1]
+                    )
+                else:
+                    self._A[i] = theta
+                lenv = _env_step_right(
+                    lenv, jnp.conj(self._A[i]), self._W[i], self._A[i]
+                )
+            energies.append(en)
+        self.local_energies.append(energies)
+        return float(energies[-1])
+
+    def _sweep_left(self, max_bond, cutoff, verbosity=0):
+        ncv = max(self.opts["local_eig_ncv"] * 3, 8)
+        restarts = self.opts["local_eig_restarts"]
+        # build left envs
+        dtype = self._A[0].dtype
+        lenvs = [None] * (self.L + 1)
+        lenvs[0] = jnp.ones((1, 1, 1), dtype=dtype)
+        for j in range(self.L - 1):
+            A = self._A[j]
+            lenvs[j + 1] = _env_step_right(
+                lenvs[j], jnp.conj(A), self._W[j], A
+            )
+        renv = jnp.ones((1, 1, 1), dtype=dtype)
+        energies = []
+        for i in range(self.L - self.bsz, -1, -1):
+            if self.bsz == 2:
+                A1, A2 = self._A[i], self._A[i + 1]
+                theta0 = jnp.einsum("kpc,cqr->kpqr", A1, A2)
+                en, theta = _local_solve_2site(
+                    lenvs[i], self._W[i], self._W[i + 1], renv,
+                    theta0, ncv=ncv, restarts=restarts,
+                )
+                N1, N2, rank = _split_2site(
+                    theta, max_bond=max_bond, cutoff=cutoff,
+                    absorb="left",
+                )
+                self._A[i], self._A[i + 1] = N1, N2
+                renv = _env_step_left(
+                    renv, jnp.conj(N2), self._W[i + 1], N2
+                )
+            else:
+                A1 = self._A[i]
+                en, theta = _local_solve_1site(
+                    lenvs[i], self._W[i], renv, A1,
+                    ncv=ncv, restarts=restarts,
+                )
+                if i > 0:
+                    l, p, r = theta.shape
+                    Lf, _, Q = decomp.lq_stabilized(
+                        jnp.reshape(theta, (l, p * r))
+                    )
+                    self._A[i] = jnp.reshape(Q, (Q.shape[0], p, r))
+                    self._A[i - 1] = jnp.einsum(
+                        "kpr,rc->kpc", self._A[i - 1], Lf
+                    )
+                else:
+                    self._A[i] = theta
+                renv = _env_step_left(
+                    renv, jnp.conj(self._A[i]), self._W[i], self._A[i]
+                )
+            energies.append(en)
+        self.local_energies.append(energies)
+        return float(energies[-1])
+
+    def sweep(self, direction, max_bond=None, cutoff=1e-9, canonize=True,
+              verbosity=0):
+        """One full sweep (reference ``DMRG.sweep`` dmrg.py:885)."""
+        if canonize and direction == "R":
+            self._right_canonize_all()
+        if direction == "R":
+            return self._sweep_right(max_bond, cutoff, verbosity)
+        elif direction == "L":
+            return self._sweep_left(max_bond, cutoff, verbosity)
+        raise ValueError(f"bad direction {direction}")
+
+    def solve(
+        self, tol=1e-4, bond_dims=None, cutoffs=None, sweep_sequence=None,
+        max_sweeps=10, verbosity=0, suppress_warnings=True,
+    ):
+        """Sweep to convergence (reference ``DMRG.solve`` dmrg.py:1033).
+        Returns whether converged."""
+        if bond_dims is not None:
+            self._set_bond_dim_seq(bond_dims)
+        if cutoffs is not None:
+            self._set_cutoff_seq(cutoffs)
+        if sweep_sequence is None:
+            sweep_sequence = self.opts["default_sweep_sequence"]
+
+        RLs = itertools.cycle(sweep_sequence)
+        previous_LR = "0"
+
+        for s in range(max_sweeps):
+            LR = next(RLs)
+            max_bond = next(self._bond_dims)
+            cutoff = next(self._cutoffs)
+            # canonize if starting a fresh right sweep after right sweep
+            canonize = not (LR + previous_LR in {"RL", "LR"})
+            en = self.sweep(
+                LR, max_bond=max_bond, cutoff=cutoff, canonize=canonize,
+                verbosity=verbosity,
+            )
+            self.energies.append(en)
+            if verbosity:
+                print(
+                    f"sweep {s + 1} ({LR}): max_bond={max_bond}, "
+                    f"energy={en}"
+                )
+            previous_LR = LR
+            if len(self.energies) > 1:
+                if abs(self.energies[-2] - self.energies[-1]) < tol:
+                    return True
+        return False
+
+
+class DMRG1(DMRG):
+    """Single-site DMRG (reference dmrg.py:1147)."""
+
+    def __init__(self, ham, which="SA", bond_dims=None, cutoffs=1e-8,
+                 p0=None):
+        super().__init__(
+            ham, bond_dims=bond_dims if bond_dims is not None else 8,
+            cutoffs=cutoffs, bsz=1, which=which, p0=p0,
+        )
+
+
+class DMRG2(DMRG):
+    """Two-site DMRG (reference dmrg.py:1166)."""
+
+    def __init__(self, ham, which="SA", bond_dims=None, cutoffs=1e-8,
+                 p0=None):
+        super().__init__(
+            ham, bond_dims=bond_dims if bond_dims is not None else 8,
+            cutoffs=cutoffs, bsz=2, which=which, p0=p0,
+        )
+
+
+class DMRGX(DMRG):
+    """DMRG-X: target the eigenstate with maximum overlap with the
+    initial (product) state — for MBL interior eigenstates
+    (reference ``DMRGX`` dmrg.py:1190). Uses dense local eigensolves +
+    overlap tracking."""
+
+    def __init__(self, ham, p0, bond_dims, cutoffs=1e-8, bsz=2):
+        super().__init__(ham, bond_dims=bond_dims, cutoffs=cutoffs,
+                         bsz=bsz, p0=p0)
+
+    def _local_solve_dense_overlap(self, lenv, Ws, renv, theta0):
+        """Dense local eigensolve; pick eigenvector with max overlap
+        with current theta (the DMRG-X selection rule)."""
+        shape = theta0.shape
+        if len(Ws) == 2:
+            mv = lambda th: _heff_matvec_2site(lenv, Ws[0], Ws[1], renv,
+                                               th)
+        else:
+            mv = lambda th: _heff_matvec_1site(lenv, Ws[0], renv, th)
+        n = int(np.prod(shape))
+        # build dense matrix column by column (small local dims only)
+        eye = jnp.eye(n, dtype=theta0.dtype)
+        cols = jax.vmap(
+            lambda e: jnp.reshape(mv(jnp.reshape(e, shape)), (n,))
+        )(eye)
+        H = jnp.transpose(cols)
+        w, V = jnp.linalg.eigh(H)
+        overlaps = jnp.abs(
+            jnp.conj(V.T) @ jnp.reshape(theta0, (n,))
+        ) ** 2
+        best = jnp.argmax(overlaps)
+        return w[best], jnp.reshape(V[:, best], shape)
+
+    def _sweep_right(self, max_bond, cutoff, verbosity=0):
+        renv = self._build_right_envs()
+        dtype = self._A[0].dtype
+        lenv = jnp.ones((1, 1, 1), dtype=dtype)
+        energies = []
+        for i in range(self.L - self.bsz + 1):
+            if self.bsz == 2:
+                A1, A2 = self._A[i], self._A[i + 1]
+                theta0 = jnp.einsum("kpc,cqr->kpqr", A1, A2)
+                en, theta = self._local_solve_dense_overlap(
+                    lenv, (self._W[i], self._W[i + 1]), renv[i + 2],
+                    theta0,
+                )
+                N1, N2, _ = _split_2site(
+                    theta, max_bond=max_bond, cutoff=cutoff,
+                    absorb="right",
+                )
+                self._A[i], self._A[i + 1] = N1, N2
+                lenv = _env_step_right(lenv, jnp.conj(N1), self._W[i], N1)
+            else:
+                A1 = self._A[i]
+                en, theta = self._local_solve_dense_overlap(
+                    lenv, (self._W[i],), renv[i + 1], A1
+                )
+                if i < self.L - 1:
+                    l, p, r = theta.shape
+                    Q, _, Rf = decomp.qr_stabilized(
+                        jnp.reshape(theta, (l * p, r))
+                    )
+                    self._A[i] = jnp.reshape(Q, (l, p, Q.shape[-1]))
+                    self._A[i + 1] = jnp.einsum(
+                        "ck,kpr->cpr", Rf, self._A[i + 1]
+                    )
+                else:
+                    self._A[i] = theta
+                lenv = _env_step_right(
+                    lenv, jnp.conj(self._A[i]), self._W[i], self._A[i]
+                )
+            energies.append(en)
+        self.local_energies.append(energies)
+        return float(energies[-1])
+
+    def _sweep_left(self, max_bond, cutoff, verbosity=0):
+        # simple strategy: right-canonize then sweep right again
+        self._right_canonize_all()
+        return self._sweep_right(max_bond, cutoff, verbosity)

@@ -13,6 +13,8 @@ import os
 
 # must be set before jax initializes its backends
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# tests run on CPU: full float64/complex128 reference semantics
+os.environ["QUIMB_TPU_X64"] = "1"
 
 import jax  # noqa: E402
 

@@ -1,0 +1,231 @@
+"""Core Tensor / TensorNetwork behavior tests (subset of reference
+tests/test_tensor/test_tensor_core.py strategy)."""
+
+import numpy as np
+import pytest
+
+import quimb_tpu.tensor as qtn
+from quimb_tpu.tensor.core import Tensor, TensorNetwork
+
+
+def rt(shape, inds, tags=None, seed=0):
+    rng = np.random.default_rng(seed)
+    return Tensor(rng.standard_normal(shape), inds=inds, tags=tags)
+
+
+class TestTensor:
+    def test_construct_and_props(self):
+        t = rt((2, 3, 4), "abc", tags="T")
+        assert t.shape == (2, 3, 4)
+        assert t.inds == ("a", "b", "c")
+        assert "T" in t.tags
+        assert t.ind_size("b") == 3
+        assert t.size == 24
+
+    def test_transpose(self):
+        t = rt((2, 3, 4), "abc")
+        t2 = t.transpose("c", "a", "b")
+        assert t2.shape == (4, 2, 3)
+        assert np.allclose(
+            np.asarray(t2.data), np.transpose(np.asarray(t.data), (2, 0, 1))
+        )
+        with pytest.raises(ValueError):
+            t.transpose("a", "b")
+
+    def test_contract_matmul(self):
+        a = rt((3, 4), ("i", "j"), seed=1)
+        b = rt((4, 5), ("j", "k"), seed=2)
+        c = a @ b
+        assert c.inds == ("i", "k")
+        assert np.allclose(c.data, np.asarray(a.data) @ np.asarray(b.data))
+
+    def test_fuse_unfuse_roundtrip(self):
+        t = rt((2, 3, 4, 5), "abcd")
+        f = t.fuse({"x": ("b", "c")})
+        assert f.inds == ("x", "a", "d")
+        assert f.shape == (12, 2, 5)
+        u = f.unfuse({"x": ("b", "c")}, {"x": (3, 4)})
+        assert set(u.inds) == set("abcd")
+        assert np.allclose(
+            u.transpose("a", "b", "c", "d").data, t.data
+        )
+
+    def test_arith(self):
+        a = rt((3, 4), ("i", "j"), seed=1)
+        b = rt((4, 3), ("j", "i"), seed=2)
+        c = a + b
+        assert np.allclose(
+            c.data,
+            np.asarray(a.data) + np.asarray(b.data).T,
+        )
+        d = 2 * a - a
+        assert np.allclose(d.data, a.data)
+
+    def test_split_modes(self):
+        t = rt((4, 5, 6), "abc", seed=3)
+        tn = t.split(left_inds=("a",))
+        assert isinstance(tn, TensorNetwork)
+        assert tn.num_tensors == 2
+        assert np.allclose(
+            tn.contract(output_inds=("a", "b", "c")).data, t.data,
+            atol=1e-10,
+        )
+        l, s, r = t.split(left_inds=("a", "c"), absorb=None,
+                          get="tensors")
+        assert s.inds[0] in l.inds and s.inds[0] in r.inds
+
+    def test_isometrize(self):
+        t = rt((6, 2, 3), "abc", seed=4)
+        ti = t.isometrize(left_inds=("a",), method="qr")
+        m = np.asarray(ti.transpose("a", "b", "c").data).reshape(6, 6)
+        assert np.allclose(m.conj().T @ m, np.eye(6), atol=1e-10)
+
+    def test_trace(self):
+        t = rt((3, 3, 4), "aab".replace("a", "a", 1), seed=5)
+        t = Tensor(np.asarray(t.data), inds=("a", "b", "c"))
+        tr = t.trace("a", "b")
+        assert tr.inds == ("c",)
+        assert np.allclose(
+            tr.data, np.trace(np.asarray(t.data), axis1=0, axis2=1)
+        )
+
+
+class TestTensorNetwork:
+    def test_maps(self):
+        a = rt((2, 3), ("i", "j"), tags="A", seed=1)
+        b = rt((3, 4), ("j", "k"), tags="B", seed=2)
+        c = rt((4, 2), ("k", "i"), tags=("C", "odd"), seed=3)
+        tn = TensorNetwork([a, b, c])
+        assert tn.num_tensors == 3
+        assert set(tn.outer_inds()) == set()
+        assert set(tn.inner_inds()) == {"i", "j", "k"}
+        assert tn.ind_size("j") == 3
+        t = tn["A"]
+        assert t.tags == {"A"} or "A" in t.tags
+
+    def test_contract_ring(self):
+        ts = []
+        rng = np.random.default_rng(0)
+        arrays = [rng.standard_normal((3, 3)) for _ in range(4)]
+        inds = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+        tn = TensorNetwork(
+            [Tensor(x, i) for x, i in zip(arrays, inds)]
+        )
+        expected = np.einsum("ab,bc,cd,da->", *arrays)
+        assert np.allclose(tn.contract(...), expected)
+        assert np.allclose(tn ^ ..., expected)
+
+    def test_select_and_partition(self):
+        a = rt((2, 3), ("i", "j"), tags=("A", "x"), seed=1)
+        b = rt((3, 4), ("j", "k"), tags=("B", "x"), seed=2)
+        c = rt((4, 2), ("k", "i"), tags="C", seed=3)
+        tn = TensorNetwork([a, b, c])
+        sub = tn.select("x", which="any")
+        assert sub.num_tensors == 2
+        rest, tagged = tn.partition("x")
+        assert rest.num_tensors == 1
+        assert tagged.num_tensors == 2
+
+    def test_virtual_views_propagate(self):
+        a = rt((2, 3), ("i", "j"), tags="A", seed=1)
+        b = rt((3, 2), ("j", "i"), tags="B", seed=2)
+        tn = TensorNetwork([a, b], virtual=True)
+        before = float(tn.contract(...))
+        # modify a's data in place: the TN sees it
+        a.modify(apply=lambda d: 2 * d)
+        after = float(tn.contract(...))
+        assert np.allclose(after, 2 * before)
+
+    def test_reindex_retag(self):
+        a = rt((2, 3), ("i", "j"), tags="A", seed=1)
+        tn = TensorNetwork([a])
+        tn2 = tn.reindex({"i": "x"})
+        assert "x" in tn2.ind_map and "i" not in tn2.ind_map
+        # original untouched
+        assert "i" in tn.ind_map
+        tn3 = tn.retag({"A": "Z"})
+        assert "Z" in tn3.tag_map
+
+    def test_compress_between(self):
+        rng = np.random.default_rng(1)
+        # low-rank pair: compression should be lossless at rank
+        x = rng.standard_normal((8, 3))
+        y = rng.standard_normal((3, 8))
+        big = x @ y
+        u, s, vh = np.linalg.svd(big)
+        a = Tensor(u[:, :8] * s[:8] ** 0.5, ("i", "b"), tags="A")
+        b = Tensor((vh[:8, :].T * s[:8] ** 0.5).T, ("b", "j"), tags="B")
+        tn = TensorNetwork([a, b], virtual=True)
+        before = np.asarray(tn.contract(output_inds=("i", "j")).data)
+        tn.compress_between("A", "B", max_bond=3)
+        assert tn["A"].ind_size(
+            next(iter(qtn.bonds(tn["A"], tn["B"])))
+        ) == 3
+        after = np.asarray(tn.contract(output_inds=("i", "j")).data)
+        assert np.allclose(before, after, atol=1e-10)
+
+    def test_canonize_between(self):
+        a = rt((4, 6), ("i", "b"), tags="A", seed=3)
+        b = rt((6, 4), ("b", "j"), tags="B", seed=4)
+        tn = TensorNetwork([a, b], virtual=True)
+        before = np.asarray(tn.contract(output_inds=("i", "j")).data)
+        tn.canonize_between("A", "B")
+        # A should now be isometric
+        ta = tn["A"]
+        m = np.asarray(ta.transpose("i", *[
+            ix for ix in ta.inds if ix != "i"
+        ]).data)
+        assert np.allclose(m.conj().T @ m, np.eye(m.shape[1]), atol=1e-10)
+        after = np.asarray(tn.contract(output_inds=("i", "j")).data)
+        assert np.allclose(before, after, atol=1e-10)
+
+    def test_equalize_norms_exponent(self):
+        a = rt((2, 3), ("i", "j"), seed=1)
+        b = rt((3, 2), ("j", "k"), seed=2)
+        tn = TensorNetwork([a, b])
+        val0 = np.asarray(tn.contract(output_inds=("i", "k")).data)
+        tn.equalize_norms_()
+        assert tn.exponent != 0.0
+        tn.distribute_exponent()
+        val1 = np.asarray(tn.contract(output_inds=("i", "k")).data)
+        assert np.allclose(val0, val1, atol=1e-10)
+
+    def test_pickle_roundtrip(self):
+        import pickle
+
+        a = rt((2, 3), ("i", "j"), tags="A", seed=1)
+        b = rt((3, 2), ("j", "k"), tags="B", seed=2)
+        tn = TensorNetwork([a, b])
+        s = pickle.dumps(tn)
+        tn2 = pickle.loads(s)
+        assert tn2.num_tensors == 2
+        assert np.allclose(
+            np.asarray(tn.contract(output_inds=("i", "k")).data),
+            np.asarray(tn2.contract(output_inds=("i", "k")).data),
+        )
+
+    def test_isel_cut_iter(self):
+        a = rt((2, 3), ("i", "j"), seed=1)
+        b = rt((3, 2), ("j", "k"), seed=2)
+        tn = TensorNetwork([a, b])
+        full = np.asarray(tn.contract(output_inds=("i", "k")).data)
+        # summing sliced contractions over j reproduces the full one
+        total = 0
+        for tn_s in tn.cut_iter("j"):
+            total = total + np.asarray(
+                tn_s.contract(output_inds=("i", "k")).data
+            )
+        assert np.allclose(total, full, atol=1e-10)
+
+    def test_geometry_hash(self):
+        a = rt((2, 3), ("i", "j"), seed=1)
+        b = rt((3, 2), ("j", "k"), seed=2)
+        tn1 = TensorNetwork([a, b])
+        tn2 = TensorNetwork([
+            rt((2, 3), ("x", "y"), seed=5), rt((3, 2), ("y", "z"), seed=6)
+        ])
+        assert tn1.geometry_hash() == tn2.geometry_hash()
+        tn3 = TensorNetwork([
+            rt((2, 4), ("x", "y"), seed=5), rt((4, 2), ("y", "z"), seed=6)
+        ])
+        assert tn1.geometry_hash() != tn3.geometry_hash()

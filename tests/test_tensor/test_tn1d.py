@@ -1,0 +1,289 @@
+"""1D stack tests: MPS/MPO, DMRG, TEBD — validated against exact
+diagonalization / dense evolution (the reference's test strategy,
+SURVEY §4)."""
+
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+import quimb_tpu.tensor as qtn
+from quimb_tpu.gen.operators import ham_heis
+
+
+class TestMPS:
+    def test_rand_state_norm_and_bond(self):
+        psi = qtn.MPS_rand_state(10, 7, seed=42)
+        assert abs(float(psi.norm()) - 1.0) < 1e-12
+        assert psi.max_bond() == 7
+        assert psi.L == 10
+        assert psi.phys_dim() == 2
+
+    def test_to_dense_from_dense_roundtrip(self):
+        psi = qtn.MPS_rand_state(6, 8, seed=0)
+        d = psi.to_dense()
+        assert d.shape == (64, 1)
+        psi2 = qtn.MatrixProductState.from_dense(d, dims=2)
+        d2 = psi2.to_dense()
+        assert np.allclose(np.asarray(d), np.asarray(d2), atol=1e-10)
+
+    def test_computational_and_amplitude(self):
+        psi = qtn.MPS_computational_state("0110")
+        d = np.asarray(psi.to_dense()).reshape(-1)
+        assert abs(d[0b0110] - 1.0) < 1e-12
+        assert abs(complex(psi.amplitude((0, 1, 1, 0))) - 1.0) < 1e-12
+        assert abs(complex(psi.amplitude((0, 0, 0, 0)))) < 1e-12
+
+    def test_canonize_preserves_state(self):
+        psi = qtn.MPS_rand_state(8, 6, seed=1)
+        d0 = np.asarray(psi.to_dense())
+        psi.canonize(4)
+        assert np.allclose(d0, np.asarray(psi.to_dense()), atol=1e-10)
+        assert psi._site_is_left_canonical(2)
+        assert psi._site_is_right_canonical(6)
+
+    def test_entropy_bell_pairs(self):
+        # GHZ state: entropy across any cut = 1 bit
+        psi = qtn.MPS_ghz_state(6)
+        assert abs(psi.entropy(3) - 1.0) < 1e-10
+
+    def test_w_state(self):
+        psi = qtn.MPS_w_state(5)
+        d = np.asarray(psi.to_dense()).reshape(-1)
+        expected = np.zeros(32)
+        for i in range(5):
+            expected[2 ** (4 - i)] = 1 / np.sqrt(5)
+        # indices: site 0 is most significant
+        assert np.allclose(np.sort(np.abs(d)), np.sort(expected))
+        assert abs(np.linalg.norm(d) - 1) < 1e-12
+
+    def test_gate_contract_dense_match(self):
+        from quimb_tpu.gen.operators import pauli
+
+        psi = qtn.MPS_rand_state(5, 4, seed=2, dtype="complex128")
+        X = pauli("X")
+        psi2 = psi.gate(X, 2, contract=True)
+        from quimb_tpu.core import ikron
+
+        expected = ikron(X, (2,) * 5, 2) @ psi.to_dense()
+        assert np.allclose(
+            np.asarray(psi2.to_dense()), np.asarray(expected), atol=1e-10
+        )
+
+    def test_gate_with_auto_swap(self):
+        from quimb_tpu.gen.operators import CNOT
+
+        psi = qtn.MPS_rand_state(5, 8, seed=3, dtype="complex128")
+        G = CNOT()
+        psi2 = psi.gate_with_auto_swap(G, (1, 3))
+        from quimb_tpu.core import pkron
+
+        expected = pkron(np.asarray(G), (2,) * 5, (1, 3)) @ psi.to_dense()
+        assert np.allclose(
+            np.asarray(psi2.to_dense()), np.asarray(expected), atol=1e-8
+        )
+
+    def test_sampling_matches_probabilities(self):
+        psi = qtn.MPS_rand_state(4, 4, seed=4)
+        d = np.asarray(psi.to_dense()).reshape(-1)
+        probs = np.abs(d) ** 2
+        for config, omega in psi.sample(10, seed=7):
+            i = int("".join(map(str, config)), 2)
+            assert abs(probs[i] - omega) < 1e-10
+
+    def test_measure(self):
+        psi = qtn.MPS_computational_state("0101")
+        outcome, psi_after = psi.measure(1)
+        assert outcome == 1
+        outcome, _ = psi.measure(0)
+        assert outcome == 0
+
+    def test_expand_bond_dimension(self):
+        psi = qtn.MPS_rand_state(6, 4, seed=5)
+        d0 = np.asarray(psi.to_dense())
+        psi.expand_bond_dimension(9)
+        assert psi.max_bond() == 9
+        assert np.allclose(d0, np.asarray(psi.to_dense()), atol=1e-10)
+
+    def test_schmidt_values_sum_to_one(self):
+        psi = qtn.MPS_rand_state(8, 8, seed=6)
+        s2 = np.asarray(psi.schmidt_values(4))
+        assert abs(s2.sum() - 1.0) < 1e-10
+
+
+class TestMPO:
+    def test_identity(self):
+        I = qtn.MPO_identity(5)
+        assert np.allclose(
+            np.asarray(I.to_dense()), np.eye(32), atol=1e-12
+        )
+
+    def test_ham_heis_matches_dense(self):
+        H = qtn.MPO_ham_heis(7)
+        Hd = ham_heis(7)
+        assert np.allclose(
+            np.asarray(H.to_dense()), np.asarray(Hd), atol=1e-10
+        )
+
+    def test_ham_ising_matches_dense(self):
+        from quimb_tpu.gen.operators import ham_ising
+
+        H = qtn.MPO_ham_ising(6, j=4.0, bx=2.0)
+        Hd = ham_ising(6, jz=1.0, bx=1.0)
+        assert np.allclose(
+            np.asarray(H.to_dense()), np.asarray(Hd), atol=1e-10
+        )
+
+    def test_apply_mps_matches_dense(self):
+        H = qtn.MPO_ham_heis(6)
+        psi = qtn.MPS_rand_state(6, 8, seed=1)
+        Hpsi = H.apply(psi)
+        expected = np.asarray(H.to_dense()) @ np.asarray(psi.to_dense())
+        assert np.allclose(
+            np.asarray(Hpsi.to_dense()), expected, atol=1e-10
+        )
+
+    def test_apply_mpo(self):
+        A = qtn.MPO_rand(5, 4, seed=1)
+        B = qtn.MPO_rand(5, 3, seed=2)
+        AB = A.apply(B)
+        assert np.allclose(
+            np.asarray(AB.to_dense()),
+            np.asarray(A.to_dense()) @ np.asarray(B.to_dense()),
+            atol=1e-10,
+        )
+
+    def test_expec(self):
+        H = qtn.MPO_ham_heis(6)
+        psi = qtn.MPS_rand_state(6, 8, seed=1)
+        e = complex(qtn.expec_TN_1D(psi.H, H.apply(psi))).real
+        v = np.asarray(psi.to_dense())
+        expected = (v.conj().T @ np.asarray(H.to_dense()) @ v)[0, 0].real
+        assert abs(e - expected) < 1e-10
+
+    def test_trace(self):
+        H = qtn.MPO_ham_heis(5)
+        assert abs(complex(H.trace())) < 1e-10  # traceless
+
+    def test_spin_ham_1d_var_terms(self):
+        builder = qtn.SpinHam1D(S=1 / 2)
+        builder += 1.0, "Z", "Z"
+        builder[2] += 0.7, "X"
+        H = builder.build_mpo(5)
+        from quimb_tpu.core import ham_from_terms
+        from quimb_tpu.gen.operators import spin_operator
+
+        Z = np.asarray(spin_operator("Z"))
+        X = np.asarray(spin_operator("X"))
+        terms = [(1.0, (Z, Z), (i, i + 1)) for i in range(4)]
+        terms.append((0.7, (X,), (2,)))
+        Hd = ham_from_terms(terms, (2,) * 5)
+        assert np.allclose(
+            np.asarray(H.to_dense()), np.asarray(Hd), atol=1e-10
+        )
+
+
+class TestDMRG:
+    def test_dmrg2_exact_groundstate(self):
+        L = 10
+        H = qtn.MPO_ham_heis(L)
+        w0 = np.linalg.eigvalsh(np.asarray(ham_heis(L)))[0]
+        dmrg = qtn.DMRG2(H, bond_dims=[8, 16, 32, 32], cutoffs=1e-11)
+        assert dmrg.solve(tol=1e-9, max_sweeps=10)
+        assert abs(dmrg.energy - w0) < 1e-8
+        psi = dmrg.state
+        assert abs(float(psi.norm()) - 1.0) < 1e-8
+
+    def test_energies_monotone_decrease(self):
+        L = 12
+        H = qtn.MPO_ham_heis(L)
+        dmrg = qtn.DMRG2(H, bond_dims=16, cutoffs=1e-10)
+        dmrg.solve(tol=1e-13, max_sweeps=4)
+        ens = dmrg.energies
+        for e1, e2 in zip(ens, ens[1:]):
+            assert e2 < e1 + 1e-9
+
+    def test_dmrg1(self):
+        L = 8
+        H = qtn.MPO_ham_heis(L)
+        w0 = np.linalg.eigvalsh(np.asarray(ham_heis(L)))[0]
+        # start from a DMRG2-warmed state (1-site can't grow bonds)
+        warm = qtn.DMRG2(H, bond_dims=16, cutoffs=1e-10)
+        warm.solve(tol=1e-6, max_sweeps=3)
+        dmrg1 = qtn.DMRG1(H, bond_dims=16, p0=warm.state)
+        dmrg1.solve(tol=1e-10, max_sweeps=6)
+        assert abs(dmrg1.energy - w0) < 1e-6
+
+    def test_dmrg_state_energy_consistency(self):
+        L = 8
+        H = qtn.MPO_ham_heis(L)
+        dmrg = qtn.DMRG2(H, bond_dims=24, cutoffs=1e-11)
+        dmrg.solve(tol=1e-9, max_sweeps=6)
+        psi = dmrg.state
+        v = np.asarray(psi.to_dense())
+        Hd = np.asarray(ham_heis(L))
+        e_dense = float(
+            np.real(v.conj().T @ Hd @ v / (v.conj().T @ v))
+        )
+        assert abs(e_dense - dmrg.energy) < 1e-8
+
+    def test_dmrgx_mbl_eigenstate(self):
+        # DMRG-X should find an interior eigenstate with high overlap
+        L = 8
+        H = qtn.MPO_ham_mbl(L, dh=8.0, seed=42)
+        p0 = qtn.MPS_computational_state("01101001")
+        dmrgx = qtn.DMRGX(H, p0, bond_dims=16)
+        dmrgx.solve(tol=1e-9, max_sweeps=6)
+        # energy variance should be small-ish for an eigenstate
+        en = dmrgx.energy
+        Hd = np.asarray(H.to_dense())
+        w = np.linalg.eigvalsh(Hd)
+        assert np.min(np.abs(w - en)) < 1e-3
+
+
+class TestTEBD:
+    def test_tebd_vs_exact_evolution(self):
+        L = 8
+        psi0 = qtn.MPS_neel_state(L)
+        tebd = qtn.TEBD(psi0, qtn.ham_1d_heis(L), progbar=False)
+        tebd.update_to(1.0, tol=1e-6)
+        Hd = np.asarray(ham_heis(L))
+        v = sla.expm(-1j * Hd) @ np.asarray(psi0.to_dense()).reshape(-1)
+        vt = np.asarray(tebd.pt.to_dense()).reshape(-1)
+        fid = abs(np.vdot(v, vt))
+        assert abs(1 - fid) < 1e-5
+
+    def test_tebd_entropy_growth(self):
+        L = 10
+        psi0 = qtn.MPS_neel_state(L)
+        tebd = qtn.TEBD(psi0, qtn.ham_1d_heis(L), progbar=False)
+        S = [psi0.entropy(L // 2)]
+        for psi_t in tebd.at_times([0.4, 0.8], tol=1e-5):
+            S.append(psi_t.entropy(L // 2))
+        assert S[0] < 1e-12
+        assert S[1] > 0.1
+        assert S[2] > S[1]
+
+    def test_tebd_err_estimate_accumulates(self):
+        L = 6
+        psi0 = qtn.MPS_rand_state(L, 4, seed=1, dtype="complex128")
+        tebd = qtn.TEBD(
+            psi0, qtn.ham_1d_heis(L), progbar=False,
+            split_opts={"cutoff": 1e-6, "max_bond": 4},
+        )
+        tebd.update_to(2.0, dt=0.1)
+        assert tebd.err > 0
+
+    def test_tebd_ising_quench_magnetization(self):
+        from quimb_tpu.gen.operators import ham_ising
+
+        L = 6
+        psi0 = qtn.MPS_computational_state("0" * L)
+        tebd = qtn.TEBD(psi0, qtn.ham_1d_ising(L, j=4.0, bx=2.0),
+                        progbar=False)
+        tebd.update_to(0.5, tol=1e-6)
+        Hd = np.asarray(ham_ising(L, jz=1.0, bx=1.0))
+        v = sla.expm(-0.5j * Hd) @ np.asarray(
+            psi0.to_dense()
+        ).reshape(-1)
+        vt = np.asarray(tebd.pt.to_dense()).reshape(-1)
+        assert abs(1 - abs(np.vdot(v, vt))) < 1e-5
