@@ -57,3 +57,25 @@ __all__ = [
     "tensor_linop_backend",
     *_tn1d_all,
 ]
+
+from .circuit import (
+    Circuit,
+    CircuitDense,
+    CircuitMPS,
+    CircuitPermMPS,
+    Gate,
+)
+from .circuit_gen import (
+    circ_a2a_rand,
+    circ_ansatz_1D_brickwork,
+    circ_ansatz_1D_rand,
+    circ_ansatz_1D_zigzag,
+    circ_qaoa,
+    circ_rand_supremacy_like,
+)
+
+__all__ += [
+    "Circuit", "CircuitDense", "CircuitMPS", "CircuitPermMPS", "Gate",
+    "circ_a2a_rand", "circ_ansatz_1D_brickwork", "circ_ansatz_1D_rand",
+    "circ_ansatz_1D_zigzag", "circ_qaoa", "circ_rand_supremacy_like",
+]
