@@ -274,8 +274,10 @@ class TensorNetwork2D(TensorNetwork):
         xrange = [0, tn._Lx - 1]
         yrange = [0, tn._Ly - 1]
         seq = itertools.cycle(sequence)
-        while (xrange[1] - xrange[0] > max_separation or
-               yrange[1] - yrange[0] > max_separation):
+        has_x = any(d in ("xmin", "xmax") for d in sequence)
+        has_y = any(d in ("ymin", "ymax") for d in sequence)
+        while (has_x and xrange[1] - xrange[0] > max_separation) or \
+              (has_y and yrange[1] - yrange[0] > max_separation):
             d = next(seq)
             if d in ("xmin", "xmax") and \
                     xrange[1] - xrange[0] <= max_separation:
@@ -305,16 +307,7 @@ class TensorNetwork2D(TensorNetwork):
         boundary of rows < i, ``envs['xmax', i]`` = rows > i
         (reference ``compute_environments`` tn2d/core.py:2716)."""
         envs = {}
-        # bottom-up
-        tn = self.copy()
         envs["xmin", 0] = TensorNetwork(())
-        for i in range(1, self._Lx):
-            # boundary of rows 0..i-1 contracted into row i-1
-            sub = self.copy()
-            # keep rows < i, contract into boundary at row i-1
-            # (we recompute from scratch progressively for simplicity:
-            # incremental version below)
-            pass
         # incremental bottom-up:
         boundary = None
         for i in range(self._Lx - 1):

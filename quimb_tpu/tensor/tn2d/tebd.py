@@ -1,0 +1,356 @@
+"""2D imaginary/real time evolution: LocalHam2D, TEBD2D, SimpleUpdate,
+FullUpdate.
+
+Re-design of reference ``quimb/tensor/tn2d/tebd.py`` (``LocalHam2D``
+:29, ``TEBD2D`` :383 with boundary energy :332, ``SimpleUpdate`` :544
+with gauge dict + conditioner :534, ``FullUpdate`` :968).
+
+SimpleUpdate is the 16x16 PEPS driver config: each gate application is
+(gauge-absorb → reduce-split gate → gauge-extract), all S0 kernels; the
+gauges are simple per-bond singular-value vectors (Vidal form)."""
+
+import functools
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils import check_opt, oset
+from ..core import Tensor, bonds, rand_uuid, tensor_contract
+from .core import PEPS, gen_2d_bonds
+
+
+@jax.jit
+def _expm_herm(H, factor):
+    w, V = jnp.linalg.eigh(H)
+    phases = jnp.exp(factor * w)
+    dt = jnp.result_type(V.dtype, phases.dtype)
+    return (V.astype(dt) * phases.astype(dt)) @ jnp.conj(V.T).astype(dt)
+
+
+class LocalHam2D:
+    """Sum of local 2-site (and 1-site) terms on a 2D lattice
+    (reference ``LocalHam2D`` tn2d/tebd.py:29)."""
+
+    def __init__(self, Lx, Ly, H2, H1=None):
+        self.Lx = Lx
+        self.Ly = Ly
+        if hasattr(H2, "shape"):
+            H2 = {None: H2}
+        H2 = dict(H2 or {})
+        default2 = H2.get(None)
+        self.terms = {}
+        for pair in gen_2d_bonds(Lx, Ly):
+            h = H2.get(pair, H2.get((pair[1], pair[0]), default2))
+            if h is not None:
+                self.terms[pair] = jnp.asarray(h)
+
+        # absorb single-site terms into neighbouring bonds
+        if H1 is not None:
+            if hasattr(H1, "shape"):
+                H1 = {None: H1}
+            H1 = dict(H1)
+            default1 = H1.get(None)
+            # count bonds per site
+            nbonds = {}
+            for (a, b) in self.terms:
+                nbonds[a] = nbonds.get(a, 0) + 1
+                nbonds[b] = nbonds.get(b, 0) + 1
+            for coo in itertools.product(range(Lx), range(Ly)):
+                h1 = H1.get(coo, default1)
+                if h1 is None:
+                    continue
+                h1 = np.asarray(h1)
+                d = h1.shape[0]
+                I = np.eye(d)
+                share = 1.0 / nbonds.get(coo, 1)
+                for (a, b) in self.terms:
+                    if a == coo:
+                        self.terms[(a, b)] = self.terms[(a, b)] + \
+                            share * jnp.asarray(np.kron(h1, I))
+                    elif b == coo:
+                        self.terms[(a, b)] = self.terms[(a, b)] + \
+                            share * jnp.asarray(np.kron(I, h1))
+        self._gate_cache = {}
+
+    def get_term(self, where):
+        try:
+            return self.terms[tuple(where)]
+        except KeyError:
+            return self.terms[(where[1], where[0])]
+
+    def get_gate_expm(self, where, x):
+        key = (tuple(where), complex(x))
+        try:
+            return self._gate_cache[key]
+        except KeyError:
+            U = _expm_herm(self.get_term(where), jnp.asarray(complex(x)))
+            self._gate_cache[key] = U
+            return U
+
+    def __repr__(self):
+        return f"<LocalHam2D(Lx={self.Lx}, Ly={self.Ly})>"
+
+
+def ham_2d_heis(Lx, Ly, j=1.0, bz=0.0, **kwargs):
+    """2D Heisenberg LocalHam2D (spin operators)."""
+    from ...gen.operators import _spin_op_np
+
+    try:
+        jx, jy, jz = j
+    except TypeError:
+        jx = jy = jz = j
+    S = {s: _spin_op_np(s, 0.5) for s in "xyz"}
+    H2 = sum(
+        jj * np.kron(S[s], S[s])
+        for s, jj in zip("xyz", (jx, jy, jz)) if jj
+    )
+    H1 = (-bz) * S["z"] if bz else None
+    return LocalHam2D(Lx, Ly, jnp.asarray(H2.real if
+                                          np.allclose(H2.imag, 0)
+                                          else H2),
+                      None if H1 is None else jnp.asarray(H1))
+
+
+def ham_2d_ising(Lx, Ly, j=1.0, bx=0.0, **kwargs):
+    from ...gen.operators import _spin_op_np
+
+    S = {s: _spin_op_np(s, 0.5) for s in "xz"}
+    H2 = 4 * j * np.kron(S["z"], S["z"]).real
+    H1 = (-2 * bx) * S["x"].real if bx else None
+    return LocalHam2D(Lx, Ly, jnp.asarray(H2),
+                      None if H1 is None else jnp.asarray(H1))
+
+
+def ham_2d_j1j2(Lx, Ly, j1=1.0, j2=0.5, bz=0.0, **kwargs):
+    from ...gen.operators import _spin_op_np
+
+    S = {s: _spin_op_np(s, 0.5) for s in "xyz"}
+    h = sum(np.kron(S[s], S[s]) for s in "xyz").real
+    H2 = {}
+    for pair in gen_2d_bonds(Lx, Ly):
+        H2[pair] = j1 * h
+    diag_steppers = [
+        lambda i, j: (i + 1, j + 1), lambda i, j: (i + 1, j - 1),
+    ]
+    for pair in gen_2d_bonds(Lx, Ly, steppers=diag_steppers):
+        H2[pair] = j2 * h
+    ham = LocalHam2D.__new__(LocalHam2D)
+    ham.Lx, ham.Ly = Lx, Ly
+    ham.terms = {k: jnp.asarray(v) for k, v in H2.items()}
+    ham._gate_cache = {}
+    return ham
+
+
+class TEBD2D:
+    """Gate-based 2D evolution base (reference ``TEBD2D``
+    tn2d/tebd.py:383)."""
+
+    def __init__(self, psi0, ham, tau=0.01, D=None, chi=None,
+                 gate_opts=None, ordering=None, compute_energy_every=None,
+                 compute_energy_final=True, callback=None, progbar=False,
+                 **kwargs):
+        self.state = psi0.copy()
+        self.ham = ham
+        self.tau = tau
+        self._D = D if D is not None else (psi0.max_bond() or 2)
+        self._chi = chi if chi is not None else max(8, 2 * self._D**2)
+        self.gate_opts = dict(gate_opts or {})
+        self.gate_opts.setdefault("cutoff", 1e-10)
+        self.gate_opts.setdefault("max_bond", self._D)
+        self.ordering = ordering
+        self.compute_energy_every = compute_energy_every
+        self.compute_energy_final = compute_energy_final
+        self.callback = callback
+        self.progbar = progbar
+        self.n = 0
+        self.its = []
+        self.taus = []
+        self.energies = []
+
+    @property
+    def D(self):
+        return self._D
+
+    @property
+    def chi(self):
+        return self._chi
+
+    def get_ordering(self):
+        if self.ordering is not None:
+            return self.ordering
+        return sorted(self.ham.terms)
+
+    def gate(self, U, where):
+        """Apply a 2-site gate (overridden by SimpleUpdate)."""
+        self.state.gate_(
+            U, where, contract="reduce-split", **self.gate_opts
+        )
+
+    def sweep(self, tau):
+        for where in self.get_ordering():
+            U = self.ham.get_gate_expm(where, -tau)
+            self.gate(U, where)
+
+    def compute_energy(self):
+        return float(np.real(self.state.compute_local_expectation(
+            self.ham.terms, max_bond=self._chi, normalized=True,
+        )))
+
+    @property
+    def energy(self):
+        if not self.energies:
+            self.energies.append(self.compute_energy())
+        return self.energies[-1]
+
+    def evolve(self, steps, tau=None, progbar=None):
+        if tau is not None:
+            self.tau = tau
+        it = range(steps)
+        if progbar if progbar is not None else self.progbar:
+            from ...utils import progbar as _pb
+
+            it = _pb(it)
+        for _ in it:
+            self.sweep(self.tau)
+            self.n += 1
+            self.its.append(self.n)
+            self.taus.append(self.tau)
+            if self.compute_energy_every and \
+                    self.n % self.compute_energy_every == 0:
+                self.energies.append(self.compute_energy())
+                if self.callback is not None:
+                    self.callback(self)
+        if self.compute_energy_final:
+            self.energies.append(self.compute_energy())
+        return self
+
+
+class SimpleUpdate(TEBD2D):
+    """Simple update with Vidal-style bond gauges (reference
+    ``SimpleUpdate`` tn2d/tebd.py:544)."""
+
+    def __init__(self, psi0, ham, tau=0.01, D=None, chi=None,
+                 gate_opts=None, gauge_smudge=1e-6, condition_tensors=True,
+                 **kwargs):
+        super().__init__(psi0, ham, tau=tau, D=D, chi=chi,
+                         gate_opts=gate_opts, **kwargs)
+        self.gauge_smudge = gauge_smudge
+        self.condition_tensors = condition_tensors
+        # gauges: bond pair -> singular value vector
+        self.gauges = {}
+
+    def _maybe_bond(self, a, b):
+        ta = self.state[self.state.site_tag(*a)]
+        tb = self.state[self.state.site_tag(*b)]
+        bs = list(bonds(ta, tb))
+        return bs[0] if bs else None
+
+    def gate(self, U, where):
+        psi = self.state
+        a, b = where
+        ta = psi[psi.site_tag(*a)]
+        tb = psi[psi.site_tag(*b)]
+
+        # 1. absorb environment gauges on all OTHER bonds of ta, tb
+        absorbed = []
+        for (t, coo) in ((ta, a), (tb, b)):
+            for (pair, s) in self.gauges.items():
+                if coo in pair:
+                    other = pair[0] if pair[1] == coo else pair[1]
+                    if other == (a if coo == b else b):
+                        continue
+                    bix = self._maybe_bond(coo, other)
+                    if bix is not None and bix in t.inds:
+                        t.multiply_index_diagonal_(
+                            bix, s + self.gauge_smudge
+                        )
+                        absorbed.append((coo, bix, s))
+
+        # 2. absorb the central bond gauge symmetrically & gate
+        key = tuple(sorted((a, b)))
+        sc = self.gauges.get(key)
+        bix = self._maybe_bond(a, b)
+        if sc is not None and bix is not None:
+            ta.multiply_index_diagonal_(bix, jnp.sqrt(sc))
+            tb.multiply_index_diagonal_(bix, jnp.sqrt(sc))
+
+        psi.gate_(
+            U, where, contract="reduce-split", **self.gate_opts
+        )
+
+        # 3. extract the new central gauge: canonical split of the bond
+        # we use the singular values of the new bond via a local SVD
+        ta = psi[psi.site_tag(*a)]
+        tb = psi[psi.site_tag(*b)]
+        bix = self._maybe_bond(a, b)
+        if bix is not None:
+            # compute new bond gauge from the two-site reduced pair
+            from ..core import tensor_compress_bond
+
+            out = tensor_compress_bond(
+                ta, tb, absorb=None, max_bond=self.gate_opts.get(
+                    "max_bond"), cutoff=0.0,
+            )
+            if len(out) == 3:
+                _, s, _ = out
+                s = s / jnp.linalg.norm(s)
+                self.gauges[key] = s
+
+        # 4. remove the absorbed environment gauges (re-fetching the
+        # site tensors: gating replaced the tensor objects)
+        for (coo, bix2, s) in absorbed:
+            t = psi[psi.site_tag(*coo)]
+            if bix2 in t.inds:
+                t.multiply_index_diagonal_(
+                    bix2, 1 / (s + self.gauge_smudge)
+                )
+
+        if self.condition_tensors:
+            for t in (psi[psi.site_tag(*a)], psi[psi.site_tag(*b)]):
+                nrm = float(t.norm())
+                if nrm > 0:
+                    t.modify(apply=lambda d, nrm=nrm: d / nrm)
+
+    def get_state(self, absorb_gauges=True):
+        """The PEPS with gauges absorbed symmetrically (reference
+        SimpleUpdate.get_state)."""
+        psi = self.state.copy()
+        if absorb_gauges:
+            for (a, b), s in self.gauges.items():
+                ta = psi[psi.site_tag(*a)]
+                tb = psi[psi.site_tag(*b)]
+                bs = list(bonds(ta, tb))
+                if bs:
+                    ta.multiply_index_diagonal_(bs[0], jnp.sqrt(s))
+                    tb.multiply_index_diagonal_(bs[0], jnp.sqrt(s))
+        return psi
+
+    def compute_energy(self):
+        psi = self.get_state()
+        return float(np.real(psi.compute_local_expectation(
+            self.ham.terms, max_bond=self._chi, normalized=True,
+        )))
+
+
+class FullUpdate(TEBD2D):
+    """Full update: gate with fitting against the full boundary
+    environment (reference ``FullUpdate`` tn2d/tebd.py:968).
+
+    Round-1 implementation applies the gate with reduce-split then
+    re-equilibrates locally; the ALS-environment fitting refinement is
+    tracked for a later round."""
+
+    def gate(self, U, where):
+        self.state.gate_(
+            U, where, contract="reduce-split", **self.gate_opts
+        )
+        # local re-balance of the touched bond
+        from ..core import tensor_balance_bond
+
+        a, b = where
+        ta = self.state[self.state.site_tag(*a)]
+        tb = self.state[self.state.site_tag(*b)]
+        if bonds(ta, tb):
+            tensor_balance_bond(ta, tb)
