@@ -1,0 +1,33 @@
+"""Belief propagation on tensor networks.
+
+Re-design of reference ``quimb/tensor/belief_propagation/`` (taxonomy
+documented at its ``__init__.py:1-80``):
+
+- D1BP (dense, 1-norm): messages on the bonds of a closed TN —
+  estimates the contracted value (partition functions, amplitudes).
+- D2BP (dense, 2-norm): messages on the bonds of a TN *vector* in the
+  sandwiched <psi|psi> network — local expectations, compression and
+  gauging of PEPS-like states.
+- HV1BP (hyper, vectorized): 1-norm BP with all same-shape message
+  updates batched into single array ops (the reference notes this is
+  'enormously more efficient' for many small tensors — on TPU the
+  batch dimension vectorizes onto the VPU/MXU natively via vmap).
+"""
+
+from .bp_common import BeliefPropagationCommon, initialize_messages
+from .d1bp import D1BP, contract_d1bp
+from .d2bp import D2BP, compress_d2bp, contract_d2bp, gauge_d2bp
+from .hv1bp import HV1BP, contract_hv1bp
+
+__all__ = [
+    "BeliefPropagationCommon",
+    "initialize_messages",
+    "D1BP",
+    "contract_d1bp",
+    "D2BP",
+    "compress_d2bp",
+    "contract_d2bp",
+    "gauge_d2bp",
+    "HV1BP",
+    "contract_hv1bp",
+]

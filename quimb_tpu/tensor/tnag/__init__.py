@@ -1,0 +1,34 @@
+"""Arbitrary-geometry tensor networks: TEBDGen / SimpleUpdateGen etc."""
+
+from .core import (
+    TensorNetworkGen,
+    TensorNetworkGenOperator,
+    TensorNetworkGenVector,
+    edge_coloring,
+)
+from .builders import (
+    HTN_classical_partition_function_from_edges,
+    TN_classical_partition_function_from_edges,
+    TN_from_edges_and_fill_fn,
+    TN_from_edges_empty,
+    TN_from_edges_rand,
+    TN_rand_reg,
+)
+from .tebd import LocalHamGen, SimpleUpdateGen, TEBDGen, ham_gen_heis
+
+__all__ = [
+    "TensorNetworkGen",
+    "TensorNetworkGenOperator",
+    "TensorNetworkGenVector",
+    "edge_coloring",
+    "HTN_classical_partition_function_from_edges",
+    "TN_classical_partition_function_from_edges",
+    "TN_from_edges_and_fill_fn",
+    "TN_from_edges_empty",
+    "TN_from_edges_rand",
+    "TN_rand_reg",
+    "LocalHamGen",
+    "SimpleUpdateGen",
+    "TEBDGen",
+    "ham_gen_heis",
+]

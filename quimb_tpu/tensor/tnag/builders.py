@@ -1,0 +1,174 @@
+"""Arbitrary-geometry TN builders (the general slice of reference
+``tensor_builder.py``: ``TN_from_edges_*``, classical partition
+functions, random regular graphs)."""
+
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import get_default_dtype
+from ...gen.rand import randn
+from ...utils import oset
+from ..core import COPY_tensor, Tensor, TensorNetwork, rand_uuid
+from .core import TensorNetworkGen, TensorNetworkGenVector
+
+
+def TN_from_edges_and_fill_fn(
+    fill_fn, edges, D, phys_dim=None, site_tag_id="I{}",
+    site_ind_id="k{}",
+):
+    """Build a TN from a list of edges, one tensor per site with bond
+    dimension ``D`` (reference ``TN_from_edges_and_fill_fn``)."""
+    sites = tuple(sorted(set(itertools.chain.from_iterable(edges))))
+    bond_names = {
+        tuple(sorted(e, key=str)): rand_uuid() for e in map(tuple, edges)
+    }
+    ts = {}
+    for site in sites:
+        inds = []
+        shape = []
+        for e, name in bond_names.items():
+            if site in e:
+                inds.append(name)
+                shape.append(D)
+        if phys_dim is not None:
+            inds.append(site_ind_id.format(site))
+            shape.append(phys_dim)
+        data = fill_fn(tuple(shape))
+        ts[site] = Tensor(data, inds=inds,
+                          tags=oset((site_tag_id.format(site),)))
+    tn = TensorNetwork(
+        [ts[s] for s in sites], virtual=True, check_collisions=False
+    )
+    if phys_dim is not None:
+        tn.view_as_(
+            TensorNetworkGenVector, sites=sites,
+            site_tag_id=site_tag_id, site_ind_id=site_ind_id,
+        )
+    else:
+        tn.view_as_(
+            TensorNetworkGen, sites=sites, site_tag_id=site_tag_id
+        )
+    return tn
+
+
+def TN_from_edges_rand(edges, D, phys_dim=None, seed=None, dtype=None,
+                       site_tag_id="I{}", site_ind_id="k{}",
+                       normalize=False):
+    """Random TN on a graph (reference ``TN_from_edges_rand``)."""
+    dtype = dtype or get_default_dtype()
+    counter = itertools.count()
+
+    def fill_fn(shape):
+        return randn(shape, dtype=dtype,
+                     seed=None if seed is None else seed + next(counter))
+
+    tn = TN_from_edges_and_fill_fn(
+        fill_fn, edges, D, phys_dim=phys_dim, site_tag_id=site_tag_id,
+        site_ind_id=site_ind_id,
+    )
+    if normalize and phys_dim is not None:
+        nrm = float(jnp.linalg.norm(jnp.asarray(tn.to_dense())))
+        tn.multiply_(nrm**-1.0)
+    return tn
+
+
+TN_rand_from_edges = TN_from_edges_rand
+
+
+def TN_from_edges_empty(edges, D, phys_dim=None, dtype=None,
+                        site_tag_id="I{}", site_ind_id="k{}"):
+    dtype = dtype or get_default_dtype()
+
+    def fill_fn(shape):
+        return jnp.zeros(shape, dtype=dtype)
+
+    return TN_from_edges_and_fill_fn(
+        fill_fn, edges, D, phys_dim=phys_dim, site_tag_id=site_tag_id,
+        site_ind_id=site_ind_id,
+    )
+
+
+def TN_rand_reg(n, reg, D, phys_dim=None, seed=None, dtype=None,
+                **kwargs):
+    """Random TN on a random regular graph (reference
+    ``TN_rand_reg``)."""
+    from ..geometry import edges_rand_reg
+
+    edges = edges_rand_reg(n, reg, seed=seed)
+    return TN_from_edges_rand(edges, D, phys_dim=phys_dim, seed=seed,
+                              dtype=dtype, **kwargs)
+
+
+def classical_ising_S_matrix(beta, j=1.0, dtype="float64"):
+    """The local bond matrix exp(beta j s_a s_b)."""
+    S = np.array([
+        [np.exp(beta * j), np.exp(-beta * j)],
+        [np.exp(-beta * j), np.exp(beta * j)],
+    ])
+    return jnp.asarray(S, dtype=dtype)
+
+
+def classical_ising_H_matrix(beta, h=0.0, dtype="float64"):
+    return jnp.asarray(
+        np.array([np.exp(beta * h), np.exp(-beta * h)]), dtype=dtype
+    )
+
+
+def TN_classical_partition_function_from_edges(
+    edges, beta, j=1.0, h=0.0, site_tag_id="I{}", dtype="float64",
+):
+    """The classical Ising partition function as a TN with one COPY
+    tensor per site and one bond matrix per edge (reference
+    ``TN_classical_partition_function_from_edges``)."""
+    sites = tuple(sorted(set(itertools.chain.from_iterable(edges))))
+    site_legs = {s: [] for s in sites}
+    ts = []
+    for e in map(tuple, edges):
+        a, b = sorted(e, key=str)
+        ia, ib = rand_uuid(), rand_uuid()
+        site_legs[a].append(ia)
+        site_legs[b].append(ib)
+        je = j(a, b) if callable(j) else j
+        ts.append(Tensor(
+            classical_ising_S_matrix(beta, je, dtype), inds=(ia, ib)
+        ))
+    for s in sites:
+        legs = site_legs[s]
+        data = COPY_tensor(2, tuple(legs), dtype=dtype).data
+        if h:
+            hs = h(s) if callable(h) else h
+            data = data * jnp.reshape(
+                classical_ising_H_matrix(beta, hs, dtype),
+                (2,) + (1,) * (len(legs) - 1),
+            ) if len(legs) else data
+        ts.append(Tensor(data, inds=tuple(legs),
+                         tags=oset((site_tag_id.format(s),))))
+    tn = TensorNetwork(ts, virtual=True, check_collisions=False)
+    tn.view_as_(TensorNetworkGen, sites=sites, site_tag_id=site_tag_id)
+    return tn
+
+
+def HTN_classical_partition_function_from_edges(
+    edges, beta, j=1.0, h=0.0, site_ind_id="s{}", dtype="float64",
+):
+    """Hyper-TN form: one 2x2 bond tensor per edge sharing hyper site
+    indices (reference HTN variant)."""
+    ts = []
+    sites = tuple(sorted(set(itertools.chain.from_iterable(edges))))
+    for e in map(tuple, edges):
+        a, b = sorted(e, key=str)
+        je = j(a, b) if callable(j) else j
+        ts.append(Tensor(
+            classical_ising_S_matrix(beta, je, dtype),
+            inds=(site_ind_id.format(a), site_ind_id.format(b)),
+        ))
+    if h:
+        for s in sites:
+            hs = h(s) if callable(h) else h
+            ts.append(Tensor(
+                classical_ising_H_matrix(beta, hs, dtype),
+                inds=(site_ind_id.format(s),),
+            ))
+    return TensorNetwork(ts, virtual=True, check_collisions=False)

@@ -1,0 +1,437 @@
+"""Arbitrary-geometry tensor networks.
+
+Re-design of reference ``quimb/tensor/tnag/core.py``
+(``TensorNetworkGen`` :806, ``TensorNetworkGenVector`` :1700 with
+exact / cluster local expectations :2121,:2425,
+``TensorNetworkGenOperator`` :3690) plus the simple-gauging machinery
+(``gauge_all_simple`` tensor_core.py:7555) it builds on.
+
+Local expectations come in three estimators (SURVEY §5 'local/cluster
+expansions instead of global contraction'):
+
+- ``'exact'``: contract the whole network with the operator inserted.
+- ``'cluster'``: contract only a graph-distance-``r`` neighbourhood,
+  capping the rest with the simple-update gauges — the default for
+  large networks (each cluster is an independent device contraction —
+  embarrassingly parallel across the mesh).
+- ``'bp'``: belief-propagation environments
+  (quimb_tpu.tensor.belief_propagation).
+"""
+
+import collections
+import functools
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils import oset
+from ..core import (
+    Tensor,
+    TensorNetwork,
+    bonds,
+    rand_uuid,
+    tags_to_oset,
+    tensor_contract,
+)
+
+
+def edge_coloring(edges, strategy="smallest_last"):
+    """Group edges into 'colors' such that no two edges in a color
+    share a site (reference ``edge_coloring`` tnag/tebd.py:24) —
+    gates within one color commute and can be applied in parallel."""
+    edges = list(edges)
+    colors = []
+    remaining = list(edges)
+    while remaining:
+        used = set()
+        this_color = []
+        rest = []
+        for e in remaining:
+            a, b = e
+            if a in used or b in used:
+                rest.append(e)
+            else:
+                this_color.append(e)
+                used.add(a)
+                used.add(b)
+        colors.append(this_color)
+        remaining = rest
+    return colors
+
+
+class TensorNetworkGen(TensorNetwork):
+    """TN with a notion of 'sites' of arbitrary (hashable) labels."""
+
+    _EXTRA_PROPS = ("_sites", "_site_tag_id")
+
+    @property
+    def sites(self):
+        return self._sites
+
+    @property
+    def nsites(self):
+        return len(self._sites)
+
+    @property
+    def site_tag_id(self):
+        return self._site_tag_id
+
+    def site_tag(self, site):
+        return self._site_tag_id.format(site)
+
+    @property
+    def site_tags(self):
+        return tuple(map(self.site_tag, self._sites))
+
+    def maybe_convert_coo(self, x):
+        if x in self._sites if isinstance(x, (int, str, tuple)) else False:
+            return self.site_tag(x)
+        return x
+
+    def gen_bonds(self):
+        """Yield pairs of sites connected by at least one index."""
+        seen = set()
+        for site_a in self._sites:
+            ta = self.select_tensors(self.site_tag(site_a), "any")
+            inds_a = oset()
+            for t in ta:
+                inds_a.update(t.inds)
+            for site_b in self._sites:
+                if site_b == site_a or (site_b, site_a) in seen:
+                    continue
+                tb = self.select_tensors(self.site_tag(site_b), "any")
+                if any(ix in inds_a for t in tb for ix in t.inds):
+                    seen.add((site_a, site_b))
+                    yield (site_a, site_b)
+
+    def neighbors(self, site):
+        """Sites sharing a bond with ``site``."""
+        out = []
+        ts = self.select_tensors(self.site_tag(site), "any")
+        inds = oset()
+        for t in ts:
+            inds.update(t.inds)
+        for other in self._sites:
+            if other == site:
+                continue
+            to = self.select_tensors(self.site_tag(other), "any")
+            if any(ix in inds for t in to for ix in t.inds):
+                out.append(other)
+        return out
+
+    def _site_neighborhood(self, sites, max_distance=1):
+        """All sites within graph distance ``max_distance``."""
+        frontier = set(sites)
+        seen = set(sites)
+        for _ in range(max_distance):
+            new = set()
+            for s in frontier:
+                new.update(self.neighbors(s))
+            new -= seen
+            seen |= new
+            frontier = new
+        return seen
+
+
+class TensorNetworkGenVector(TensorNetworkGen):
+    """Arbitrary-geometry TN state with one physical index per site
+    (reference ``TensorNetworkGenVector`` tnag/core.py:1700)."""
+
+    _EXTRA_PROPS = ("_sites", "_site_tag_id", "_site_ind_id")
+
+    @property
+    def site_ind_id(self):
+        return self._site_ind_id
+
+    def site_ind(self, site):
+        return self._site_ind_id.format(site)
+
+    @property
+    def site_inds(self):
+        return tuple(map(self.site_ind, self._sites))
+
+    def phys_dim(self, site=None):
+        if site is None:
+            site = self._sites[0]
+        return self.ind_size(self.site_ind(site))
+
+    def to_dense(self, *inds_seq, **contract_opts):
+        if not inds_seq:
+            inds_seq = (self.site_inds,)
+        t = self.contract(
+            ..., output_inds=tuple(
+                ix for g in inds_seq for ix in g
+            ), preserve_tensor=True, **contract_opts,
+        )
+        return jnp.reshape(t.data, (-1, 1))
+
+    def gate(self, G, where, contract="reduce-split", tags=None,
+             inplace=False, **opts):
+        from ..gating import tensor_network_gate_inds
+
+        if not isinstance(where, (tuple, list)):
+            where = (where,)
+        inds = tuple(self.site_ind(s) for s in where)
+        psi = self if inplace else self.copy()
+        if len(inds) == 1:
+            contract = True
+        tensor_network_gate_inds(
+            psi, G, inds, contract=contract, tags=tags, inplace=True,
+            **opts,
+        )
+        return psi
+
+    gate_ = functools.partialmethod(gate, inplace=True)
+
+    def make_norm(self, layer_tags=("KET", "BRA")):
+        ket = self.copy()
+        ket.add_tag(layer_tags[0])
+        bra = ket.H
+        bra.retag_({layer_tags[0]: layer_tags[1]})
+        bra.mangle_inner_("*")
+        norm = ket & bra
+        norm.view_like_(self)
+        return norm
+
+    # -- gauging -------------------------------------------------------------
+
+    def gauge_all_simple(self, max_iterations=100, tol=1e-9, smudge=1e-12,
+                         gauges=None, inplace=False):
+        """Iteratively simple-gauge every bond (Vidal form) until the
+        gauges converge (reference ``gauge_all_simple``
+        tensor_core.py:7555). Returns (tn, gauges)."""
+        tn = self if inplace else self.copy()
+        from ..core import tensor_compress_bond
+
+        if gauges is None:
+            gauges = {}
+        # collect bonds (index names shared by exactly two tensors)
+        bnds = [
+            ix for ix, tids in tn.ind_map.items() if len(tids) == 2
+        ]
+        for it in range(max_iterations):
+            max_diff = 0.0
+            for ix in bnds:
+                tids = tuple(tn.ind_map.get(ix, ()))
+                if len(tids) != 2:
+                    continue
+                t1, t2 = (tn.tensor_map[t] for t in tids)
+                # absorb environment gauges on other bonds
+                absorbed = []
+                for t in (t1, t2):
+                    for ox in t.inds:
+                        if ox != ix and ox in gauges:
+                            t.multiply_index_diagonal_(
+                                ox, gauges[ox] + smudge
+                            )
+                            absorbed.append((t, ox))
+                if ix in gauges:
+                    s_old = gauges[ix]
+                    t1.multiply_index_diagonal_(ix, jnp.sqrt(s_old))
+                    t2.multiply_index_diagonal_(ix, jnp.sqrt(s_old))
+                else:
+                    s_old = None
+                out = tensor_compress_bond(
+                    t1, t2, absorb=None, cutoff=0.0,
+                )
+                if len(out) == 3:
+                    _, s, _ = out
+                    s = s / jnp.linalg.norm(s)
+                    gauges[ix] = s
+                    if s_old is not None and s.shape == s_old.shape:
+                        max_diff = max(
+                            max_diff,
+                            float(jnp.max(jnp.abs(s - s_old))),
+                        )
+                    else:
+                        max_diff = 1.0
+                for (t, ox) in absorbed:
+                    t.multiply_index_diagonal_(
+                        ox, 1 / (gauges[ox] + smudge)
+                        if ox in gauges else 1.0
+                    )
+            if max_diff < tol:
+                break
+        return tn, gauges
+
+    def gauge_simple_insert(self, gauges, smudge=0.0):
+        """Absorb sqrt of each gauge into both tensors of its bond."""
+        for ix, s in gauges.items():
+            tids = tuple(self.ind_map.get(ix, ()))
+            if len(tids) != 2:
+                continue
+            sq = jnp.sqrt(s + smudge)
+            for tid in tids:
+                self.tensor_map[tid].multiply_index_diagonal_(ix, sq)
+        return self
+
+    def normalize_simple(self, gauges, inplace=True):
+        """Normalize in the simple-gauge approximation: each site
+        tensor (with gauges absorbed) to unit norm
+        (reference ``normalize_simple`` tnag/core.py:1214)."""
+        for site in self._sites:
+            for t in self.select_tensors(self.site_tag(site), "any"):
+                # absorb sqrt gauges, compute norm, unabsorb
+                tg = t.copy()
+                for ix in t.inds:
+                    if ix in gauges:
+                        tg.multiply_index_diagonal_(
+                            ix, jnp.sqrt(gauges[ix])
+                        )
+                nrm = float(tg.norm())
+                if nrm > 0:
+                    t.modify(apply=lambda d, nrm=nrm: d / nrm)
+        return self
+
+    # -- local expectations -----------------------------------------------------
+
+    def local_expectation_exact(self, G, where, optimize="auto",
+                                normalized=True, **contract_opts):
+        """Exact local expectation by full contraction
+        (reference tnag/core.py:2121)."""
+        if not isinstance(where, (tuple, list)):
+            where = (where,)
+        ket = self.copy()
+        bra = ket.H
+        bra.mangle_inner_("*")
+        kix = [self.site_ind(s) for s in where]
+        bix = [rand_uuid() for _ in where]
+        bra.reindex_(dict(zip(kix, bix)))
+        GT = Tensor(
+            jnp.reshape(
+                jnp.asarray(G, dtype=self.dtype),
+                tuple(self.ind_size(ix) for ix in kix) * 2,
+            ),
+            inds=(*bix, *kix),
+        )
+        expec_tn = ket & bra & GT
+        ev = expec_tn.contract(..., optimize=optimize, **contract_opts)
+        if normalized:
+            norm = (ket & bra.reindex(dict(zip(bix, kix)))).contract(
+                ..., optimize=optimize, **contract_opts
+            )
+            ev = ev / norm
+        return ev
+
+    def local_expectation_cluster(
+        self, G, where, normalized=True, max_distance=1, gauges=None,
+        optimize="auto", smudge=1e-12, **contract_opts,
+    ):
+        """Cluster (simple-environment) local expectation
+        (reference tnag/core.py:2425): contract only the neighbourhood
+        of ``where``, capping external bonds with the simple gauges."""
+        if not isinstance(where, (tuple, list)):
+            where = (where,)
+        region = self._site_neighborhood(where, max_distance)
+        tags = tuple(self.site_tag(s) for s in region)
+        ket = self.select(tags, which="any").copy()
+        # absorb gauges on boundary bonds (bonds leaving the cluster
+        # get the full gauge, internal ones sqrt on each... simple
+        # update convention: dangling env bonds get full gauge)
+        if gauges:
+            inner_tids = set(
+                itertools.chain.from_iterable(
+                    ket.ind_map.get(ix, ()) for ix in ket.ind_map
+                )
+            )
+            for ix in tuple(ket.ind_map):
+                if ix not in gauges:
+                    continue
+                n_in = len(ket.ind_map[ix])
+                full_n = len(self.ind_map[ix])
+                if n_in == 2:
+                    # internal bond: sqrt each side = full once
+                    tids = tuple(ket.ind_map[ix])
+                    sq = jnp.sqrt(gauges[ix] + smudge)
+                    for tid in tids:
+                        ket.tensor_map[tid].multiply_index_diagonal_(
+                            ix, sq
+                        )
+                elif n_in == 1 and full_n == 2:
+                    # boundary bond: absorb the full gauge
+                    (tid,) = ket.ind_map[ix]
+                    ket.tensor_map[tid].multiply_index_diagonal_(
+                        ix, gauges[ix] + smudge
+                    )
+        bra = ket.H
+        bra.mangle_inner_("*")
+        kix = [self.site_ind(s) for s in where]
+        bix = [rand_uuid() for _ in where]
+        bra.reindex_(dict(zip(kix, bix)))
+        GT = Tensor(
+            jnp.reshape(
+                jnp.asarray(G, dtype=self.dtype),
+                tuple(self.ind_size(ix) for ix in kix) * 2,
+            ),
+            inds=(*bix, *kix),
+        )
+        # external (dangling) bonds of the cluster contract bra-ket
+        expec_tn = ket & bra & GT
+        ev = expec_tn.contract(..., optimize=optimize, **contract_opts)
+        if normalized:
+            norm_tn = ket & bra.reindex(dict(zip(bix, kix)))
+            norm = norm_tn.contract(..., optimize=optimize,
+                                    **contract_opts)
+            ev = ev / norm
+        return ev
+
+    def local_expectation(self, G, where, method="cluster", **kwargs):
+        if method == "exact":
+            return self.local_expectation_exact(G, where, **kwargs)
+        return self.local_expectation_cluster(G, where, **kwargs)
+
+    def compute_local_expectation(self, terms, method="cluster",
+                                  return_all=False, **kwargs):
+        """Sum of local expectations of ``terms`` {where: G}."""
+        results = {}
+        for where, G in terms.items():
+            results[where] = self.local_expectation(
+                G, where, method=method, **kwargs
+            )
+        if return_all:
+            return results
+        tot = sum(complex(v) for v in results.values())
+        return tot.real if abs(tot.imag) < 1e-10 else tot
+
+    compute_local_expectation_cluster = functools.partialmethod(
+        compute_local_expectation, method="cluster")
+    compute_local_expectation_exact = functools.partialmethod(
+        compute_local_expectation, method="exact")
+
+
+class TensorNetworkGenOperator(TensorNetworkGen):
+    """Arbitrary-geometry TN operator with upper+lower indices
+    (reference tnag/core.py:3690)."""
+
+    _EXTRA_PROPS = (
+        "_sites", "_site_tag_id", "_upper_ind_id", "_lower_ind_id"
+    )
+
+    @property
+    def upper_ind_id(self):
+        return self._upper_ind_id
+
+    @property
+    def lower_ind_id(self):
+        return self._lower_ind_id
+
+    def upper_ind(self, site):
+        return self._upper_ind_id.format(site)
+
+    def lower_ind(self, site):
+        return self._lower_ind_id.format(site)
+
+    def to_dense(self, *inds_seq, **contract_opts):
+        if not inds_seq:
+            inds_seq = (
+                tuple(map(self.upper_ind, self._sites)),
+                tuple(map(self.lower_ind, self._sites)),
+            )
+        t = self.contract(
+            ..., output_inds=tuple(
+                ix for g in inds_seq for ix in g
+            ), preserve_tensor=True, **contract_opts,
+        )
+        d = int(np.prod([self.ind_size(ix) for ix in inds_seq[0]]))
+        return jnp.reshape(t.data, (d, -1))

@@ -1,0 +1,177 @@
+"""Arbitrary-geometry TN + belief propagation tests."""
+
+import numpy as np
+import pytest
+
+import quimb_tpu.tensor.belief_propagation as bp
+import quimb_tpu.tensor.tnag as tg
+from quimb_tpu.core import ham_from_terms
+from quimb_tpu.gen.operators import _spin_op_np
+from quimb_tpu.tensor.geometry import (
+    edges_2d_hexagonal,
+    edges_2d_square,
+    edges_rand_reg,
+    edges_tree_rand,
+)
+
+
+class TestGeometry:
+    def test_square_edge_count(self):
+        edges = edges_2d_square(3, 4)
+        # 3*3 + 2*4 = 17 edges
+        assert len(edges) == 3 * 3 + 2 * 4
+
+    def test_hexagonal_degree(self):
+        edges = edges_2d_hexagonal(3, 3, cyclic=True)
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        assert all(d == 3 for d in deg.values())
+
+    def test_rand_reg(self):
+        edges = edges_rand_reg(10, 3, seed=0)
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        assert all(d == 3 for d in deg.values())
+
+    def test_edge_coloring(self):
+        edges = edges_2d_square(3, 3)
+        colors = tg.edge_coloring(edges)
+        for color in colors:
+            sites = [s for e in color for s in e]
+            assert len(sites) == len(set(sites))
+        assert sum(len(c) for c in colors) == len(edges)
+
+
+class TestTNGen:
+    def test_from_edges_rand(self):
+        edges = edges_2d_square(2, 3)
+        psi = tg.TN_from_edges_rand(edges, D=3, phys_dim=2, seed=0)
+        assert psi.nsites == 6
+        assert psi.max_bond() == 3
+        assert set(psi.neighbors((0, 0))) == {(0, 1), (1, 0)}
+
+    def test_local_expectation_exact_vs_dense(self):
+        edges = [(i, i + 1) for i in range(4)]
+        psi = tg.TN_from_edges_rand(edges, D=3, phys_dim=2, seed=0,
+                                    dtype="float64")
+        S = {s: _spin_op_np(s, 0.5) for s in "xyz"}
+        h2 = sum(np.kron(S[s], S[s]) for s in "xyz").real
+        ev = complex(
+            psi.local_expectation_exact(h2, (1, 2))
+        ).real
+        terms = [(1.0, (S[s], S[s]), (1, 2)) for s in "xyz"]
+        Hd = np.asarray(ham_from_terms(terms, (2,) * 5)).real
+        v = np.asarray(psi.to_dense()).reshape(-1)
+        expected = float(v @ Hd @ v / (v @ v))
+        assert abs(ev - expected) < 1e-10
+
+    def test_gauge_all_simple_preserves_state(self):
+        edges = edges_2d_square(2, 2)
+        psi = tg.TN_from_edges_rand(edges, D=2, phys_dim=2, seed=1,
+                                    dtype="float64")
+        d0 = np.asarray(psi.to_dense()).reshape(-1)
+        tn, gauges = psi.gauge_all_simple(max_iterations=20)
+        # re-absorbing gauges recovers the same state
+        tn.gauge_simple_insert(gauges)
+        d1 = np.asarray(tn.to_dense()).reshape(-1)
+        assert np.allclose(
+            d0 / np.linalg.norm(d0), d1 / np.linalg.norm(d1),
+            atol=1e-8,
+        ) or np.allclose(
+            d0 / np.linalg.norm(d0), -d1 / np.linalg.norm(d1),
+            atol=1e-8,
+        )
+
+
+class TestSimpleUpdateGen:
+    def test_2x2_heis_groundstate(self):
+        edges = edges_2d_square(2, 2)
+        psi0 = tg.TN_from_edges_rand(edges, D=2, phys_dim=2, seed=1,
+                                     dtype="float64")
+        ham = tg.ham_gen_heis(edges)
+        su = tg.SimpleUpdateGen(
+            psi0, ham, D=3, compute_energy_final=False,
+            compute_energy_opts={"method": "exact"},
+        )
+        for tau in (0.3, 0.1, 0.03):
+            su.evolve(30, tau=tau)
+        E = su.compute_energy()
+        S = {s: _spin_op_np(s, 0.5) for s in "xyz"}
+        sites = sorted(set(s for e in edges for s in e))
+        smap = {s: k for k, s in enumerate(sites)}
+        terms = [
+            (1.0, (S[s], S[s]), (smap[a], smap[b]))
+            for (a, b) in edges for s in "xyz"
+        ]
+        w0 = np.linalg.eigvalsh(
+            np.asarray(ham_from_terms(terms, (2,) * 4)).real
+        )[0]
+        assert abs(E - w0) / abs(w0) < 0.05
+
+
+class TestBP:
+    def test_d1bp_exact_on_tree(self):
+        edges = edges_tree_rand(12, seed=0)
+        tn = tg.TN_classical_partition_function_from_edges(
+            edges, beta=0.3
+        )
+        Z = float(tn.contract(...))
+        Zbp = float(np.real(bp.contract_d1bp(tn.copy())))
+        assert abs(Zbp - Z) / Z < 1e-10
+
+    def test_hv1bp_matches_d1bp(self):
+        edges = edges_2d_square(3, 3)
+        tn = tg.TN_classical_partition_function_from_edges(
+            edges, beta=0.25
+        )
+        Z1 = float(np.real(bp.contract_d1bp(tn.copy())))
+        Z2 = float(np.real(bp.contract_hv1bp(tn.copy())))
+        assert abs(Z1 - Z2) / abs(Z1) < 1e-4
+
+    def test_d1bp_loopy_close(self):
+        edges = edges_2d_square(4, 4)
+        tn = tg.TN_classical_partition_function_from_edges(
+            edges, beta=0.2
+        )
+        Z = float(tn.contract(...))
+        Zbp = float(np.real(bp.contract_d1bp(tn.copy())))
+        assert abs(Zbp - Z) / Z < 0.05
+
+    def test_d2bp_peps_expectation(self):
+        import quimb_tpu.tensor.tn2d as t2
+        from quimb_tpu.core import ikron
+        from quimb_tpu.gen.operators import pauli
+
+        psi = t2.PEPS_rand(3, 3, 2, seed=0, dtype="float64")
+        d2 = bp.D2BP(psi)
+        d2.run()
+        Z = np.asarray(pauli("Z")).real
+        ev_bp = complex(d2.local_expectation(Z, ((1, 1),))).real
+        v = np.asarray(psi.to_dense()).reshape(-1)
+        O = np.asarray(ikron(Z, (2,) * 9, 4)).real
+        ev_ex = float(v @ O @ v / (v @ v))
+        assert abs(ev_bp - ev_ex) < 0.1
+
+    def test_d2bp_gauges_compress(self):
+        import quimb_tpu.tensor.tn2d as t2
+
+        psi = t2.PEPS_rand(3, 3, 3, seed=1, dtype="float64")
+        gauges = bp.gauge_d2bp(psi)
+        assert all(float(s[0]) > 0 for s in gauges.values())
+        # compression to smaller bond runs and reduces bonds
+        psic = bp.compress_d2bp(psi, max_bond=2)
+        assert psic.max_bond() == 2
+
+    def test_hv1bp_hyper(self):
+        # hyper-TN partition function (site inds shared by many edges)
+        edges = edges_tree_rand(8, seed=1)
+        htn = tg.HTN_classical_partition_function_from_edges(
+            edges, beta=0.3, h=0.1
+        )
+        Z = float(htn.contract(...))
+        Zbp = float(np.real(bp.contract_hv1bp(htn.copy())))
+        assert abs(Zbp - Z) / Z < 1e-6
