@@ -79,3 +79,40 @@ __all__ += [
     "circ_a2a_rand", "circ_ansatz_1D_brickwork", "circ_ansatz_1D_rand",
     "circ_ansatz_1D_zigzag", "circ_qaoa", "circ_rand_supremacy_like",
 ]
+
+from . import interface  # noqa: F401  (registers TN classes as pytrees)
+from .fitting import (
+    tensor_network_distance,
+    tensor_network_fit_als,
+    tensor_network_fit_autodiff,
+)
+from .optimize import TNOptimizer, Vectorizer
+from .interface import pack, unpack
+from .geometry import (
+    edges_1d_chain,
+    edges_2d_hexagonal,
+    edges_2d_kagome,
+    edges_2d_square,
+    edges_2d_triangular,
+    edges_3d_cubic,
+    edges_3d_diamond,
+    edges_3d_pyrochlore,
+    edges_rand_reg,
+    edges_tree_rand,
+)
+from .tn2d import *  # noqa: F401,F403
+from .tn2d import __all__ as _tn2d_all
+from .tnag import *  # noqa: F401,F403
+from .tnag import __all__ as _tnag_all
+from . import belief_propagation  # noqa: F401
+
+__all__ += [
+    "tensor_network_distance", "tensor_network_fit_als",
+    "tensor_network_fit_autodiff", "TNOptimizer", "Vectorizer",
+    "pack", "unpack",
+    "edges_1d_chain", "edges_2d_hexagonal", "edges_2d_kagome",
+    "edges_2d_square", "edges_2d_triangular", "edges_3d_cubic",
+    "edges_3d_diamond", "edges_3d_pyrochlore", "edges_rand_reg",
+    "edges_tree_rand",
+    *_tn2d_all, *_tnag_all,
+]
