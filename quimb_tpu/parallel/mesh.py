@@ -1,0 +1,318 @@
+"""Device-mesh distributed kernels.
+
+Replaces the reference's MPI/PETSc/SLEPc layer (``slepc_linalg.py``
+row-slab decomposition :105-237, ``mpi_launcher.py`` pools,
+``approx_spectral_function(mpi=True)`` :696):
+
+- operators are sharded over a 1D mesh axis ``'d'`` in contiguous row
+  slabs exactly like ``slice_sparse_matrix_to_components``;
+- the halo exchange is an ``all_gather`` over ICI inside ``shard_map``;
+- embarrassing parallelism (SLQ probes, contraction slices) shards the
+  batch axis and lets each device run its share of one batched XLA
+  program.
+"""
+
+import functools
+import itertools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def distributed_init(**kwargs):
+    """Initialize multi-host jax (DCN). No-op in single-process runs
+    (the reference's `quimb-mpi-python` launcher becomes this call)."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass
+
+
+def get_mesh(n=None, axis_name="d", devices=None):
+    """A 1D device mesh over ``n`` devices (defaults to all devices of
+    the default backend; falls back to the CPU device pool)."""
+    if devices is None:
+        devices = jax.devices()
+        if n is not None and len(devices) < n:
+            devices = jax.devices("cpu")
+    if n is not None:
+        devices = devices[:n]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+class ShardedSparseHam:
+    """Sparse hermitian operator in contiguous row slabs across a mesh
+    (the PETSc-Mat analogue, slepc_linalg.py:105).
+
+    COO entries are bucketed by owner row-slab and padded to equal
+    count, giving a fully static sharded matvec:
+    ``y_local = segment_sum(vals_local * x_gathered[cols_local])``.
+    """
+
+    def __init__(self, H, mesh=None, dtype=None):
+        import scipy.sparse as sp
+
+        from ..config import get_default_dtype
+
+        if mesh is None:
+            mesh = get_mesh()
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        nd = mesh.devices.size
+
+        Hc = H.tocoo() if sp.issparse(H) else sp.coo_matrix(
+            np.asarray(H))
+        if dtype is None:
+            dtype = get_default_dtype()
+            if np.iscomplexobj(Hc.data) and np.allclose(
+                Hc.data.imag, 0
+            ):
+                Hc = Hc.copy()
+                Hc.data = Hc.data.real
+                dtype = {"complex128": "float64",
+                         "complex64": "float32"}.get(str(dtype), dtype)
+        self.dtype = np.dtype(str(dtype))
+        n = Hc.shape[0]
+        # pad n to a multiple of nd
+        self.n = n
+        self.n_pad = -(-n // nd) * nd
+        self.rows_per = self.n_pad // nd
+
+        owner = Hc.row // self.rows_per
+        buckets_r, buckets_c, buckets_v = [], [], []
+        max_nnz = 0
+        for k in range(nd):
+            m = owner == k
+            buckets_r.append(Hc.row[m] - k * self.rows_per)
+            buckets_c.append(Hc.col[m])
+            buckets_v.append(Hc.data[m])
+            max_nnz = max(max_nnz, int(m.sum()))
+        # pad each bucket to max_nnz with zeros pointing at row 0
+        R = np.zeros((nd, max_nnz), dtype=np.int32)
+        C = np.zeros((nd, max_nnz), dtype=np.int32)
+        V = np.zeros((nd, max_nnz), dtype=self.dtype)
+        for k in range(nd):
+            m = buckets_r[k].size
+            R[k, :m] = buckets_r[k]
+            C[k, :m] = buckets_c[k]
+            V[k, :m] = buckets_v[k]
+
+        shard = NamedSharding(mesh, P(self.axis, None))
+        self.R = jax.device_put(R, shard)
+        self.C = jax.device_put(C, shard)
+        self.V = jax.device_put(V, shard)
+        self.shape = (n, n)
+        rows_per = self.rows_per
+        axis = self.axis
+        n_real = n
+
+        def _mv_local(R, C, V, x_shard):
+            # gather the full vector over the mesh (ICI all_gather)
+            x_full = jax.lax.all_gather(
+                x_shard, axis, axis=0, tiled=True
+            )
+            src = jnp.take(x_full, C[0], axis=0)
+            contrib = V[0] * src
+            return jax.ops.segment_sum(
+                contrib, R[0], num_segments=rows_per
+            )
+
+        self._mv_sharded = jax.jit(jax.shard_map(
+            _mv_local,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                      P(axis)),
+            out_specs=P(axis),
+        ))
+
+    def shard_vector(self, x):
+        """Place (and zero-pad) a vector row-sharded over the mesh."""
+        x = np.asarray(x).reshape(-1)
+        if x.size < self.n_pad:
+            x = np.pad(x, (0, self.n_pad - x.size))
+        return jax.device_put(
+            jnp.asarray(x, dtype=self.dtype.name
+                        if not np.iscomplexobj(x) else x.dtype),
+            NamedSharding(self.mesh, P(self.axis)),
+        )
+
+    def matvec(self, x):
+        """Sharded matvec; accepts and returns mesh-sharded vectors."""
+        return self._mv_sharded(self.R, self.C, self.V, x)
+
+    def __matmul__(self, x):
+        if np.shape(x)[0] != self.n_pad:
+            x = self.shard_vector(x)
+        return self.matvec(x)
+
+    def to_host(self, y):
+        return np.asarray(y)[: self.n]
+
+
+def eigh_lanczos_sharded(H, v0=None, ncv=20, restarts=10, mesh=None,
+                         seed=0):
+    """Ground eigenpair of a (host scipy / dense) hermitian operator,
+    computed with the row-sharded matvec over the mesh — the
+    Krylov-Schur-over-MPI replacement (``eigs_slepc`` slepc_linalg.py:499).
+    """
+    from ..linalg.lanczos import eigh_lanczos
+
+    Hs = H if isinstance(H, ShardedSparseHam) else \
+        ShardedSparseHam(H, mesh=mesh)
+    if v0 is None:
+        v0 = np.random.default_rng(seed).standard_normal(Hs.n_pad)
+        if Hs.n_pad > Hs.n:
+            v0[Hs.n:] = 0.0
+    xs = Hs.shard_vector(v0)
+    lam, v = eigh_lanczos(Hs.matvec, xs, ncv=ncv, restarts=restarts)
+    return lam, Hs.to_host(v)
+
+
+def expm_multiply_sharded(H, v, t=1.0, ncv=30, mesh=None,
+                          hermitian=True):
+    """exp(t H) v with the matvec sharded over the mesh (the SLEPc MFN
+    replacement, ``mfn_multiply_slepc`` slepc_linalg.py:773)."""
+    from ..linalg.lanczos import expm_multiply_krylov
+
+    Hs = H if isinstance(H, ShardedSparseHam) else \
+        ShardedSparseHam(H, mesh=mesh)
+    xs = Hs.shard_vector(np.asarray(v).reshape(-1))
+    out = expm_multiply_krylov(Hs.matvec, xs, t=t, ncv=ncv,
+                               hermitian=hermitian)
+    return Hs.to_host(out)
+
+
+def approx_spectral_sharded(A, f, R=128, K=40, mesh=None, seed=None,
+                            pos=False):
+    """SLQ with the probe batch sharded across the mesh (the MPI-SLQ
+    replacement, approx_spectral.py:696): every device runs its share
+    of one batched Lanczos program."""
+    from ..linalg.approx_spectral import (
+        _quadrature_weights,
+        construct_lanczos_tridiag,
+    )
+
+    if mesh is None:
+        mesh = get_mesh()
+    axis = mesh.axis_names[0]
+    nd = mesh.devices.size
+    R = -(-R // nd) * nd
+
+    if hasattr(A, "matvec"):
+        mv = A.matvec
+        n = A.shape[0]
+        dtype = np.dtype(str(A.dtype))
+    else:
+        Aa = jnp.asarray(A)
+        mv = lambda x: Aa @ x
+        n = Aa.shape[0]
+        dtype = np.dtype(str(Aa.dtype))
+
+    rng = np.random.default_rng(seed)
+    V0 = rng.choice([-1.0, 1.0], size=(R, n)).astype(
+        dtype if dtype.kind != "c" else np.float64
+    )
+    if dtype.kind == "c":
+        V0 = V0.astype(dtype)
+    V0 = jax.device_put(
+        jnp.asarray(V0), NamedSharding(mesh, P(axis, None))
+    )
+    K = int(min(K, n))
+    alpha, beta = construct_lanczos_tridiag(mv, n, K, V0, dtype)
+    w, tau2 = _quadrature_weights(alpha, beta)
+    w_np = np.asarray(w)
+    if pos:
+        w_np = np.clip(w_np, 0, None)
+    vals = f(w_np)
+    vals = np.where(np.isfinite(vals), vals, 0.0)
+    ests = n * np.sum(np.asarray(tau2) * vals, axis=1)
+    return float(np.mean(ests)), float(
+        np.std(ests) / math.sqrt(len(ests))
+    )
+
+
+def contract_sliced(tn, sliced_inds, mesh=None, output_inds=(),
+                    optimize=None):
+    """Contract a TN by slicing ``sliced_inds`` and distributing the
+    slices across the mesh (the multi-chip circuit-amplitude path;
+    reference ``cut_iter`` tensor_core.py:9088 + cotengra sliced inds).
+
+    All slices share one contraction expression; the slice axis is
+    vmapped and sharded, so each device executes its share of one
+    batched XLA program and the final sum is a ``psum`` over ICI.
+    """
+    from ..ops.contraction import array_contract_expression
+
+    if mesh is None:
+        mesh = get_mesh()
+    axis = mesh.axis_names[0]
+    nd = mesh.devices.size
+
+    sliced_inds = tuple(sliced_inds)
+    dims = [tn.ind_size(ix) for ix in sliced_inds]
+    nslices = int(np.prod(dims))
+    # pad #slices to multiple of devices by repeating (and weighting)
+    n_pad = -(-nslices // nd) * nd
+
+    tensors = tuple(tn.tensor_map.values())
+    inputs = []
+    arrays = []
+    in_axes = []
+    for t in tensors:
+        t_sl = [ix for ix in t.inds if ix in sliced_inds]
+        new_inds = tuple(ix for ix in t.inds if ix not in sliced_inds)
+        inputs.append(new_inds)
+        if t_sl:
+            stack = []
+            for combo in itertools.product(*(range(d) for d in dims)):
+                sel = dict(zip(sliced_inds, combo))
+                tt = t.isel({ix: sel[ix] for ix in t_sl})
+                stack.append(tt.data)
+            # pad with zero slices
+            while len(stack) < n_pad:
+                stack.append(jnp.zeros_like(stack[0]))
+            arrays.append(jnp.stack(stack))
+            in_axes.append(0)
+        else:
+            arrays.append(t.data)
+            in_axes.append(None)
+
+    expr = array_contract_expression(
+        inputs, tuple(output_inds),
+        shapes=[
+            (a.shape[1:] if ax == 0 else a.shape)
+            for a, ax in zip(arrays, in_axes)
+        ],
+        optimize=optimize,
+    )
+
+    def one_slice(*arrs):
+        return expr(*arrs)
+
+    batched = jax.vmap(one_slice, in_axes=tuple(in_axes))
+
+    in_specs = tuple(
+        P(axis, *([None] * (np.ndim(a) - 1))) if ax == 0 else P()
+        for a, ax in zip(arrays, in_axes)
+    )
+
+    def local(*arrs):
+        vals = batched(*arrs)
+        return jax.lax.psum(jnp.sum(vals, axis=0), axis)
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=in_specs, out_specs=P(),
+    ))
+    # place sliced stacks sharded
+    placed = []
+    for a, ax, spec in zip(arrays, in_axes, in_specs):
+        if ax == 0:
+            placed.append(
+                jax.device_put(a, NamedSharding(mesh, spec))
+            )
+        else:
+            placed.append(jax.device_put(a, NamedSharding(mesh, P())))
+    return fn(*placed)
