@@ -108,7 +108,9 @@ def quimbify(
 
     if sp.issparse(data):
         data = data.toarray()
-    x = jnp.asarray(np.asarray(data), dtype=dtype)
+    from .ops.backend import to_device
+
+    x = to_device(np.asarray(data), dtype=dtype)
 
     if qtype is not None:
         if qtype in ("k", "ket"):
@@ -525,10 +527,12 @@ class SparseHam:
                 Hc.data = Hc.data.real
                 dtype = {"complex128": "float64",
                          "complex64": "float32"}.get(str(dtype), dtype)
+        from .ops.backend import to_device
+
         order = np.argsort(Hc.row, kind="stable")
         self.rows = jnp.asarray(Hc.row[order].astype(np.int32))
         self.cols = jnp.asarray(Hc.col[order].astype(np.int32))
-        self.vals = jnp.asarray(Hc.data[order], dtype=dtype)
+        self.vals = to_device(Hc.data[order], dtype=dtype)
         self.shape = Hc.shape
         self.dtype = np.dtype(str(dtype))
 

@@ -18,8 +18,10 @@ from ..config import get_default_dtype
 
 
 def _asdevice(x, dtype=None):
+    from ..ops.backend import to_device
+
     dtype = dtype or get_default_dtype()
-    return jnp.asarray(np.asarray(x), dtype=dtype)
+    return to_device(np.asarray(x), dtype=dtype)
 
 
 @functools.lru_cache(maxsize=64)

@@ -16,7 +16,9 @@ import numpy as np
 
 
 def asarray(x):
-    return x if isinstance(x, jax.Array) else jnp.asarray(x)
+    from ..ops.backend import to_device
+
+    return x if isinstance(x, jax.Array) else to_device(x)
 
 
 def ndim(x):
@@ -114,8 +116,14 @@ def isfermionic(x):
 # ---------------------------------------------------------------------------
 
 
+def to_host(x):
+    from ..ops.backend import to_host as _th
+
+    return _th(x)
+
+
 def _host(x):
-    return np.asarray(x)
+    return to_host(x)
 
 
 def find_diag_axes(x, atol=1e-12):

@@ -566,7 +566,7 @@ class Tensor:
     __copy__ = copy
 
     def __getstate__(self):
-        return (np.asarray(self._data), self._inds, tuple(self._tags),
+        return (ar.to_host(self._data), self._inds, tuple(self._tags),
                 self._left_inds)
 
     def __setstate__(self, state):

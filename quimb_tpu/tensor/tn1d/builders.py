@@ -16,6 +16,7 @@ import numpy as np
 from ...config import get_default_dtype
 from ...gen.operators import spin_operator
 from ...gen.rand import randn
+from ...ops.backend import to_device
 from ..core import Tensor, rand_uuid
 from .core import MatrixProductOperator, MatrixProductState
 
@@ -83,7 +84,7 @@ def MPS_computational_state(binary, dtype=None, **mps_opts):
     for b in binary:
         v = np.zeros(2)
         v[int(b)] = 1.0
-        vecs.append(jnp.asarray(v, dtype=dtype))
+        vecs.append(to_device(v, dtype=dtype))
     return MPS_product_state(vecs, **mps_opts)
 
 
@@ -136,7 +137,7 @@ def MPS_ghz_state(L, dtype=None, **mps_opts):
             arrays.append(a)  # (l, r, p)
     # convert to lrp: first site is (r, p) ok; middle (l, r, p) ok
     return MatrixProductState(
-        [jnp.asarray(a, dtype=dtype) for a in arrays], shape="lrp",
+        [to_device(a, dtype=dtype) for a in arrays], shape="lrp",
         **mps_opts,
     )
 
@@ -165,7 +166,7 @@ def MPS_w_state(L, dtype=None, **mps_opts):
             a[1, 1, 0] = 1.0
             arrays.append(a)
     return MatrixProductState(
-        [jnp.asarray(a, dtype=dtype) for a in arrays], shape="lrp",
+        [to_device(a, dtype=dtype) for a in arrays], shape="lrp",
         **mps_opts,
     )
 
@@ -347,9 +348,12 @@ class SpinHam1D:
     # -- operator helpers ------------------------------------------------
 
     def _op(self, s):
+        from ...gen.operators import _spin_op_np
+        from ...ops.backend import to_host
+
         if isinstance(s, str):
-            return np.asarray(spin_operator(s, S=self.S))
-        return np.asarray(s)
+            return np.asarray(_spin_op_np(s, float(self.S)))
+        return to_host(s)
 
     def _sum_one_site(self, terms):
         d = int(2 * self.S + 1)
@@ -408,7 +412,12 @@ class SpinHam1D:
                 arr = W
             if np.allclose(arr.imag, 0):
                 arr = arr.real
-            arrays.append(jnp.asarray(arr, dtype=dtype))
+                if "complex" in str(dtype):
+                    rdtype = {"complex128": "float64",
+                              "complex64": "float32"}[str(dtype)]
+                    arrays.append(to_device(arr, dtype=rdtype))
+                    continue
+            arrays.append(to_device(arr, dtype=dtype))
         return MatrixProductOperator(
             arrays, shape="lrud", upper_ind_id=upper_ind_id,
             lower_ind_id=lower_ind_id, site_tag_id=site_tag_id, tags=tags,

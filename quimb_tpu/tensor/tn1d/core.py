@@ -503,16 +503,61 @@ class MatrixProductState(TensorNetwork1DVector, TensorNetwork1DFlat):
         return cls(mps_arrays, shape="lrp", site_ind_id=site_ind_id,
                    site_tag_id=site_tag_id)
 
-    def normalize(self, insert=None):
-        """Normalize in place, returning the old norm."""
-        norm = float(self.norm())
-        if insert is None:
-            self.multiply_(1 / norm)
-        else:
-            self[self.site_tag(insert)].modify(
-                apply=lambda d: d / norm
+    def log_norm(self):
+        """log(<psi|psi>)/2 computed stably via a rescaled transfer
+        chain (no overflow for long chains — the reference relies on
+        float64 headroom; on TPU f32 this is mandatory,
+        SURVEY §5 'exponent stripping')."""
+        import math as _math
+
+        log_acc = 0.0
+        env = None
+        for i in range(self._L):
+            t = self[self.site_tag(i)]
+            rb = (
+                list(bonds(t, self[self.site_tag(i + 1)]))
+                if i < self._L - 1 else []
             )
-        return norm
+            lb = (
+                list(bonds(self[self.site_tag(i - 1)], t))
+                if i > 0 else []
+            )
+            p = self.site_ind(i)
+            A = t.transpose(*lb, p, *rb).data
+            dl = A.shape[0] if lb else 1
+            dr = A.shape[-1] if rb else 1
+            A = jnp.reshape(A, (dl, -1, dr))
+            if env is None:
+                env = jnp.einsum("apr,aps->rs", jnp.conj(A), A)
+            else:
+                T = jnp.einsum("ab,apr->bpr", env, jnp.conj(A))
+                env = jnp.einsum("bpr,bps->rs", T, A)
+            nrm = float(jnp.linalg.norm(jnp.reshape(env, (-1,))))
+            if nrm == 0.0:
+                return float("-inf")
+            env = env / nrm
+            log_acc += _math.log(nrm)
+        log_acc += _math.log(abs(complex(jnp.trace(env))) + 1e-300)
+        return log_acc / 2
+
+    def normalize(self, insert=None):
+        """Normalize in place, returning the old norm. The scale factor
+        is distributed across all sites (log-space, overflow-safe)."""
+        import math as _math
+
+        ln = self.log_norm()
+        if insert is None:
+            f = _math.exp(-ln / self._L)
+            for i in range(self._L):
+                self[self.site_tag(i)].modify(
+                    apply=lambda d, f=f: d * f
+                )
+        else:
+            f = _math.exp(-ln)
+            self[self.site_tag(insert)].modify(
+                apply=lambda d, f=f: d * f
+            )
+        return _math.exp(ln) if abs(ln) < 700 else float("inf")
 
     normalize_ = normalize
 

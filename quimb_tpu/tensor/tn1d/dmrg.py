@@ -375,13 +375,18 @@ def _arrays_to_mps(arrays, like):
 
 @jax.jit
 def _right_canonize_step(A_next, A):
-    """Make A (l,p,r) right-isometric by LQ, absorbing L into A_next."""
+    """Make A (l,p,r) right-isometric by LQ, absorbing L into A_next.
+    The absorbed factor is renormalized each step so arbitrarily long
+    chains never overflow f32 (overall scale is irrelevant to the
+    eigenproblem)."""
     l, p, r = A.shape
     mat = jnp.reshape(A, (l, p * r))
     Lf, _, Q = decomp.lq_stabilized(mat)
     chi = Q.shape[0]
     newA = jnp.reshape(Q, (chi, p, r))
     newAnext = jnp.einsum("apk,kc->apc", A_next, Lf)
+    nrm = jnp.linalg.norm(jnp.reshape(newAnext, (-1,)))
+    newAnext = newAnext / jnp.where(nrm > 0, nrm, 1.0)
     return newAnext, newA
 
 

@@ -1,0 +1,128 @@
+"""SparseOperatorBuilder / HilbertSpace tests — validated against the
+exact dense layer."""
+
+import numpy as np
+import pytest
+
+import quimb_tpu as qu
+from quimb_tpu.operator import (
+    HilbertSpace,
+    SparseOperatorBuilder,
+    fermi_hubbard_from_edges,
+    heisenberg_from_edges,
+)
+
+
+class TestHilbertSpace:
+    def test_sizes(self):
+        assert HilbertSpace(5).size == 32
+        assert HilbertSpace(5, "Z2", 0).size == 16
+        assert HilbertSpace(6, "U1", 3).size == 20
+        assert HilbertSpace(6, "U1U1", (1, 2)).size == 3 * 3
+
+    def test_rank_unrank_roundtrip(self):
+        hs = HilbertSpace(8, "U1", 4)
+        cs = hs.get_configs()
+        assert (hs.rank(cs) == np.arange(cs.size)).all()
+        assert (hs.unrank(np.arange(cs.size)) == cs).all()
+
+    def test_bits(self):
+        hs = HilbertSpace(4)
+        bits = hs.config_to_bits([0b1010])
+        assert (bits[0] == [0, 1, 0, 1]).all()
+        assert hs.bits_to_config(bits)[0] == 0b1010
+
+
+class TestBuilder:
+    def test_heisenberg_matches_dense(self):
+        edges = [(i, i + 1) for i in range(5)]
+        H = heisenberg_from_edges(edges)
+        Hm = H.build_sparse_matrix()
+        Hd = np.asarray(qu.ham_heis(6)).real
+        assert np.allclose(Hm.toarray(), Hd, atol=1e-12)
+
+    def test_u1_sector_spectrum_subset(self):
+        edges = [(i, i + 1) for i in range(5)]
+        hs = HilbertSpace(6, "U1", 3)
+        H = heisenberg_from_edges(edges, hilbert_space=hs)
+        w_sector = np.linalg.eigvalsh(H.build_sparse_matrix().toarray())
+        w_full = np.linalg.eigvalsh(np.asarray(qu.ham_heis(6)).real)
+        # sector spectrum is a subset of the full spectrum (incl. E0
+        # for the S_z=0 heisenberg ground state)
+        for w in w_sector:
+            assert np.min(np.abs(w_full - w)) < 1e-10
+        assert abs(w_sector[0] - w_full[0]) < 1e-10
+
+    def test_device_matvec(self):
+        edges = [(i, i + 1) for i in range(6)]
+        H = heisenberg_from_edges(edges)
+        Hs = H.build_sparse_ham()
+        v = np.random.default_rng(0).standard_normal(2**7)
+        y = np.asarray(Hs @ v)
+        expected = H.build_sparse_matrix() @ v
+        assert np.allclose(y, expected, atol=1e-12)
+
+    def test_fermi_hubbard_jw(self):
+        # 2-site Hubbard: exact spectrum known
+        # H = -t sum_s (c0s† c1s + h.c.) + U (n0u n0d + n1u n1d)
+        t, U = 1.0, 4.0
+        H = fermi_hubbard_from_edges([(0, 1)], t=t, U=U)
+        Hm = H.build_sparse_matrix().toarray()
+        assert np.allclose(Hm, Hm.conj().T, atol=1e-12)
+        w = np.linalg.eigvalsh(Hm)
+        # half-filling singlet ground energy: U/2 - sqrt((U/2)^2 + 4t^2)
+        e0 = U / 2 - np.sqrt((U / 2) ** 2 + 4 * t**2)
+        assert np.min(np.abs(w - e0)) < 1e-10
+
+    def test_fermionic_anticommutation(self):
+        # {c_i, c_j†} = delta_ij via JW-built matrices
+        H1 = SparseOperatorBuilder(hilbert_space=HilbertSpace(3))
+        H1 += 1.0, ("c", 0)
+        c0 = H1.build_sparse_matrix().toarray()
+        H2 = SparseOperatorBuilder(hilbert_space=HilbertSpace(3))
+        H2 += 1.0, ("cdag", 2)
+        cd2 = H2.build_sparse_matrix().toarray()
+        anti = c0 @ cd2 + cd2 @ c0
+        assert np.allclose(anti, 0, atol=1e-12)
+        H3 = SparseOperatorBuilder(hilbert_space=HilbertSpace(3))
+        H3 += 1.0, ("cdag", 0)
+        cd0 = H3.build_sparse_matrix().toarray()
+        anti2 = c0 @ cd0 + cd0 @ c0
+        assert np.allclose(anti2, np.eye(8), atol=1e-12)
+
+    def test_build_mpo_matches_dense(self):
+        edges = [(i, i + 1) for i in range(4)]
+        H = heisenberg_from_edges(edges)
+        mpo = H.build_mpo()
+        Hd = np.asarray(qu.ham_heis(5)).real
+        assert np.allclose(
+            np.asarray(mpo.to_dense()).real, Hd, atol=1e-10
+        )
+
+    def test_build_local_ham(self):
+        edges = [(i, i + 1) for i in range(4)]
+        H = heisenberg_from_edges(edges)
+        lham = H.build_local_ham()
+        from quimb_tpu.gen.operators import _spin_op_np
+
+        S = {s: np.asarray(_spin_op_np(s, 0.5)) for s in "xyz"}
+        h2 = sum(np.kron(S[s], S[s]) for s in "xyz")
+        assert np.allclose(
+            np.asarray(lham.get_term((1, 2))), h2, atol=1e-12
+        )
+
+    def test_groundstate_with_device_lanczos(self):
+        edges = [(i, i + 1) for i in range(9)]
+        hs = HilbertSpace(10, "U1", 5)
+        H = heisenberg_from_edges(edges, hilbert_space=hs)
+        from quimb_tpu.core import SparseHam
+        from quimb_tpu.linalg import eigh_lanczos
+        import jax.numpy as jnp
+
+        Hs = SparseHam(H.build_sparse_matrix())
+        v0 = jnp.asarray(
+            np.random.default_rng(0).standard_normal(hs.size)
+        )
+        lam, v = eigh_lanczos(Hs.matvec, v0, ncv=30, restarts=10)
+        w0 = np.linalg.eigvalsh(np.asarray(qu.ham_heis(10)).real)[0]
+        assert abs(float(lam) - w0) < 1e-9
