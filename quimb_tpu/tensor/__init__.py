@@ -116,3 +116,9 @@ __all__ += [
     "edges_tree_rand",
     *_tn2d_all, *_tnag_all,
 ]
+
+from . import networking  # noqa: F401
+from .tn3d import *  # noqa: F401,F403
+from .tn3d import __all__ as _tn3d_all
+
+__all__ += [*_tn3d_all]

@@ -1,0 +1,331 @@
+"""1D tensor network compression: the MPO x MPS application family.
+
+Re-design of reference ``quimb/tensor/tn1d/compress.py`` (dispatcher
+``tensor_network_1d_compress`` :2815 over methods direct :138,
+density-matrix :382, zip-up :667 (+oversample :910), fit :2240,
+src :1273; MPO x MPS wrappers ``mps_gate_with_mpo_*`` :2956-3215,
+``enforce_1d_like`` :37).
+
+All methods lower to the S0 kernels; the density-matrix and zip-up
+methods never form the fat chi*w bond explicitly where avoidable.
+"""
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import decomp
+from ...utils import check_opt
+from ..core import Tensor, TensorNetwork, bonds, rand_uuid, tensor_contract
+from .core import MatrixProductOperator, MatrixProductState
+
+
+def enforce_1d_like(tn, site_tags=None, fix_bonds=True, inplace=False):
+    """Check/coerce ``tn`` into a 1D-like form: tensors groupable into
+    an ordered chain of site columns with bonds only between
+    neighbouring columns (reference ``enforce_1d_like``
+    tn1d/compress.py:37)."""
+    tn = tn if inplace else tn.copy()
+    if site_tags is None:
+        site_tags = tn.site_tags
+    for i, tag in enumerate(site_tags):
+        if tag not in tn.tag_map:
+            raise ValueError(f"missing site tag {tag}")
+    # contract multi-tensor columns into single site tensors
+    for tag in site_tags:
+        if len(tn.tag_map[tag]) > 1:
+            tn.contract_tags_(tag, which="any")
+    # fuse multiple bonds between neighbouring sites
+    for taga, tagb in zip(site_tags, site_tags[1:]):
+        (ta,) = tn.select_tensors(taga, "any")
+        (tb,) = tn.select_tensors(tagb, "any")
+        shared = list(bonds(ta, tb))
+        if len(shared) > 1:
+            fused = rand_uuid()
+            ta.fuse_({fused: shared})
+            tb.fuse_({fused: shared})
+    return tn
+
+
+def _fat_mps_site_arrays(tn, site_tags, site_inds):
+    """Uniform (l, p, r) arrays of a 1D-like TN after column fusion."""
+    out = []
+    L = len(site_tags)
+    ts = [next(iter(tn.select_tensors(tag, "any")))
+          for tag in site_tags]
+    for i, t in enumerate(ts):
+        lb = list(bonds(ts[i - 1], t)) if i > 0 else []
+        rb = list(bonds(t, ts[i + 1])) if i < L - 1 else []
+        arr = t.transpose(*lb, site_inds[i], *rb).data
+        dl = arr.shape[0] if lb else 1
+        dr = arr.shape[-1] if rb else 1
+        out.append(jnp.reshape(arr, (dl, -1, dr)))
+    return out
+
+
+def _arrays_to_mps_like(arrays, like):
+    site_arrays = []
+    L = len(arrays)
+    for i, a in enumerate(arrays):
+        if i == 0:
+            site_arrays.append(jnp.transpose(a[0], (1, 0)))
+        elif i == L - 1:
+            site_arrays.append(a[..., 0])
+        else:
+            site_arrays.append(jnp.transpose(a, (0, 2, 1)))
+    return MatrixProductState(
+        site_arrays, shape="lrp",
+        site_ind_id=like if isinstance(like, str) else like._site_ind_id,
+        site_tag_id="I{}" if isinstance(like, str)
+        else like._site_tag_id,
+    )
+
+
+def tensor_network_1d_compress(
+    tn, max_bond=None, cutoff=1e-10, method="dm", site_tags=None,
+    site_inds=None, normalize=False, inplace=False, **kwargs,
+):
+    """Compress a 1D-like TN into an MPS/chain with bounded bond
+    dimension (reference dispatcher tn1d/compress.py:2815)."""
+    check_opt("method", method,
+              ("direct", "dm", "zipup", "zipup-oversample", "fit",
+               "src", "projector"))
+    if site_tags is None:
+        site_tags = tn.site_tags
+    if site_inds is None:
+        site_inds = tn.site_inds
+
+    flat = enforce_1d_like(tn, site_tags=site_tags)
+    arrays = _fat_mps_site_arrays(flat, site_tags, site_inds)
+
+    if method in ("direct", "projector"):
+        out = _compress_direct(arrays, max_bond, cutoff)
+    elif method == "dm":
+        out = _compress_dm(arrays, max_bond, cutoff)
+    elif method in ("zipup", "zipup-oversample", "src"):
+        oversample = method != "zipup"
+        out = _compress_zipup(arrays, max_bond, cutoff,
+                              oversample=oversample)
+    elif method == "fit":
+        out = _compress_direct(arrays, max_bond, cutoff)
+        # refine with ALS sweeps against the original
+        out = _fit_sweeps(out, arrays, max_bond,
+                          kwargs.get("max_iterations", 2))
+    mps = _arrays_to_mps_like(
+        out, tn if hasattr(tn, "_site_ind_id") else "k{}"
+    )
+    if normalize:
+        mps.normalize()
+    return mps
+
+
+def _compress_direct(arrays, max_bond, cutoff):
+    """Right-canonize then left-sweep truncated SVD (reference 'direct'
+    tn1d/compress.py:138)."""
+    L = len(arrays)
+    arrays = list(arrays)
+    # right canonize (LQ sweep, renormalizing the carried factor)
+    for i in range(L - 1, 0, -1):
+        l, p, r = arrays[i].shape
+        Lf, _, Q = decomp.lq_stabilized(
+            jnp.reshape(arrays[i], (l, p * r))
+        )
+        arrays[i] = jnp.reshape(Q, (Q.shape[0], p, r))
+        nxt = jnp.einsum("apk,kc->apc", arrays[i - 1], Lf)
+        arrays[i - 1] = nxt
+    # left to right truncated sweep
+    for i in range(L - 1):
+        l, p, r = arrays[i].shape
+        U, _, sVH = decomp.array_split(
+            jnp.reshape(arrays[i], (l * p, r)), method="svd",
+            absorb="right", max_bond=max_bond, cutoff=cutoff,
+        )
+        chi = U.shape[-1]
+        arrays[i] = jnp.reshape(U, (l, p, chi))
+        arrays[i + 1] = jnp.einsum(
+            "ck,kpr->cpr", sVH, arrays[i + 1]
+        )
+    return arrays
+
+
+def _compress_dm(arrays, max_bond, cutoff):
+    """Density-matrix compression (reference 'dm'
+    tn1d/compress.py:382): build left reduced density matrices from
+    transfer environments and eigendecompose for the new isometries —
+    fully stable, one pass, no initial canonical form needed."""
+    L = len(arrays)
+    # right environments E_i = contraction of sites > i of <psi|psi>
+    envs = [None] * (L + 1)
+    dtype = arrays[0].dtype
+    envs[L] = jnp.ones((1, 1), dtype=dtype)
+    for i in range(L - 1, -1, -1):
+        A = arrays[i]
+        T = jnp.einsum("apr,rs->aps", A, envs[i + 1])
+        e = jnp.einsum("aps,bps->ab", T, jnp.conj(A))
+        nrm = jnp.linalg.norm(jnp.reshape(e, (-1,)))
+        envs[i] = e / jnp.where(nrm > 0, nrm, 1.0)
+
+    new = []
+    left = jnp.ones((1, 1), dtype=dtype)  # maps old-left -> new-left
+    for i in range(L):
+        A = arrays[i]
+        # effective site tensor with compressed left bond
+        Aeff = jnp.einsum("ka,apr->kpr", left, A)
+        k, p, r = Aeff.shape
+        if i == L - 1:
+            new.append(Aeff)
+            break
+        # density matrix on (new-left x phys) space
+        T = jnp.einsum("kpr,rs->kps", Aeff, envs[i + 1])
+        rho = jnp.einsum("kps,lqs->kplq", T, jnp.conj(Aeff))
+        rho_m = jnp.reshape(rho, (k * p, k * p))
+        rho_m = (rho_m + jnp.conj(rho_m.T)) / 2
+        U, s, VH = decomp.eigh_truncated(
+            rho_m, max_bond=-1 if max_bond is None else max_bond,
+            cutoff=cutoff, cutoff_mode=2, absorb=None, positive=1,
+        )
+        chi = U.shape[-1]
+        iso = jnp.reshape(U, (k, p, chi))  # isometry (new site tensor)
+        new.append(iso)
+        # update left map: project old into new basis
+        left = jnp.einsum("kpc,kpr->cr", jnp.conj(iso), Aeff)
+    return new
+
+
+def _compress_zipup(arrays, max_bond, cutoff, oversample=False):
+    """Zip-up compression (reference 'zipup' tn1d/compress.py:667):
+    single left-to-right truncated-SVD zip, optionally with bond
+    oversampling then a final direct pass."""
+    L = len(arrays)
+    factor = 2 if oversample else 1
+    mb = None if max_bond is None else max_bond * factor
+    arrays = list(arrays)
+    carried = None
+    out = []
+    for i in range(L):
+        A = arrays[i]
+        if carried is not None:
+            A = jnp.einsum("ka,apr->kpr", carried, A)
+        if i == L - 1:
+            out.append(A)
+            break
+        k, p, r = A.shape
+        U, _, sVH = decomp.array_split(
+            jnp.reshape(A, (k * p, r)), method="svd", absorb="right",
+            max_bond=mb, cutoff=cutoff,
+        )
+        chi = U.shape[-1]
+        out.append(jnp.reshape(U, (k, p, chi)))
+        carried = sVH
+    if oversample and max_bond is not None:
+        out = _compress_direct(out, max_bond, cutoff)
+    return out
+
+
+def _fit_sweeps(arrays, target_arrays, max_bond, max_iterations=2):
+    """1-site ALS refinement of ``arrays`` against ``target_arrays``
+    (reference 'fit' tn1d/compress.py:2240)."""
+    L = len(arrays)
+    arrays = list(arrays)
+    dtype = arrays[0].dtype
+    for _ in range(max_iterations):
+        # right environments of <guess|target>
+        envs = [None] * (L + 1)
+        envs[L] = jnp.ones((1, 1), dtype=dtype)
+        for i in range(L - 1, 0, -1):
+            G, T = arrays[i], target_arrays[i]
+            tmp = jnp.einsum("apr,rs->aps", T, envs[i + 1])
+            envs[i] = jnp.einsum("aps,bps->ab", tmp,
+                                 jnp.conj(G))
+        lenv = jnp.ones((1, 1), dtype=dtype)
+        for i in range(L):
+            T = target_arrays[i]
+            # new site = lenv . T . renv  (optimal given isometric env)
+            B = jnp.einsum("ka,apr->kpr", lenv, T)
+            B = jnp.einsum("kpr,rs->kps", B, envs[i + 1]) \
+                if i < L - 1 else B
+            if i < L - 1:
+                k, p, s = B.shape
+                Q, _, R = decomp.qr_stabilized(
+                    jnp.reshape(B, (k * p, s))
+                )
+                arrays[i] = jnp.reshape(Q, (k, p, Q.shape[-1]))
+            else:
+                arrays[i] = B
+            # update left env of <guess|target>
+            lenv = jnp.einsum(
+                "kpc,ka,apr->cr", jnp.conj(arrays[i]), lenv,
+                target_arrays[i],
+            )
+    return arrays
+
+
+# ---------------------------------------------------------------------------
+# MPO x MPS application wrappers (reference :2956-3215)
+# ---------------------------------------------------------------------------
+
+
+def _lazy_mpo_mps_tn(mpo, mps):
+    """The lazy two-layer TN of mpo applied to mps, output inds = mpo
+    upper inds."""
+    A = mpo.copy()
+    x = mps.copy()
+    x.reindex_sites_("__apply{}__")
+    A.reindex_lower_sites_("__apply{}__")
+    tn = TensorNetwork((), virtual=True)
+    tn.add_tensor_network(x, virtual=True, check_collisions=False)
+    tn.add_tensor_network(A, virtual=True, check_collisions=False)
+    return tn
+
+
+def mps_gate_with_mpo_lazy(mps, mpo):
+    """Apply without any compression (bond dims multiply)."""
+    return mpo.apply(mps)
+
+
+def mps_gate_with_mpo_direct(mps, mpo, max_bond=None, cutoff=1e-10,
+                             **kwargs):
+    out = mpo.apply(mps)
+    out.compress(max_bond=max_bond, cutoff=cutoff)
+    return out
+
+
+def _apply_via(method):
+    def fn(mps, mpo, max_bond=None, cutoff=1e-10, **kwargs):
+        tn = _lazy_mpo_mps_tn(mpo, mps)
+        site_tags = tuple(mps.site_tag(i) for i in range(mps.L))
+        site_inds = tuple(mpo.upper_ind(i) for i in range(mps.L))
+        out = tensor_network_1d_compress(
+            tn, max_bond=max_bond, cutoff=cutoff, method=method,
+            site_tags=site_tags, site_inds=site_inds, **kwargs,
+        )
+        out.reindex_sites_(mps._site_ind_id)
+        return out
+
+    return fn
+
+
+mps_gate_with_mpo_dm = _apply_via("dm")
+mps_gate_with_mpo_zipup = _apply_via("zipup")
+mps_gate_with_mpo_zipup_oversample = _apply_via("zipup-oversample")
+mps_gate_with_mpo_fit = _apply_via("fit")
+mps_gate_with_mpo_src = _apply_via("src")
+
+_APPLY_METHODS = {
+    "direct": mps_gate_with_mpo_direct,
+    "dm": mps_gate_with_mpo_dm,
+    "zipup": mps_gate_with_mpo_zipup,
+    "zipup-oversample": mps_gate_with_mpo_zipup_oversample,
+    "fit": mps_gate_with_mpo_fit,
+    "src": mps_gate_with_mpo_src,
+}
+
+
+def mps_gate_with_mpo(mps, mpo, max_bond=None, cutoff=1e-10,
+                      method="dm", **kwargs):
+    """Apply an MPO to an MPS with compression, dispatching on
+    ``method``."""
+    return _APPLY_METHODS[method](
+        mps, mpo, max_bond=max_bond, cutoff=cutoff, **kwargs
+    )
