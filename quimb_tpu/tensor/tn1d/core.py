@@ -635,6 +635,22 @@ class MatrixProductState(TensorNetwork1DVector, TensorNetwork1DFlat):
         S = self.schmidt_values(i, cur_orthog=cur_orthog)
         return float(S[0] - S[1])
 
+    def partial_trace_linop(self, keep, upper_ind_id="b{}"):
+        """The reduced density matrix on sites ``keep`` as a *lazy*
+        TN linear operator (for SLQ entropy estimation — reference
+        ``TNLinearOperator1D`` use, tensor_approx_spectral.py)."""
+        from ..linop import TNLinearOperator
+
+        bra = self.H
+        bra.mangle_inner_("*")
+        kix = [self.site_ind(i) for i in keep]
+        bix = [upper_ind_id.format(i) for i in keep]
+        bra.reindex_({
+            self.site_ind(i): upper_ind_id.format(i) for i in keep
+        })
+        rho_tn = self & bra
+        return TNLinearOperator(rho_tn, tuple(bix), tuple(kix))
+
     def partial_trace(self, keep, upper_ind_id="b{}", rescale_sites=True):
         """Reduced density matrix over sites ``keep``, as a dense
         matrix."""
@@ -1036,3 +1052,92 @@ def align_TN_1D(*tns, ind_ids=None, inplace=False):
             )
             tn.reindex_sites_(prev_id)
     return tns
+
+
+class SuperOperator1D(TensorNetwork1D):
+    """A 1D superoperator TN with four physical indices per site:
+    outer/inner kets and bras (reference ``SuperOperator1D``
+    tn1d/core.py:4538) — e.g. a vectorized Lindbladian."""
+
+    _EXTRA_PROPS = (
+        "_site_tag_id", "_L",
+        "_outer_upper_ind_id", "_inner_upper_ind_id",
+        "_outer_lower_ind_id", "_inner_lower_ind_id",
+    )
+
+    def __init__(self, arrays, *, shape="lrkudb",
+                 outer_upper_ind_id="kn{}", inner_upper_ind_id="k{}",
+                 outer_lower_ind_id="bn{}", inner_lower_ind_id="b{}",
+                 site_tag_id="I{}", tags=None, **tn_opts):
+        if isinstance(arrays, SuperOperator1D):
+            super().__init__(arrays)
+            return
+        arrays = tuple(arrays)
+        self._L = len(arrays)
+        self._site_tag_id = site_tag_id
+        self._outer_upper_ind_id = outer_upper_ind_id
+        self._inner_upper_ind_id = inner_upper_ind_id
+        self._outer_lower_ind_id = outer_lower_ind_id
+        self._inner_lower_ind_id = inner_lower_ind_id
+        tags = tags_to_oset(tags)
+
+        bond_inds = [rand_uuid() for _ in range(self._L - 1)]
+        tensors = []
+        for i, arr in enumerate(arrays):
+            order = [c for c in shape if not (
+                (i == 0 and c == "l") or (i == self._L - 1 and c == "r")
+            )]
+            inds = []
+            for c in order:
+                if c == "l":
+                    inds.append(bond_inds[i - 1])
+                elif c == "r":
+                    inds.append(bond_inds[i])
+                elif c == "k":
+                    inds.append(outer_upper_ind_id.format(i))
+                elif c == "u":
+                    inds.append(inner_upper_ind_id.format(i))
+                elif c == "d":
+                    inds.append(inner_lower_ind_id.format(i))
+                elif c == "b":
+                    inds.append(outer_lower_ind_id.format(i))
+                else:
+                    raise ValueError(f"unknown shape char {c}")
+            tensors.append(Tensor(
+                arr, inds=inds,
+                tags=tags | oset((site_tag_id.format(i),)),
+            ))
+        TensorNetwork.__init__(self, tensors, virtual=True, **tn_opts)
+
+    @classmethod
+    def rand(cls, L, bond_dim, phys_dim=2, dtype=None, seed=None,
+             **kwargs):
+        from ...gen.rand import randn
+
+        arrays = []
+        for i in range(L):
+            shape = []
+            if i > 0:
+                shape.append(bond_dim)
+            if i < L - 1:
+                shape.append(bond_dim)
+            shape.extend([phys_dim] * 4)
+            arrays.append(randn(
+                tuple(shape), dtype=dtype,
+                seed=None if seed is None else seed + i,
+            ))
+        return cls(arrays, **kwargs)
+
+
+def TNLinearOperator1D(tn, left_inds, right_inds, start=None, stop=None,
+                       **kwargs):
+    """View a 1D TN section as a linear operator (reference
+    ``TNLinearOperator1D`` tn1d/core.py:4756). Provided as a thin
+    constructor over the general :class:`TNLinearOperator` (whose
+    matvec is already a cached jitted expression)."""
+    from ..linop import TNLinearOperator
+
+    if start is not None and stop is not None and hasattr(tn, "site_tag"):
+        tags = tuple(tn.site_tag(i) for i in range(start, stop))
+        tn = tn.select_any(tags)
+    return TNLinearOperator(tn, left_inds, right_inds, **kwargs)
