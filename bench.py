@@ -32,7 +32,7 @@ def flops_2site_matvec(cl, cm, cr, d, w):
     f1 = cl * w * cl * d * d * cr
     # T2 = T1 W1(w,x,u,p)            : a*w*p*x*u*q*r
     f2 = cl * w * d * w * d * d * cr
-    # T3 = T2 W2(x,y,v,q)            : a*x*u*y*v*q*r... wait keep simple
+    # T3 = T2 W2(x,y,v,q)
     f3 = cl * w * d * w * d * d * cr
     # T4 = T3 R(b,y,r)               : a*y*u*v*r*b
     f4 = cl * w * d * d * cr * cr
@@ -48,7 +48,7 @@ def flops_svd(m, n):
 def main():
     L = int(os.environ.get("BENCH_L", 128))
     CHI = int(os.environ.get("BENCH_CHI", 256))
-    NSWEEP = int(os.environ.get("BENCH_SWEEPS", 2))
+    NSWEEP = int(os.environ.get("BENCH_SWEEPS", 4))
 
     import jax
 

@@ -166,6 +166,108 @@ def _split_2site(theta, max_bond, cutoff, absorb):
     return A1, A2, rank
 
 
+
+
+# ---------------------------------------------------------------------------
+# fused bulk sweeps: at uniform bulk shapes the whole sweep segment is ONE
+# compiled XLA program (lax.scan), eliminating per-site dispatch latency —
+# the difference between ~760 and ~10 kernel launches per sweep on TPU.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("ncv", "restarts",
+                                             "max_bond"))
+def _bulk_sweep_right(lenv0, A0, Anexts, W1s, W2s, renvs, cutoff, ncv,
+                      restarts, max_bond):
+    """Scan the 2-site update over a uniform-shape site range, moving
+    right. Returns (lenv, A_carry, stacked new left tensors,
+    energies)."""
+
+    def body(carry, x):
+        lenv, Acur = carry
+        W1, W2, Anext, renv = x
+        theta0 = jnp.einsum("kpc,cqr->kpqr", Acur, Anext)
+        en, theta = _local_solve_2site(
+            lenv, W1, W2, renv, theta0, ncv=ncv, restarts=restarts
+        )
+        N1, N2, _ = _split_2site(
+            theta, max_bond=max_bond, cutoff=cutoff, absorb="right"
+        )
+        lenv = _env_step_right(lenv, jnp.conj(N1), W1, N1)
+        return (lenv, N2), (N1, en)
+
+    (lenv, Alast), (N1s, ens) = jax.lax.scan(
+        body, (lenv0, A0), (W1s, W2s, Anexts, renvs)
+    )
+    return lenv, Alast, N1s, ens
+
+
+@functools.partial(jax.jit, static_argnames=("ncv", "restarts",
+                                             "max_bond"))
+def _bulk_sweep_left(renv0, A0, Aprevs, W1s, W2s, lenvs, cutoff, ncv,
+                     restarts, max_bond):
+    """Scan the 2-site update over a uniform range, moving left."""
+
+    def body(carry, x):
+        renv, Acur = carry
+        W1, W2, Aprev, lenv = x
+        theta0 = jnp.einsum("kpc,cqr->kpqr", Aprev, Acur)
+        en, theta = _local_solve_2site(
+            lenv, W1, W2, renv, theta0, ncv=ncv, restarts=restarts
+        )
+        N1, N2, _ = _split_2site(
+            theta, max_bond=max_bond, cutoff=cutoff, absorb="left"
+        )
+        renv = _env_step_left(renv, jnp.conj(N2), W2, N2)
+        return (renv, N1), (N2, en)
+
+    (renv, Afirst), (N2s, ens) = jax.lax.scan(
+        body, (renv0, A0), (W1s, W2s, Aprevs, lenvs)
+    )
+    return renv, Afirst, N2s, ens
+
+
+@jax.jit
+def _bulk_env_right(lenv0, As, Ws):
+    def body(lenv, x):
+        A, W = x
+        return _env_step_right(lenv, jnp.conj(A), W, A), None
+
+    lenv, _ = jax.lax.scan(body, lenv0, (As, Ws))
+    return lenv
+
+
+@jax.jit
+def _bulk_env_left(renv0, As, Ws):
+    """Batched right-environment construction over a uniform range
+    (scanned from the right end); returns all intermediate envs."""
+
+    def body(renv, x):
+        A, W = x
+        new = _env_step_left(renv, jnp.conj(A), W, A)
+        return new, new
+
+    renv, stack = jax.lax.scan(body, renv0, (As, Ws), reverse=True)
+    return renv, stack
+
+
+@jax.jit
+def _bulk_canonize_right(Afirst, As):
+    """Right-canonize (LQ) a uniform range via scan, right to left.
+    carry = the tensor currently being absorbed into."""
+
+    def body(carry, A_left):
+        # LQ the carried tensor, absorbing its L factor into the left
+        # neighbour A_left; emit the canonized tensor, carry the
+        # updated neighbour.
+        newAnext, newA = _right_canonize_step(A_left, carry)
+        return newAnext, newA
+
+    # scan from right to left: As ordered left..right, reverse=True
+    carry, newAs = jax.lax.scan(body, Afirst, As, reverse=True)
+    return carry, newAs
+
+
 # ---------------------------------------------------------------------------
 # MovingEnvironment — TN-level API parity (used by tests & other algos)
 # ---------------------------------------------------------------------------
@@ -418,6 +520,12 @@ class DMRG:
         self.energies = []
         self.local_energies = []
         self.total_energies = []
+        self.fused = True
+        self._Abulk = None
+        self._Wbulk = None
+        self._stack_key = None
+        self._Wbulk_key = None
+        self._stale_list_range = None
         # uniform array representations
         self._W = [jnp.asarray(a) for a in _mpo_uniform_arrays(ham)]
         dtype = jnp.result_type(*(a.dtype for a in self._W),
@@ -458,36 +566,189 @@ class DMRG:
 
     # -- array-level machinery ------------------------------------------------
 
+    def _uniform_bulk_range(self):
+        """The maximal [a, b) site range where site and MPO tensors all
+        share the bulk shapes (eligible for fused scans)."""
+        L, d = self.L, self.phys_dim
+        shapes = [a.shape for a in self._A]
+        wshape = self._W[L // 2].shape
+        from collections import Counter
+
+        cnt = Counter(s for s in shapes if s[0] == s[2])
+        if not cnt:
+            return 0, 0
+        bulk = cnt.most_common(1)[0][0]
+        a = 0
+        while a < L and shapes[a] != bulk:
+            a += 1
+        b = a
+        while b < L and shapes[b] == bulk and \
+                self._W[b].shape == wshape:
+            b += 1
+        return a, b
+
+    def _get_bulk_stacks(self, a, b):
+        """Cached stacked bulk arrays: (Abulk [n,c,d,c], Wbulk).
+        Wbulk never changes; Abulk persists across fused phases so the
+        per-sweep cost is one stack + one unstack at most."""
+        key = (a, b, self._A[a].shape)
+        if getattr(self, "_stack_key", None) != key or \
+                self._Abulk is None:
+            self._Abulk = jnp.stack(self._A[a:b])
+            self._stack_key = key
+        if getattr(self, "_Wbulk_key", None) != (a, b):
+            self._Wbulk = jnp.stack(self._W[a:b])
+            self._Wbulk_key = (a, b)
+        return self._Abulk, self._Wbulk
+
+    def _set_bulk_stack(self, a, b, Abulk):
+        """Update the persistent stacked bulk; the list form is marked
+        stale and only materialized on demand."""
+        self._Abulk = Abulk
+        self._stale_list_range = (a, b)
+
+    def _materialize_list(self):
+        """Write the stacked bulk back into the per-site list."""
+        rng = getattr(self, "_stale_list_range", None)
+        if rng is not None and self._Abulk is not None:
+            a, b = rng
+            for k in range(b - a):
+                self._A[a + k] = self._Abulk[k]
+            self._stale_list_range = None
+
     def _right_canonize_all(self):
-        """Bring all sites into right-canonical form (B-form)."""
-        for i in range(self.L - 1, 0, -1):
+        """Bring all sites into right-canonical form (B-form); the
+        uniform bulk is one fused scan."""
+        a, b = self._uniform_bulk_range()
+        use_fused = self.fused and (b - a) >= 10
+        i = self.L - 1
+        if use_fused:
+            self._materialize_list()
+            # per-site from the right edge down to the last bulk site
+            while i >= b:
+                self._A[i - 1], self._A[i] = _right_canonize_step(
+                    self._A[i - 1], self._A[i]
+                )
+                i -= 1
+            # fused over the bulk: canonizes sites a+1..b-1, carry
+            # becomes the updated site-a tensor
+            Abulk, _ = self._get_bulk_stacks(a, b)
+            carry, newAs = _bulk_canonize_right(
+                Abulk[-1], Abulk[:-1]
+            )
+            Abulk = jnp.concatenate(
+                [carry[None], newAs], axis=0
+            )
+            self._set_bulk_stack(a, b, Abulk)
+            self._materialize_list()
+            i = a
+        while i > 0:
             self._A[i - 1], self._A[i] = _right_canonize_step(
                 self._A[i - 1], self._A[i]
             )
-        # normalize the first site
+            i -= 1
         a0 = self._A[0]
         self._A[0] = a0 / jnp.linalg.norm(jnp.reshape(a0, (-1,)))
+        if use_fused:
+            # refresh the stacked form from the (possibly edge-updated)
+            # list
+            self._stack_key = None
 
-    def _build_right_envs(self):
-        """All right environments: renv[j] = contraction of sites >= j."""
+    def _build_right_envs(self, return_bulk_stack=False):
+        """All right environments: renv[j] = contraction of sites >= j.
+        The uniform bulk segment is one fused scan; optionally the bulk
+        segment is returned stacked (for the fused sweep)."""
         dtype = self._A[0].dtype
-        renv = [None] * (self.L + 1)
-        renv[self.L] = jnp.ones((1, 1, 1), dtype=dtype)
-        for j in range(self.L - 1, -1, -1):
-            A = self._A[j]
-            renv[j] = _env_step_left(
-                renv[j + 1], jnp.conj(A), self._W[j], A
-            )
+        L = self.L
+        renv = [None] * (L + 1)
+        renv[L] = jnp.ones((1, 1, 1), dtype=dtype)
+        a, b = self._uniform_bulk_range()
+        use_fused = self.fused and (b - a) >= 10
+        renv_bulk = None
+        j = L - 1
+        while j >= 0:
+            if use_fused and j == b - 1:
+                Abulk, Wbulk = self._get_bulk_stacks(a, b)
+                _, renv_bulk = _bulk_env_left(
+                    renv[j + 1], Abulk, Wbulk
+                )
+                if not return_bulk_stack:
+                    for k in range(a, j + 1):
+                        renv[k] = renv_bulk[k - a]
+                else:
+                    # the head's per-site steps reach into the first
+                    # couple of bulk environments
+                    renv[a] = renv_bulk[0]
+                    if b - a > 1:
+                        renv[a + 1] = renv_bulk[1]
+                    if b - a > 2:
+                        renv[a + 2] = renv_bulk[2]
+                j = a - 1
+            else:
+                A = self._A[j]
+                renv[j] = _env_step_left(
+                    renv[j + 1], jnp.conj(A), self._W[j], A
+                )
+                j -= 1
+        if return_bulk_stack:
+            return renv, renv_bulk, (a, b)
         return renv
 
     def _sweep_right(self, max_bond, cutoff, verbosity=0):
         ncv = max(self.opts["local_eig_ncv"] * 3, 8)
         restarts = self.opts["local_eig_restarts"]
-        renv = self._build_right_envs()
         dtype = self._A[0].dtype
+        mbd = max_bond if max_bond is not None else -1
+        a, b = self._uniform_bulk_range()
+        bulk_shape = self._A[a].shape if a < b else None
+        use_fused = (
+            self.fused and self.bsz == 2 and (b - a) >= 12
+            and bulk_shape is not None and bulk_shape[0] == mbd
+        )
+        if use_fused:
+            renv, renv_bulk, (a, b) = self._build_right_envs(
+                return_bulk_stack=True
+            )
+        else:
+            renv = self._build_right_envs()
+            renv_bulk = None
+        self._materialize_list()
+
         lenv = jnp.ones((1, 1, 1), dtype=dtype)
         energies = []
-        for i in range(self.L - self.bsz + 1):
+        i = 0
+        while i <= self.L - self.bsz:
+            if (
+                use_fused and a <= i and i + 1 < b
+                and self._A[i].shape == bulk_shape
+            ):
+                # the fused run covers sites i .. b-2 provided the
+                # needed renvs (which live at i+2 .. b) are bulk-shaped:
+                # stop two short of the bulk end
+                n = (b - 1) - i - 1
+                if n >= 8:
+                    Abulk, Wbulk = self._get_bulk_stacks(a, b)
+                    o = i - a
+                    W1s = Wbulk[o:o + n]
+                    W2s = Wbulk[o + 1:o + n + 1]
+                    Anexts = Abulk[o + 1:o + n + 1]
+                    renvs = renv_bulk[o + 2:o + n + 2]
+                    rdtype = jnp.zeros((), dtype).real.dtype
+                    lenv, Alast, N1s, ens = _bulk_sweep_right(
+                        lenv, self._A[i], Anexts, W1s, W2s, renvs,
+                        jnp.asarray(cutoff, dtype=rdtype),
+                        ncv=ncv, restarts=restarts, max_bond=mbd,
+                    )
+                    # keep the new bulk stacked; only the two tensors
+                    # at the seam need list form
+                    Abulk = Abulk.at[o:o + n].set(N1s)
+                    Abulk = Abulk.at[o + n].set(Alast)
+                    self._set_bulk_stack(a, b, Abulk)
+                    self._A[i + n] = Alast
+                    energies.append(ens[-1])
+                    i += n
+                    self._materialize_list()
+                    continue
             if self.bsz == 2:
                 A1, A2 = self._A[i], self._A[i + 1]
                 theta0 = jnp.einsum("kpc,cqr->kpqr", A1, A2)
@@ -503,6 +764,9 @@ class DMRG:
                 lenv = _env_step_right(
                     lenv, jnp.conj(N1), self._W[i], N1
                 )
+                if self._Abulk is not None and a <= i < b:
+                    self._stack_key = None
+                    self._Abulk = None
             else:
                 A1 = self._A[i]
                 en, theta = _local_solve_1site(
@@ -524,8 +788,9 @@ class DMRG:
                     lenv, jnp.conj(self._A[i]), self._W[i], self._A[i]
                 )
             energies.append(en)
+            i += 1
         self.local_energies.append(energies)
-        return float(energies[-1])
+        return float(np.real(energies[-1]))
 
     def _sweep_left(self, max_bond, cutoff, verbosity=0):
         ncv = max(self.opts["local_eig_ncv"] * 3, 8)
@@ -725,8 +990,9 @@ class DMRGX(DMRG):
                     lenv, jnp.conj(self._A[i]), self._W[i], self._A[i]
                 )
             energies.append(en)
+            i += 1
         self.local_energies.append(energies)
-        return float(energies[-1])
+        return float(np.real(energies[-1]))
 
     def _sweep_left(self, max_bond, cutoff, verbosity=0):
         # simple strategy: right-canonize then sweep right again
