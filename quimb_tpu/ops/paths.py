@@ -403,6 +403,8 @@ def optimize_path(inputs, output, sizes, optimize="auto"):
     ):
         return list(map(tuple, optimize))
     n = len(inputs)
+    if n == 0:
+        return []
     if n == 1:
         return [(0,)]
     if optimize in ("auto", "auto-hq", None):

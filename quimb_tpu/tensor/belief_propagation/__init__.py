@@ -31,3 +31,10 @@ __all__ = [
     "HV1BP",
     "contract_hv1bp",
 ]
+
+from .extras import DIIS, HD1BP, L1BP, L2BP, RegionGraph, contract_l1bp, contract_l2bp
+
+__all__ += [
+    "DIIS", "HD1BP", "L1BP", "L2BP", "RegionGraph", "contract_l1bp",
+    "contract_l2bp",
+]

@@ -11,14 +11,18 @@ from .gates import (
     register_param_gate,
     register_special_gate,
 )
-from .mps import CircuitMPS, CircuitPermMPS
+from .mps import CircuitMPS, CircuitMPSLazy, CircuitPermMPS
+from .peps import CircuitPEPS, CircuitPEPSSimpleUpdate
 
 __all__ = [
     "Circuit",
     "CircuitBase",
     "CircuitDense",
     "CircuitMPS",
+    "CircuitMPSLazy",
     "CircuitPermMPS",
+    "CircuitPEPS",
+    "CircuitPEPSSimpleUpdate",
     "Gate",
     "ALL_GATES",
     "CONSTANT_GATES",

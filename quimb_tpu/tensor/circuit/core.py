@@ -242,6 +242,20 @@ class CircuitBase:
         with open(fname) as f:
             return cls.from_openqasm2_str(f.read(), **circuit_opts)
 
+    @classmethod
+    def from_openqasm3_str(cls, contents, **circuit_opts):
+        from .qasm import parse_openqasm3_str
+
+        info = parse_openqasm3_str(contents)
+        qc = cls(info["n"], **circuit_opts)
+        qc.apply_gates(info["gates"])
+        return qc
+
+    @classmethod
+    def from_openqasm3_file(cls, fname, **circuit_opts):
+        with open(fname) as f:
+            return cls.from_openqasm3_str(f.read(), **circuit_opts)
+
 
 class Circuit(CircuitBase):
     """Exact lazy-TN circuit simulator (reference ``Circuit``

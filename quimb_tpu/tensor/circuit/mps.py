@@ -248,3 +248,112 @@ class CircuitPermMPS(CircuitMPS):
             for p, v in enumerate(config):
                 logical[self.qubit_perm[p]] = v
             yield "".join(map(str, logical))
+
+
+class CircuitMPSLazy(CircuitMPS):
+    """MPS circuit simulator with deferred gate application: gates
+    accumulate lazily and are flushed in batches through the 1D
+    compression machinery (reference ``CircuitMPSLazy`` mps.py:733 —
+    periodic 'src' compression). Long-range gates flush the queue and
+    apply via auto-swap."""
+
+    def __init__(self, N=None, psi0=None, flush_every=8,
+                 compress_method="zipup-oversample", **kwargs):
+        super().__init__(N=N, psi0=psi0, **kwargs)
+        self.flush_every = flush_every
+        self.compress_method = compress_method
+        self._queue = []
+
+    def _apply_array(self, U, where, tags=None, **opts):
+        nq = len(where)
+        adjacent = nq == 1 or (
+            nq == 2 and abs(where[0] - where[1]) == 1
+        )
+        if adjacent:
+            self._queue.append((U, tuple(where)))
+            if len(self._queue) >= self.flush_every:
+                self.flush()
+        else:
+            self.flush()
+            super()._apply_array(U, where, tags=tags, **opts)
+
+    def flush(self):
+        """Apply all queued gates lazily then compress back to MPS."""
+        if not self._queue:
+            return
+        from ..core import TensorNetwork, Tensor, rand_uuid
+        from ..tn1d.compress import tensor_network_1d_compress
+
+        psi = self._psi
+        tn = TensorNetwork(psi.copy(), virtual=True,
+                           check_collisions=False)
+        tn.view_like_(psi)
+        from ..gating import gate_split_gate
+        from ..core import Tensor as _T
+
+        def lazy_1q(G, q):
+            ix = psi.site_ind(q)
+            new = rand_uuid()
+            for tid in tuple(tn.ind_map[ix]):
+                tn.tensor_map[tid].reindex_({ix: new})
+            tn.add_tensor(_T(
+                jnp.asarray(G, dtype=psi.dtype), (ix, new),
+                tags=[psi.site_tag(q)],
+            ), virtual=True)
+
+        for (U, where) in self._queue:
+            if len(where) == 1:
+                lazy_1q(U, where[0])
+                continue
+            i, j = where
+            if i > j:
+                U4 = jnp.reshape(jnp.asarray(U), (2, 2, 2, 2))
+                U = jnp.reshape(
+                    jnp.transpose(U4, (1, 0, 3, 2)), (4, 4)
+                )
+                i, j = j, i
+            # factor the gate spatially so each piece joins its own
+            # site column
+            Gl, Gr, kk = gate_split_gate(
+                jnp.asarray(U, dtype=psi.dtype), 2, (2, 2)
+            )
+            bix = rand_uuid()
+            for (q, G) in ((i, Gl), (j, Gr)):
+                ix = psi.site_ind(q)
+                new = rand_uuid()
+                for tid in tuple(tn.ind_map[ix]):
+                    tn.tensor_map[tid].reindex_({ix: new})
+                tn.add_tensor(_T(
+                    jnp.asarray(G, dtype=psi.dtype), (ix, new, bix),
+                    tags=[psi.site_tag(q)],
+                ), virtual=True)
+        self._queue = []
+        new = tensor_network_1d_compress(
+            tn, max_bond=self.gate_opts.get("max_bond"),
+            cutoff=self.gate_opts.get("cutoff", 1e-10),
+            method=self.compress_method,
+            site_tags=psi.site_tags, site_inds=psi.site_inds,
+        )
+        new.reindex_sites_(psi._site_ind_id)
+        self._psi = new
+
+    @property
+    def psi(self):
+        self.flush()
+        return self._psi.copy()
+
+    def amplitude(self, b, **kwargs):
+        self.flush()
+        return super().amplitude(b, **kwargs)
+
+    def to_dense(self, **kwargs):
+        self.flush()
+        return super().to_dense(**kwargs)
+
+    def sample(self, C, seed=None, **kwargs):
+        self.flush()
+        yield from super().sample(C, seed=seed, **kwargs)
+
+    def local_expectation(self, G, where, **kwargs):
+        self.flush()
+        return super().local_expectation(G, where, **kwargs)

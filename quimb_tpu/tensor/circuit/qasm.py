@@ -102,3 +102,55 @@ def parse_openqasm2_str(contents):
             raise ValueError(f"unsupported qasm gate {gname}")
         gates.append(Gate(label, params, qubits))
     return {"n": n, "gates": gates}
+
+
+def parse_openqasm3_str(contents):
+    """Parse (a common subset of) OpenQASM 3: ``qubit[n] q;``
+    declarations plus the same gate applications as 2.0."""
+    contents = re.sub(r"//.*", "", contents)
+    statements = [
+        s.strip() for s in contents.replace("\n", " ").split(";")
+        if s.strip()
+    ]
+    regs = {}
+    n = 0
+    gates = []
+
+    def qubit_index(tok):
+        m = re.match(r"(\w+)\[(\d+)\]", tok.strip())
+        if m:
+            return regs[m.group(1)] + int(m.group(2))
+        return regs[tok.strip()]
+
+    for st in statements:
+        if st.startswith(("OPENQASM", "include", "barrier")):
+            continue
+        m3 = re.match(r"qubit\[(\d+)\]\s+(\w+)", st)
+        if m3:
+            regs[m3.group(2)] = n
+            n += int(m3.group(1))
+            continue
+        m1 = re.match(r"qubit\s+(\w+)", st)
+        if m1:
+            regs[m1.group(1)] = n
+            n += 1
+            continue
+        if st.startswith(("bit", "measure", "reset", "if", "gate",
+                          "def", "cal", "let")) or "=" in st.split(
+                              "(")[0]:
+            continue
+        m = re.match(r"([a-zA-Z_][\w]*)\s*(\(([^)]*)\))?\s*(.*)", st)
+        if not m:
+            continue
+        gname = m.group(1).lower()
+        params = tuple(
+            _eval_param(p) for p in m.group(3).split(",")
+        ) if m.group(3) else ()
+        qubits = tuple(
+            qubit_index(t) for t in m.group(4).split(",") if t.strip()
+        )
+        label = _QASM_GATE_MAP.get(gname, gname.upper())
+        if label is None or label not in GATE_SIZE:
+            raise ValueError(f"unsupported qasm3 gate {gname}")
+        gates.append(Gate(label, params, qubits))
+    return {"n": n, "gates": gates}

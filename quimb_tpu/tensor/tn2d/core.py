@@ -692,3 +692,130 @@ class PEPO(TensorNetwork2D):
 
     def lower_ind(self, i, j):
         return self._lower_ind_id.format(i, j)
+
+
+# ---------------------------------------------------------------------------
+# coarse-graining contraction schemes (reference ``contract_hotrg``
+# tn2d/core.py:3611, ``contract_ctmrg`` :3801)
+# ---------------------------------------------------------------------------
+
+
+def _merge_rows_pairwise(tn, max_bond, cutoff):
+    """One HOTRG-style coarse-graining step along x: row pairs
+    (2i, 2i+1) merge into one row, then the doubled vertical bonds are
+    truncated back to ``max_bond``."""
+    Lx, Ly = tn._Lx, tn._Ly
+    new_Lx = (Lx + 1) // 2
+    for i in range(new_Lx):
+        x0, x1 = 2 * i, 2 * i + 1
+        for j in range(Ly):
+            t0 = tn.site_tag(x0, j)
+            if x1 < Lx:
+                t1 = tn.site_tag(x1, j)
+                if t0 in tn.tag_map and t1 in tn.tag_map:
+                    tn.contract_tags_((t0, t1), which="any")
+            # retag to the coarse row
+            for tid in tuple(tn.tag_map.get(t0, ())):
+                t = tn.tensor_map[tid]
+                t.drop_tags((
+                    t0, tn.site_tag(x1, j) if x1 < Lx else t0,
+                    tn.x_tag(x0), tn.x_tag(x1) if x1 < Lx else
+                    tn.x_tag(x0),
+                ))
+                t.add_tag((
+                    tn.site_tag(i, j), tn.x_tag(i), tn.y_tag(j),
+                ))
+    tn._Lx = new_Lx
+    # truncate doubled horizontal bonds within each coarse row
+    for i in range(new_Lx):
+        for j in range(Ly - 1):
+            try:
+                tn.compress_between(
+                    tn.site_tag(i, j), tn.site_tag(i, j + 1),
+                    max_bond=max_bond, cutoff=cutoff,
+                )
+            except (KeyError, ValueError):
+                pass
+    return tn
+
+
+def contract_hotrg(
+    tn, max_bond=None, cutoff=1e-10, inplace=False, equalize_norms=True,
+    **kwargs,
+):
+    """Contract a 2D TN by alternating HOTRG-style pairwise
+    coarse-graining of rows and columns with bond truncation
+    (reference ``contract_hotrg`` tn2d/core.py:3611 — here the
+    truncating projectors come from the pairwise bond compression
+    rather than a full HOSVD environment)."""
+    tn = tn if inplace else tn.copy()
+    if max_bond is None:
+        max_bond = max(8, (tn.max_bond() or 2) ** 2)
+    while (tn._Lx > 1 or tn._Ly > 1) and tn.num_tensors > 4:
+        if tn._Lx > 1:
+            _merge_rows_pairwise(tn, max_bond, cutoff)
+        if equalize_norms:
+            tn.equalize_norms_()
+        if tn._Ly > 1 and tn.num_tensors > 4:
+            _merge_cols_pairwise(tn, max_bond, cutoff)
+        if equalize_norms:
+            tn.equalize_norms_()
+    return tn.contract(...)
+
+
+def _merge_cols_pairwise(tn, max_bond, cutoff):
+    Lx, Ly = tn._Lx, tn._Ly
+    new_Ly = (Ly + 1) // 2
+    for j in range(new_Ly):
+        y0, y1 = 2 * j, 2 * j + 1
+        for i in range(Lx):
+            t0 = tn.site_tag(i, y0)
+            if y1 < Ly:
+                t1 = tn.site_tag(i, y1)
+                if t0 in tn.tag_map and t1 in tn.tag_map:
+                    tn.contract_tags_((t0, t1), which="any")
+            for tid in tuple(tn.tag_map.get(t0, ())):
+                t = tn.tensor_map[tid]
+                t.drop_tags((
+                    t0, tn.site_tag(i, y1) if y1 < Ly else t0,
+                    tn.y_tag(y0), tn.y_tag(y1) if y1 < Ly else
+                    tn.y_tag(y0),
+                ))
+                t.add_tag((
+                    tn.site_tag(i, j), tn.x_tag(i), tn.y_tag(j),
+                ))
+    tn._Ly = new_Ly
+    for j in range(new_Ly):
+        for i in range(Lx - 1):
+            try:
+                tn.compress_between(
+                    tn.site_tag(i, j), tn.site_tag(i + 1, j),
+                    max_bond=max_bond, cutoff=cutoff,
+                )
+            except (KeyError, ValueError):
+                pass
+    return tn
+
+
+def contract_ctmrg(
+    tn, max_bond=None, cutoff=1e-10, sequence=("xmin", "ymin", "xmax",
+                                               "ymax"),
+    inplace=False, **kwargs,
+):
+    """Contract a 2D TN with a CTMRG-style schedule: boundaries absorbed
+    inward from all four directions in rotation, each absorption
+    followed by boundary compression (reference ``contract_ctmrg``
+    tn2d/core.py:3801; corner matrices arise as the boundary tensors at
+    the lattice corners)."""
+    tn = tn if inplace else tn.copy()
+    if max_bond is None:
+        max_bond = max(8, (tn.max_bond() or 2) ** 2)
+    return tn.contract_boundary(
+        max_bond=max_bond, cutoff=cutoff, sequence=sequence,
+        inplace=True, **kwargs,
+    )
+
+
+# bind as methods
+TensorNetwork2D.contract_hotrg = contract_hotrg
+TensorNetwork2D.contract_ctmrg = contract_ctmrg
