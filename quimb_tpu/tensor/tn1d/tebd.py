@@ -106,8 +106,26 @@ class LocalHam1D:
             float(jnp.linalg.norm(h)) for h in self.terms.values()
         ]))
 
-    def build_mpo_propagator_trotterized(self, dt, **mpo_opts):
-        raise NotImplementedError("trotterized MPO propagator TODO")
+    def build_mpo_propagator_trotterized(
+        self, x, max_bond=None, cutoff=1e-12, **mpo_opts
+    ):
+        """First-order Trotterized propagator ``prod_b exp(x H_b)`` as
+        an MPO (reference ``LocalHam1D`` propagator tn1d/tebd.py:100):
+        even bonds then odd bonds, applied to an identity MPO with
+        reduce-split compression."""
+        from ..gating import tensor_network_gate_inds
+        from .builders import MPO_identity
+
+        mpo = MPO_identity(self.L, **mpo_opts)
+        for parity in (0, 1):
+            for i in range(parity, self.L - 1, 2):
+                U = self.get_gate_expm((i, i + 1), x)
+                tensor_network_gate_inds(
+                    mpo, U, (mpo.upper_ind(i), mpo.upper_ind(i + 1)),
+                    contract="reduce-split", inplace=True,
+                    max_bond=max_bond, cutoff=cutoff,
+                )
+        return mpo
 
     def __repr__(self):
         return f"<LocalHam1D(L={self.L}, cyclic={self.cyclic})>"

@@ -89,6 +89,27 @@ class LocalHam2D:
             self._gate_cache[key] = U
             return U
 
+    def build_pepo_propagator(self, x, max_bond=None, cutoff=1e-12,
+                              **pepo_opts):
+        """First-order Trotterized propagator ``prod_b exp(x H_b)`` as
+        a PEPO (reference ``LocalHam2D`` PEPO propagator
+        tn2d/tebd.py:97): bond gates applied to an identity PEPO with
+        reduce-split compression."""
+        from ..gating import tensor_network_gate_inds
+        from .builders import PEPO_identity
+
+        pepo = PEPO_identity(self.Lx, self.Ly, **pepo_opts)
+        for where in sorted(self.terms):
+            U = self.get_gate_expm(where, x)
+            a, b = where
+            tensor_network_gate_inds(
+                pepo, U,
+                (pepo.upper_ind(*a), pepo.upper_ind(*b)),
+                contract="reduce-split", inplace=True,
+                max_bond=max_bond, cutoff=cutoff,
+            )
+        return pepo
+
     def __repr__(self):
         return f"<LocalHam2D(Lx={self.Lx}, Ly={self.Ly})>"
 
