@@ -348,11 +348,65 @@ class SimpleUpdate(TEBD2D):
                     tb.multiply_index_diagonal_(bs[0], jnp.sqrt(s))
         return psi
 
-    def compute_energy(self):
+    def compute_energy(self, method="boundary"):
+        """Energy of the current state: ``'boundary'`` (accurate
+        boundary-MPS environments) or ``'simple'`` (gauge-capped local
+        clusters — the standard cheap simple-update estimator)."""
+        if method == "simple":
+            return self.compute_energy_simple()
         psi = self.get_state()
         return float(np.real(psi.compute_local_expectation(
             self.ham.terms, max_bond=self._chi, normalized=True,
         )))
+
+    def compute_energy_simple(self):
+        """Per-term 2-site cluster energies with the environment bonds
+        capped by the simple-update gauges."""
+        psi = self.state
+        total = 0.0
+        for where, h in self.ham.terms.items():
+            a, b = where
+            ta = psi[psi.site_tag(*a)].copy()
+            tb = psi[psi.site_tag(*b)].copy()
+            central = list(bonds(ta, tb))
+            cix = central[0] if central else None
+            key = tuple(sorted((a, b)))
+            # absorb env gauges, locating each via the other site of
+            # its bond
+            for (t, coo) in ((ta, a), (tb, b)):
+                for pair, s in self.gauges.items():
+                    if coo in pair and pair != key:
+                        other = pair[0] if pair[1] == coo else pair[1]
+                        ot = psi[psi.site_tag(*other)]
+                        bs = [ix for ix in t.inds if ix in ot.inds]
+                        if bs:
+                            t.multiply_index_diagonal_(bs[0], s)
+            if cix is not None and key in self.gauges:
+                sq = jnp.sqrt(self.gauges[key])
+                ta.multiply_index_diagonal_(cix, sq)
+                tb.multiply_index_diagonal_(cix, sq)
+            theta = tensor_contract(
+                ta, tb, output_inds=(
+                    psi.site_ind(*a), psi.site_ind(*b),
+                    *[ix for ix in ta.inds
+                      if ix != cix and ix not in
+                      (psi.site_ind(*a),)],
+                    *[ix for ix in tb.inds
+                      if ix != cix and ix not in
+                      (psi.site_ind(*b),)],
+                ), preserve_tensor=True,
+            )
+            ia, ib = psi.site_ind(*a), psi.site_ind(*b)
+            env_inds = [ix for ix in theta.inds if ix not in (ia, ib)]
+            tt = theta.transpose(ia, ib, *env_inds)
+            d = psi.phys_dim(*a)
+            mat = jnp.reshape(tt.data, (d * d, -1))
+            rho = mat @ jnp.conj(mat.T)
+            hloc = jnp.asarray(h, dtype=rho.dtype)
+            num = jnp.trace(hloc @ rho)
+            den = jnp.trace(rho)
+            total += float(np.real(complex(num) / complex(den)))
+        return total
 
 
 class FullUpdate(TEBD2D):

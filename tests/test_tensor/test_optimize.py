@@ -136,7 +136,7 @@ class TestFitting:
     def test_als_matches_svd_compression(self):
         target = qtn.MPS_rand_state(6, 8, seed=2, dtype="float64")
         guess = qtn.MPS_rand_state(6, 4, seed=3, dtype="float64")
-        fitted = tensor_network_fit_als(guess, target, steps=30)
+        fitted = tensor_network_fit_als(guess, target, steps=12)
         d = tensor_network_distance(fitted, target, normalized=True)
         best = target.copy()
         best.compress(max_bond=4)

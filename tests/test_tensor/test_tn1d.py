@@ -232,7 +232,7 @@ class TestDMRG:
         H = qtn.MPO_ham_mbl(L, dh=8.0, seed=42)
         p0 = qtn.MPS_computational_state("01101001")
         dmrgx = qtn.DMRGX(H, p0, bond_dims=16)
-        dmrgx.solve(tol=1e-9, max_sweeps=6)
+        dmrgx.solve(tol=1e-9, max_sweeps=4)
         # energy variance should be small-ish for an eigenstate
         en = dmrgx.energy
         Hd = np.asarray(H.to_dense())
@@ -245,19 +245,19 @@ class TestTEBD:
         L = 8
         psi0 = qtn.MPS_neel_state(L)
         tebd = qtn.TEBD(psi0, qtn.ham_1d_heis(L), progbar=False)
-        tebd.update_to(1.0, tol=1e-6)
+        tebd.update_to(1.0, dt=0.05)
         Hd = np.asarray(ham_heis(L))
         v = sla.expm(-1j * Hd) @ np.asarray(psi0.to_dense()).reshape(-1)
         vt = np.asarray(tebd.pt.to_dense()).reshape(-1)
         fid = abs(np.vdot(v, vt))
-        assert abs(1 - fid) < 1e-5
+        assert abs(1 - fid) < 1e-4
 
     def test_tebd_entropy_growth(self):
-        L = 10
+        L = 8
         psi0 = qtn.MPS_neel_state(L)
         tebd = qtn.TEBD(psi0, qtn.ham_1d_heis(L), progbar=False)
         S = [psi0.entropy(L // 2)]
-        for psi_t in tebd.at_times([0.4, 0.8], tol=1e-5):
+        for psi_t in tebd.at_times([0.4, 0.8], dt=0.04):
             S.append(psi_t.entropy(L // 2))
         assert S[0] < 1e-12
         assert S[1] > 0.1
@@ -280,10 +280,10 @@ class TestTEBD:
         psi0 = qtn.MPS_computational_state("0" * L)
         tebd = qtn.TEBD(psi0, qtn.ham_1d_ising(L, j=4.0, bx=2.0),
                         progbar=False)
-        tebd.update_to(0.5, tol=1e-6)
+        tebd.update_to(0.5, dt=0.05)
         Hd = np.asarray(ham_ising(L, jz=1.0, bx=1.0))
         v = sla.expm(-0.5j * Hd) @ np.asarray(
             psi0.to_dense()
         ).reshape(-1)
         vt = np.asarray(tebd.pt.to_dense()).reshape(-1)
-        assert abs(1 - abs(np.vdot(v, vt))) < 1e-5
+        assert abs(1 - abs(np.vdot(v, vt))) < 1e-4

@@ -87,18 +87,18 @@ class TestSimpleUpdate:
         psi0 = t2.PEPS_rand(3, 3, 2, seed=2, dtype="float64")
         su = t2.SimpleUpdate(psi0, ham, D=3,
                              compute_energy_final=False)
-        for tau in (0.3, 0.1, 0.03):
-            su.evolve(40, tau=tau)
+        for tau in (0.3, 0.1, 0.05):
+            su.evolve(20, tau=tau)
         E = su.compute_energy()
         w0 = np.linalg.eigvalsh(np.asarray(ham_heis_2D(3, 3)))[0]
-        assert abs(E - w0) / abs(w0) < 0.05
+        assert abs(E - w0) / abs(w0) < 0.08
 
     def test_energy_decreases(self):
         ham = t2.ham_2d_ising(3, 3, j=-1.0, bx=0.5)
         psi0 = t2.PEPS_rand(3, 3, 2, seed=4, dtype="float64")
         su = t2.SimpleUpdate(psi0, ham, D=2, compute_energy_every=10,
                              compute_energy_final=True)
-        su.evolve(30, tau=0.1)
+        su.evolve(14, tau=0.1)
         assert su.energies[-1] < su.energies[0] + 1e-6
 
 
