@@ -1,0 +1,224 @@
+"""Tests for the 1D compression family, circuit extras, BP extras,
+networking, MERA, 3D, and the Trotterized propagator builders."""
+
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+import quimb_tpu.tensor as qtn
+import quimb_tpu.tensor.tn2d as t2
+import quimb_tpu.tensor.tn3d as t3
+from quimb_tpu.gen.operators import ham_heis, ham_heis_2D
+from quimb_tpu.tensor.tn1d import compress as C
+
+
+class TestCompress1D:
+    @pytest.mark.parametrize(
+        "method", ["direct", "dm", "zipup", "zipup-oversample", "fit",
+                   "src"]
+    )
+    def test_mpo_mps_apply(self, method):
+        mps = qtn.MPS_rand_state(8, 8, seed=0, dtype="float64")
+        mpo = qtn.MPO_ham_heis(8)
+        exact = np.asarray(mpo.apply(mps).to_dense()).reshape(-1)
+        out = C.mps_gate_with_mpo(
+            mps, mpo, max_bond=16, cutoff=1e-12, method=method
+        )
+        got = np.asarray(out.to_dense()).reshape(-1)
+        ph = np.vdot(got, exact)
+        ph = ph / abs(ph)
+        err = np.linalg.norm(got * ph - exact) / np.linalg.norm(exact)
+        tol = 0.2 if method == "zipup" else 0.02
+        assert err < tol
+        assert out.max_bond() <= 16
+
+    def test_optimal_methods_match_svd(self):
+        mps = qtn.MPS_rand_state(8, 8, seed=1, dtype="float64")
+        mpo = qtn.MPO_ham_heis(8)
+        exact_mps = mpo.apply(mps)
+        exact = np.asarray(exact_mps.to_dense()).reshape(-1)
+        best = exact_mps.copy()
+        best.compress(max_bond=12, cutoff=0.0)
+        d_best = np.linalg.norm(
+            np.asarray(best.to_dense()).reshape(-1) - exact
+        )
+        for method in ("direct", "dm"):
+            out = C.mps_gate_with_mpo(
+                mps, mpo, max_bond=12, cutoff=0.0, method=method
+            )
+            d = np.linalg.norm(
+                np.asarray(out.to_dense()).reshape(-1) - exact
+            )
+            assert d < d_best * 1.02 + 1e-12
+
+
+class TestPropagators:
+    def test_mpo_propagator(self):
+        L, dt = 6, 0.01
+        ham = qtn.ham_1d_heis(L)
+        P = ham.build_mpo_propagator_trotterized(-dt)
+        Pd = np.asarray(P.to_dense())
+        exact = sla.expm(-dt * np.asarray(ham_heis(L)).real)
+        assert np.abs(Pd - exact).max() < 5 * dt**2
+
+    def test_pepo_propagator(self):
+        dt = 0.01
+        h2 = t2.ham_2d_heis(2, 3)
+        P2 = h2.build_pepo_propagator(-dt, max_bond=8)
+        inds = [P2.upper_ind(i, j) for i in range(2)
+                for j in range(3)] + \
+               [P2.lower_ind(i, j) for i in range(2) for j in range(3)]
+        t = P2.contract(..., output_inds=tuple(inds),
+                        preserve_tensor=True)
+        P2d = np.asarray(t.data).reshape(64, 64)
+        exact2 = sla.expm(-dt * np.asarray(ham_heis_2D(2, 3)).real)
+        assert np.abs(P2d - exact2).max() < 5 * dt**2
+
+
+class TestCircuitExtras:
+    def test_circuit_mps_lazy(self):
+        from quimb_tpu.tensor.circuit import CircuitDense, CircuitMPSLazy
+
+        c1 = CircuitMPSLazy(4)
+        c2 = CircuitDense(4)
+        for c in (c1, c2):
+            c.h(0)
+            c.cx(0, 1)
+            c.rx(0.3, 2)
+            c.cz(2, 3)
+            c.t(1)
+            c.cx(1, 2)
+        assert np.allclose(
+            np.asarray(c1.to_dense()), np.asarray(c2.to_dense()),
+            atol=1e-10,
+        )
+
+    def test_circuit_peps(self):
+        from quimb_tpu.tensor.circuit import CircuitDense, CircuitPEPS
+
+        cp = CircuitPEPS(2, 2, max_bond=4)
+        cd = CircuitDense(4)
+        for c in (cp, cd):
+            c.h(0)
+            c.cx(0, 1)
+            c.cx(0, 2)
+            c.cz(2, 3)
+        assert abs(
+            complex(cp.amplitude("0110")) - complex(cd.amplitude("0110"))
+        ) < 1e-10
+
+    def test_openqasm3(self):
+        from quimb_tpu.tensor.circuit import Circuit
+
+        c = Circuit.from_openqasm3_str(
+            "OPENQASM 3; qubit[2] q; h q[0]; cx q[0],q[1];"
+        )
+        assert abs(abs(complex(c.amplitude("11"))) ** 2 - 0.5) < 1e-10
+
+
+class TestBPExtras:
+    def test_l2bp_runs(self):
+        import quimb_tpu.tensor.belief_propagation as bp
+
+        psi = t2.PEPS_rand(3, 3, 2, seed=0, dtype="float64")
+        exact = float(np.linalg.norm(np.asarray(psi.to_dense())) ** 2)
+        val = float(np.real(bp.contract_l2bp(psi, tol=1e-8)))
+        assert abs(val - exact) / exact < 0.3
+
+    def test_diis_accelerates(self):
+        import jax.numpy as jnp
+
+        from quimb_tpu.tensor.belief_propagation import DIIS
+
+        diis = DIIS()
+        x = jnp.zeros(5)
+        c = jnp.arange(5.0)
+        for _ in range(5):
+            x = diis.update(0.5 * x + c)
+        assert float(jnp.abs(x - 2 * c).max()) < 1e-8
+
+    def test_region_graph(self):
+        from quimb_tpu.tensor.belief_propagation import RegionGraph
+
+        rg = RegionGraph([{1, 2}, {2, 3}, {3, 4}])
+        # CVM: total count of any contained element's regions == 1
+        for site in (1, 2, 3, 4):
+            tot = sum(
+                c for r, c in rg.counts.items() if site in r
+            )
+            assert tot == 1
+
+
+class TestNetworkingExtras:
+    def test_hotrg_and_ctmrg(self):
+        psi = t2.PEPS_rand(4, 4, 2, seed=0, dtype="float64")
+        norm = psi.make_norm()
+        exact = float(np.linalg.norm(np.asarray(psi.to_dense())) ** 2)
+        v1 = float(np.real(norm.copy().contract_hotrg(max_bond=32)))
+        v2 = float(np.real(norm.copy().contract_ctmrg(max_bond=32)))
+        assert abs(v1 - exact) / exact < 1e-6
+        assert abs(v2 - exact) / exact < 1e-4
+
+    def test_mera(self):
+        from quimb_tpu.tensor.tn1d.mera import MERA
+
+        m = MERA.rand(8, seed=0).isometrize()
+        assert abs(float(m.norm()) - 1.0) < 1e-10
+
+    def test_peps3d(self):
+        p3 = t3.PEPS3D.rand(2, 2, 2, 2, seed=1, dtype="float64")
+        exact = float(np.linalg.norm(np.asarray(p3.to_dense())) ** 2)
+        bdry = float(np.real(p3.norm2(max_bond=16)))
+        assert abs(exact - bdry) / exact < 1e-10
+
+    def test_su3d_runs(self):
+        ham = t3.ham_3d_heis(2, 2, 2)
+        psi0 = t3.PEPS3D.rand(2, 2, 2, 2, seed=0, dtype="float64")
+        su = t3.SimpleUpdate3D(psi0, ham, D=2)
+        su.evolve(4, tau=0.1)
+        psi = su.get_state()
+        assert np.isfinite(
+            float(np.linalg.norm(np.asarray(psi.to_dense())))
+        )
+
+
+class TestVMC:
+    def test_vmc_improves(self):
+        from quimb_tpu.experimental.tnvmc import ExchangeSampler, TNVMC
+        from quimb_tpu.operator import heisenberg_from_edges
+
+        L = 6
+        edges = [(i, i + 1) for i in range(L - 1)]
+        ham = heisenberg_from_edges(edges)
+        psi0 = qtn.MPS_rand_state(L, 4, seed=3, dtype="float64")
+        vmc = TNVMC(
+            psi0, ham,
+            sampler=ExchangeSampler(L, nchains=128, seed=1),
+            learning_rate=0.05, nchains=128, seed=2, burn_in=16,
+        )
+        vmc.run(25, progbar=False)
+        w0 = np.linalg.eigvalsh(np.asarray(ham_heis(L)).real)[0]
+        # should be clearly below zero and descending toward w0
+        assert vmc.energies[-1] < 0.5 * w0
+
+
+class TestSLQTensor:
+    def test_mps_subsystem_entropy(self):
+        from quimb_tpu.tensor.tensor_approx_spectral import (
+            tensor_network_approx_spectral_function,
+        )
+
+        psi = qtn.MPS_rand_state(10, 8, seed=0, dtype="float64")
+        rho_op = psi.partial_trace_linop(range(5))
+        S_ap = -tensor_network_approx_spectral_function(
+            rho_op,
+            lambda x: np.where(
+                x > 0, x * np.log2(np.clip(x, 1e-300, None)), 0.0
+            ),
+            tol=0.05, pos=True, seed=3,
+        )
+        rho = np.asarray(psi.partial_trace(range(5)))
+        w = np.linalg.eigvalsh(rho)
+        w = w[w > 1e-16]
+        S_ex = float(-(w * np.log2(w)).sum())
+        assert abs(S_ap - S_ex) / S_ex < 0.15
