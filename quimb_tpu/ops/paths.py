@@ -252,7 +252,30 @@ def path_optimal(inputs, output, sizes, flops_cap=None):
 def path_random_greedy(
     inputs, output, sizes, repeats=32, temperature=1.0, seed=None
 ):
-    """Multi-restart greedy with noise; keep the lowest-flops path."""
+    """Multi-restart greedy with noise; keep the lowest-flops path.
+
+    Uses the native (C++) search from :mod:`quimb_tpu.ops.native` when
+    available — the analogue of the reference's cotengrust backend —
+    falling back to the pure-python greedy below. Both paths are
+    validated against each other (see tests/test_ops/test_native.py).
+    """
+    from .native import path_rgreedy_native
+
+    # native search is ~30-50x faster per restart, so spend some of that
+    # on extra restarts for better paths
+    npath = path_rgreedy_native(
+        inputs, output, sizes,
+        repeats=4 * repeats, temperature=temperature, seed=seed,
+    )
+    if npath is not None:
+        # guard: keep whichever of native / plain-greedy costs less
+        gpath = path_greedy(inputs, output, sizes)
+        if path_cost(inputs, output, sizes, npath) <= path_cost(
+            inputs, output, sizes, gpath
+        ):
+            return npath
+        return gpath
+
     rng = random.Random(seed)
     best_path = path_greedy(inputs, output, sizes)
     best_cost = path_cost(inputs, output, sizes, best_path)

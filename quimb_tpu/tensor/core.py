@@ -1595,6 +1595,12 @@ class TensorNetwork:
     def __or__(self, other):
         return TensorNetwork((self, other))
 
+    def __matmul__(self, other):
+        """``tn1 @ tn2``: combine and fully contract — the standard
+        inner-product shorthand (reference tensor_core.py
+        ``TensorNetwork.__matmul__``)."""
+        return TensorNetwork((self, other), virtual=True).contract(...)
+
     def __xor__(self, tags):
         """Contract tagged tensors: ``tn ^ tags`` or ``tn ^ ...``."""
         return self.contract(tags)
