@@ -41,6 +41,18 @@ if _X64_ENV == "1" or (_X64_ENV == "auto" and not _default_backend_is_tpu()):
 else:
     _DEFAULT_DTYPE = "complex64"
 
+# -- matmul precision ----------------------------------------------------------
+# TPU matmuls default to bfloat16 inputs (~3 decimal digits), which is far
+# below what quantum-simulation value-exactness requires — e.g. an 8-qubit
+# GHZ amplitude comes out 0.7019 instead of 0.70711. Default to full f32
+# MXU passes; kernels that want bf16 speed opt in locally via
+# ``jax.default_matmul_precision('bfloat16')``.
+if os.environ.get("QUIMB_TPU_MATMUL_PRECISION", "") != "default":
+    jax.config.update(
+        "jax_default_matmul_precision",
+        os.environ.get("QUIMB_TPU_MATMUL_PRECISION", "highest"),
+    )
+
 _thread_local = threading.local()
 
 

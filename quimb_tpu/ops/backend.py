@@ -40,3 +40,12 @@ def to_host(x):
     if jnp.iscomplexobj(x) and _needs_split():
         return np.asarray(x.real) + 1j * np.asarray(x.imag)
     return np.asarray(x)
+
+
+def maybe_host_scalar(x):
+    """For terminal user-facing quantities: convert a *concrete* jax
+    scalar to a host python/numpy scalar (TPU-safe for complex), but
+    pass tracers through untouched so the function stays jittable."""
+    if isinstance(x, jax.core.Tracer) or not isinstance(x, jax.Array):
+        return x
+    return to_host(x).item()

@@ -24,6 +24,7 @@ import threading
 import jax
 import jax.numpy as jnp
 
+from ..config import on_tpu
 from ..utils import LRU
 from . import paths as _paths
 
@@ -302,6 +303,11 @@ def array_contract(
     expr = array_contract_expression(
         inputs, output, shapes=shapes, optimize=optimize
     )
+    # NOTE: whole-expression jit (expr.jitted()) is available but NOT the
+    # default: every distinct TN geometry would trigger a fresh XLA
+    # compile (~20-40s through the TPU tunnel), which dominates one-off
+    # setup contractions. Eager pairwise einsum shares jit caches across
+    # geometries via per-step (labels, shapes) keys.
     result = expr(*arrays, backend=backend)
     if return_expression:
         return result, expr

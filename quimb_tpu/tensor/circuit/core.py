@@ -21,6 +21,7 @@ import numbers
 import jax.numpy as jnp
 import numpy as np
 
+from ...ops.backend import maybe_host_scalar, to_device
 from ...config import get_default_dtype
 from ...utils import LRU, oset
 from ..core import Tensor, TensorNetwork, rand_uuid
@@ -114,7 +115,7 @@ class CircuitBase:
         if isinstance(gate.label, str):
             tags.append(gate.label)
         self.gates.append(gate)
-        U = jnp.asarray(gate.build_array(), dtype=self.dtype)
+        U = to_device(gate.build_array(), dtype=self.dtype)
         where = (*gate.controls, *gate.qubits)
         self._apply_array(U, where, tags=tags, **opts)
 
@@ -364,7 +365,7 @@ class Circuit(CircuitBase):
                 "tn": psi,
                 "tree": psi.contraction_info(optimize=optimize),
             }
-        return psi.contract(..., optimize=optimize)
+        return maybe_host_scalar(psi.contract(..., optimize=optimize))
 
     def amplitude_rehearse(self, b=None, **kwargs):
         if b is None:
@@ -410,10 +411,10 @@ class Circuit(CircuitBase):
             simplify_sequence=simplify_sequence,
             simplify_atol=simplify_atol, **contract_opts,
         )
-        G = jnp.asarray(G, dtype=rho.dtype)
+        G = to_device(G, dtype=rho.dtype)
         d = rho.shape[0]
         G = jnp.reshape(G, (d, d))
-        return jnp.trace(G @ rho)
+        return maybe_host_scalar(jnp.trace(G @ rho))
 
     def compute_marginal(self, where, fix=None, optimize="auto",
                          simplify_sequence="ADCR", simplify_atol=1e-12,
@@ -580,14 +581,14 @@ class CircuitDense(CircuitBase):
 
     def _init_state(self, psi0):
         return jnp.reshape(
-            jnp.asarray(psi0.to_dense(), dtype=self.dtype), (-1,)
+            to_device(psi0.to_dense(), dtype=self.dtype), (-1,)
         )
 
     def _apply_array(self, U, where, tags=None, **opts):
         n = self.N
         nq = len(where)
         psi = jnp.reshape(self._psi, (2,) * n)
-        Ut = jnp.reshape(jnp.asarray(U, dtype=self.dtype), (2,) * (2 * nq))
+        Ut = jnp.reshape(to_device(U, dtype=self.dtype), (2,) * (2 * nq))
         axes = list(where)
         psi = jnp.tensordot(Ut, psi, axes=(list(range(nq, 2 * nq)), axes))
         # output axes of U are now leading; move them back
@@ -607,7 +608,7 @@ class CircuitDense(CircuitBase):
         idx = 0
         for v in b:
             idx = 2 * idx + int(v)
-        return self._psi[idx]
+        return maybe_host_scalar(self._psi[idx])
 
     def sample(self, C, seed=None, **kwargs):
         from ...calc import simulate_counts
@@ -629,6 +630,6 @@ class CircuitDense(CircuitBase):
         if isinstance(where, numbers.Integral):
             where = (where,)
         rho = self.partial_trace(where)
-        G = jnp.asarray(G, dtype=rho.dtype)
+        G = to_device(G, dtype=rho.dtype)
         d = rho.shape[0]
         return jnp.trace(jnp.reshape(G, (d, d)) @ rho)

@@ -8,6 +8,7 @@ reduce-split truncation; sampling is the exact sequential MPS sampler.
 import numbers
 
 import jax.numpy as jnp
+from ...ops.backend import maybe_host_scalar, to_device
 import numpy as np
 
 from ..core import bonds
@@ -43,7 +44,7 @@ class CircuitMPS(CircuitBase):
                 if i > j:
                     # gate array assumes (q0, q1) ordering — swap via
                     # transposing the gate
-                    U4 = jnp.reshape(jnp.asarray(U), (2, 2, 2, 2))
+                    U4 = jnp.reshape(to_device(U), (2, 2, 2, 2))
                     U = jnp.reshape(
                         jnp.transpose(U4, (1, 0, 3, 2)), (4, 4)
                     )
@@ -51,7 +52,7 @@ class CircuitMPS(CircuitBase):
                 self._psi.gate_split_(U, (i, j), **opts)
             else:
                 if i > j:
-                    U4 = jnp.reshape(jnp.asarray(U), (2, 2, 2, 2))
+                    U4 = jnp.reshape(to_device(U), (2, 2, 2, 2))
                     U = jnp.reshape(
                         jnp.transpose(U4, (1, 0, 3, 2)), (4, 4)
                     )
@@ -101,7 +102,7 @@ class CircuitMPS(CircuitBase):
             t.reindex_({ix: new_inds[ix] for ix in inds
                         if ix in t.inds})
         TG = Tensor(
-            jnp.reshape(jnp.asarray(U, dtype=psi.dtype),
+            jnp.reshape(to_device(U, dtype=psi.dtype),
                         (2,) * (2 * k)),
             inds=(*inds, *[new_inds[ix] for ix in inds]),
         )
@@ -139,7 +140,7 @@ class CircuitMPS(CircuitBase):
     def amplitude(self, b, **kwargs):
         if isinstance(b, str):
             b = tuple(int(x) for x in b)
-        return self._psi.amplitude(b)
+        return maybe_host_scalar(self._psi.amplitude(b))
 
     def to_dense(self, **kwargs):
         return self._psi.to_dense()
@@ -196,7 +197,7 @@ class CircuitPermMPS(CircuitMPS):
         i, j = phys
         swapped = False
         if i > j:
-            U4 = jnp.reshape(jnp.asarray(U), (2, 2, 2, 2))
+            U4 = jnp.reshape(to_device(U), (2, 2, 2, 2))
             U = jnp.reshape(jnp.transpose(U4, (1, 0, 3, 2)), (4, 4))
             i, j = j, i
             swapped = True
@@ -233,7 +234,7 @@ class CircuitPermMPS(CircuitMPS):
             b = tuple(int(x) for x in b)
         # permute bits to physical order
         bp = tuple(b[self.qubit_perm[p]] for p in range(self.N))
-        return self._psi.amplitude(bp)
+        return maybe_host_scalar(self._psi.amplitude(bp))
 
     def to_dense(self, **kwargs):
         psi = self.get_psi_unpermuted()
@@ -297,7 +298,7 @@ class CircuitMPSLazy(CircuitMPS):
             for tid in tuple(tn.ind_map[ix]):
                 tn.tensor_map[tid].reindex_({ix: new})
             tn.add_tensor(_T(
-                jnp.asarray(G, dtype=psi.dtype), (ix, new),
+                to_device(G, dtype=psi.dtype), (ix, new),
                 tags=[psi.site_tag(q)],
             ), virtual=True)
 
@@ -307,7 +308,7 @@ class CircuitMPSLazy(CircuitMPS):
                 continue
             i, j = where
             if i > j:
-                U4 = jnp.reshape(jnp.asarray(U), (2, 2, 2, 2))
+                U4 = jnp.reshape(to_device(U), (2, 2, 2, 2))
                 U = jnp.reshape(
                     jnp.transpose(U4, (1, 0, 3, 2)), (4, 4)
                 )
@@ -315,7 +316,7 @@ class CircuitMPSLazy(CircuitMPS):
             # factor the gate spatially so each piece joins its own
             # site column
             Gl, Gr, kk = gate_split_gate(
-                jnp.asarray(U, dtype=psi.dtype), 2, (2, 2)
+                to_device(U, dtype=psi.dtype), 2, (2, 2)
             )
             bix = rand_uuid()
             for (q, G) in ((i, Gl), (j, Gr)):
@@ -324,7 +325,7 @@ class CircuitMPSLazy(CircuitMPS):
                 for tid in tuple(tn.ind_map[ix]):
                     tn.tensor_map[tid].reindex_({ix: new})
                 tn.add_tensor(_T(
-                    jnp.asarray(G, dtype=psi.dtype), (ix, new, bix),
+                    to_device(G, dtype=psi.dtype), (ix, new, bix),
                     tags=[psi.site_tag(q)],
                 ), virtual=True)
         self._queue = []

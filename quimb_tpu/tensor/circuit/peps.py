@@ -10,6 +10,7 @@ import numpy as np
 
 from ..tn2d.builders import PEPS_computational_state
 from .core import CircuitBase
+from ...ops.backend import maybe_host_scalar
 
 
 class CircuitPEPS(CircuitBase):
@@ -73,9 +74,9 @@ class CircuitPEPS(CircuitBase):
             tid = next(iter(psi.ind_map[ind]))
             psi.tensor_map[tid].isel_({ind: int(b[q])})
         psi.view_like_(self._psi)
-        return psi.contract_boundary(
+        return maybe_host_scalar(psi.contract_boundary(
             max_bond=max_bond or self._chi, **kwargs
-        )
+        ))
 
     def local_expectation(self, G, where, **kwargs):
         if isinstance(where, numbers.Integral):

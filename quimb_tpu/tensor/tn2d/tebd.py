@@ -17,7 +17,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...utils import check_opt, oset
-from ..core import Tensor, bonds, rand_uuid, tensor_contract
+from ..core import (
+    Tensor,
+    TensorNetwork,
+    bonds,
+    rand_uuid,
+    tensor_contract,
+)
 from .core import PEPS, gen_2d_bonds
 
 
@@ -410,22 +416,176 @@ class SimpleUpdate(TEBD2D):
 
 
 class FullUpdate(TEBD2D):
-    """Full update: gate with fitting against the full boundary
-    environment (reference ``FullUpdate`` tn2d/tebd.py:968).
+    """Full update: each gate application is fitted to the current
+    tensors against the full boundary-contracted environment via
+    alternating least squares (reference ``FullUpdate``
+    tn2d/tebd.py:968 / ``gate_full_update_als`` :724).
 
-    Round-1 implementation applies the gate with reduce-split then
-    re-equilibrates locally; the ALS-environment fitting refinement is
-    tracked for a later round."""
+    Per gate, the environment of the two sites is formed from fresh
+    row-boundary environments of ``<psi|psi>``; the gated plaquette is
+    then fitted at fixed bond dimension by solving per-site normal
+    equations ``N x = b`` (the environment never touches the physical
+    index, so ``N`` acts on bond space only and the physical dimension
+    rides along as solve columns).
+
+    Parameters
+    ----------
+    fit_steps : int
+        Max ALS sweeps per gate.
+    fit_tol : float
+        Relative cost-change convergence threshold.
+    pos_smudge : float
+        Hermitian-projection + diagonal regularisation strength for N.
+    """
+
+    def __init__(self, psi0, ham, *, fit_steps=12, fit_tol=1e-10,
+                 pos_smudge=1e-8, **kwargs):
+        kwargs.setdefault("gate_opts", {}).setdefault("cutoff", 0.0)
+        super().__init__(psi0, ham, **kwargs)
+        self.fit_steps = fit_steps
+        self.fit_tol = fit_tol
+        self.pos_smudge = pos_smudge
+
+    def _plaquette_env(self, norm, a, b):
+        """Environment TN of sites ``a, b``: row-boundary envs above and
+        below their row-span plus the in-span rows, minus the four
+        plaquette tensors themselves."""
+        psi = self.state
+        x_envs = norm.compute_x_environments(max_bond=self._chi)
+        x0, x1 = min(a[0], b[0]), max(a[0], b[0])
+        strip = TensorNetwork(())
+        bot = x_envs.get(("xmin", x0))
+        if bot is not None and bot.num_tensors:
+            strip.add_tensor_network(
+                bot.copy(), virtual=True, check_collisions=False
+            )
+        for x in range(x0, x1 + 1):
+            strip.add_tensor_network(
+                norm.select(norm.x_tag(x), which="any").copy(),
+                virtual=True, check_collisions=False,
+            )
+        top = x_envs.get(("xmax", x1))
+        if top is not None and top.num_tensors:
+            strip.add_tensor_network(
+                top.copy(), virtual=True, check_collisions=False
+            )
+        ta, tb = psi.site_tag(*a), psi.site_tag(*b)
+        return strip.select((ta, tb), which="!any")
+
+    @staticmethod
+    def _make_bra(ket_t, phys_ind):
+        """Conjugate site tensor living in the mangled bra layer."""
+        inds = tuple(
+            ix if ix == phys_ind else ix + "*" for ix in ket_t.inds
+        )
+        return Tensor(jnp.conj(ket_t.data), inds=inds)
 
     def gate(self, U, where):
-        self.state.gate_(
-            U, where, contract="reduce-split", **self.gate_opts
+        from ..gating import tensor_network_gate_inds
+
+        psi = self.state
+        a, b = where
+        ta, tb = psi.site_tag(*a), psi.site_tag(*b)
+        pa, pb = psi.site_ind(*a), psi.site_ind(*b)
+
+        norm = psi.make_norm()
+        env = self._plaquette_env(norm, a, b)
+
+        ket_a0 = psi[ta].copy()
+        ket_b0 = psi[tb].copy()
+        na0 = float(ket_a0.norm())
+        nb0 = float(ket_b0.norm())
+
+        # fixed fitting target: original plaquette with the gate applied
+        # lazily (reference gate_full_update_als :750)
+        target = tensor_network_gate_inds(
+            TensorNetwork((ket_a0.copy(), ket_b0.copy())),
+            U, (pa, pb), contract=False,
         )
-        # local re-balance of the touched bond
+
+        # initial guess: standard reduce-split application
+        guess = tensor_network_gate_inds(
+            TensorNetwork((ket_a0.copy(), ket_b0.copy())),
+            U, (pa, pb), contract="reduce-split",
+            max_bond=self.gate_opts.get("max_bond", self._D),
+            cutoff=0.0,
+        )
+        fit_a = guess[ta]
+        fit_b = guess[tb]
+
+        prev_cost = None
+        cost = None
+        for _ in range(self.fit_steps):
+            for site in ("a", "b"):
+                if site == "a":
+                    fit_s, fit_o, ps = fit_a, fit_b, pa
+                else:
+                    fit_s, fit_o, ps = fit_b, fit_a, pb
+                bond_ixs = tuple(
+                    ix for ix in fit_s.inds if ix != ps
+                )
+                lix = tuple(ix + "*" for ix in bond_ixs)
+                bra_o = self._make_bra(fit_o, pb if site == "a" else pa)
+
+                # normal matrix over the site's bond space
+                N_tn = TensorNetwork(
+                    (env, bra_o, fit_o.copy()), virtual=False,
+                    check_collisions=False,
+                )
+                N = N_tn.to_dense(lix, bond_ixs)
+                N = (N + jnp.conj(N.T)) / 2
+                dN = N.shape[0]
+                N = N + (
+                    self.pos_smudge
+                    * (jnp.abs(jnp.trace(N)) / dN + 1.0)
+                ) * jnp.eye(dN, dtype=N.dtype)
+
+                # rhs: environment-weighted overlap with the target
+                b_tn = TensorNetwork(
+                    (env, bra_o, target), virtual=False,
+                    check_collisions=False,
+                )
+                bvec = b_tn.to_dense(lix, (ps,))
+
+                x = jnp.linalg.solve(N, bvec.astype(N.dtype))
+                shape = tuple(fit_s.ind_size(ix) for ix in bond_ixs) + (
+                    fit_s.ind_size(ps),
+                )
+                fit_s.modify(
+                    data=jnp.reshape(x, shape),
+                    inds=bond_ixs + (ps,),
+                )
+
+            cost = float(
+                -2.0 * jnp.real(jnp.trace(jnp.conj(x.T) @ bvec))
+                + jnp.abs(jnp.trace(jnp.conj(x.T) @ (N @ x)))
+            )
+            if prev_cost is not None and abs(cost - prev_cost) <= (
+                self.fit_tol * max(abs(cost), 1e-30)
+            ):
+                break
+            prev_cost = cost
+
+        # condition: balance the new internal bond and restore the
+        # original tensor norms (reference condition_maintain_norms)
         from ..core import tensor_balance_bond
 
-        a, b = where
-        ta = self.state[self.state.site_tag(*a)]
-        tb = self.state[self.state.site_tag(*b)]
-        if bonds(ta, tb):
-            tensor_balance_bond(ta, tb)
+        if bonds(fit_a, fit_b):
+            tensor_balance_bond(fit_a, fit_b)
+        cna = float(fit_a.norm())
+        cnb = float(fit_b.norm())
+        if cna > 0 and na0 > 0:
+            fit_a.modify(apply=lambda d: d * (na0 / cna))
+        if cnb > 0 and nb0 > 0:
+            fit_b.modify(apply=lambda d: d * (nb0 / cnb))
+
+        # write back into the live state, restoring the original bond
+        # name between a and b
+        (old_bond,) = bonds(psi[ta], psi[tb])
+        (new_bond,) = bonds(fit_a, fit_b)
+        if new_bond != old_bond:
+            fit_a.reindex_({new_bond: old_bond})
+            fit_b.reindex_({new_bond: old_bond})
+        for live, fit in ((psi[ta], fit_a), (psi[tb], fit_b)):
+            fit_t = fit.transpose(*live.inds)
+            live.modify(data=fit_t.data)

@@ -102,6 +102,20 @@ class TestSimpleUpdate:
         assert su.energies[-1] < su.energies[0] + 1e-6
 
 
+class TestFullUpdate:
+    def test_heis_3x3_beats_simple_update_bound(self):
+        ham = t2.ham_2d_heis(3, 3)
+        psi0 = t2.PEPS_rand(3, 3, 2, seed=2, dtype="float64")
+        fu = t2.FullUpdate(psi0, ham, D=3, compute_energy_final=False)
+        for tau in (0.3, 0.1):
+            fu.evolve(10, tau=tau)
+        E = fu.compute_energy()
+        w0 = np.linalg.eigvalsh(np.asarray(ham_heis_2D(3, 3)))[0]
+        # environment-fitted updates should get much closer than the
+        # 8% SimpleUpdate bound
+        assert abs(E - w0) / abs(w0) < 0.03
+
+
 class TestPEPO:
     def test_identity(self):
         I = t2.PEPO_identity(2, 2)
