@@ -17,7 +17,7 @@ from ...config import get_default_dtype
 from ...gen.operators import spin_operator
 from ...gen.rand import randn
 from ...ops.backend import to_device
-from ..core import Tensor, rand_uuid
+from ..core import Tensor, bonds, rand_uuid
 from .core import MatrixProductOperator, MatrixProductState
 
 
@@ -31,29 +31,29 @@ def MPS_rand_state(
     seed=None, trans_invar=False, **mps_opts
 ):
     """Random MPS with bond dimension ``bond_dim``."""
-    if cyclic:
-        raise NotImplementedError("cyclic MPS builders TODO")
     dtype = dtype or get_default_dtype()
 
     arrays = []
     for i in range(L):
-        chil = min(bond_dim, 2 ** min(i, L - i), phys_dim**min(i, L - i))
-        chir = min(
-            bond_dim, phys_dim ** min(i + 1, L - i - 1)
-        )
-        chil = min(bond_dim, phys_dim**i, phys_dim ** (L - i))
-        chir = min(bond_dim, phys_dim ** (i + 1), phys_dim ** (L - i - 1))
+        if cyclic:
+            chil = chir = bond_dim
+        else:
+            chil = min(bond_dim, phys_dim**i, phys_dim ** (L - i))
+            chir = min(
+                bond_dim, phys_dim ** (i + 1), phys_dim ** (L - i - 1)
+            )
         shape = []
-        if i > 0:
+        if i > 0 or cyclic:
             shape.append(chil)
-        if i < L - 1:
+        if i < L - 1 or cyclic:
             shape.append(chir)
         shape.append(phys_dim)
         arrays.append(
             randn(tuple(shape), dtype=dtype, seed=None if seed is None
                   else seed + i)
         )
-    psi = MatrixProductState(arrays, shape="lrp", **mps_opts)
+    psi = MatrixProductState(arrays, shape="lrp", cyclic=cyclic,
+                             **mps_opts)
     if normalize:
         psi.normalize()
     return psi
@@ -66,13 +66,14 @@ def MPS_product_state(arrays, cyclic=False, **mps_opts):
     for i, a in enumerate(arrays):
         a = jnp.reshape(jnp.asarray(a), (-1,))
         shape = []
-        if i > 0:
+        if i > 0 or cyclic:
             shape.append(1)
-        if i < L - 1:
+        if i < L - 1 or cyclic:
             shape.append(1)
         shape.append(a.size)
         mps_arrays.append(jnp.reshape(a, shape))
-    return MatrixProductState(mps_arrays, shape="lrp", **mps_opts)
+    return MatrixProductState(mps_arrays, shape="lrp", cyclic=cyclic,
+                              **mps_opts)
 
 
 def MPS_computational_state(binary, dtype=None, **mps_opts):
@@ -182,17 +183,19 @@ def MPS_sampler(L, dtype=None, seed=None, **mps_opts):
 # ---------------------------------------------------------------------------
 
 
-def MPO_identity(L, phys_dim=2, dtype=None, sites=None, **mpo_opts):
+def MPO_identity(L, phys_dim=2, dtype=None, sites=None, cyclic=False,
+                 **mpo_opts):
     """Identity MPO."""
     dtype = dtype or get_default_dtype()
     II = jnp.eye(phys_dim, dtype=dtype)
     arrays = []
     for i in range(L):
-        if i == 0 or i == L - 1:
+        if not cyclic and (i == 0 or i == L - 1):
             arrays.append(jnp.reshape(II, (1, phys_dim, phys_dim)))
         else:
             arrays.append(jnp.reshape(II, (1, 1, phys_dim, phys_dim)))
-    return MatrixProductOperator(arrays, shape="lrud", **mpo_opts)
+    return MatrixProductOperator(arrays, shape="lrud", cyclic=cyclic,
+                                 **mpo_opts)
 
 
 def MPO_identity_like(mpo, **mpo_opts):
@@ -230,11 +233,12 @@ def MPO_product_operator(arrays, cyclic=False, **mpo_opts):
     for i, a in enumerate(arrays):
         a = jnp.asarray(a)
         d = a.shape[0]
-        if i == 0 or i == L - 1:
+        if not cyclic and (i == 0 or i == L - 1):
             mpo_arrays.append(jnp.reshape(a, (1, d, d)))
         else:
             mpo_arrays.append(jnp.reshape(a, (1, 1, d, d)))
-    return MatrixProductOperator(mpo_arrays, shape="lrud", **mpo_opts)
+    return MatrixProductOperator(mpo_arrays, shape="lrud", cyclic=cyclic,
+                                 **mpo_opts)
 
 
 def MPO_rand(L, bond_dim, phys_dim=2, normalize=True, herm=False,
@@ -389,9 +393,17 @@ class SpinHam1D:
 
     def build_mpo(self, L, upper_ind_id="k{}", lower_ind_id="b{}",
                   site_tag_id="I{}", tags=None, dtype=None):
-        """Build the MPO form (reference tensor_builder.py:5112)."""
+        """Build the MPO form (reference tensor_builder.py:5112).
+
+        For ``cyclic=True``, the open-chain FSM MPO is promoted to a
+        ring (trivial wrap bond) and the wrap interaction
+        ``sum_k c_k X_(L-1) Y_0`` is added as bond-1 product MPOs via
+        direct sum."""
         if self.cyclic:
-            raise NotImplementedError("cyclic MPO TODO")
+            return self._build_mpo_cyclic(
+                L, upper_ind_id=upper_ind_id, lower_ind_id=lower_ind_id,
+                site_tag_id=site_tag_id, tags=tags, dtype=dtype,
+            )
         dtype = dtype or get_default_dtype()
         arrays = []
         for i in range(L):
@@ -422,6 +434,62 @@ class SpinHam1D:
             arrays, shape="lrud", upper_ind_id=upper_ind_id,
             lower_ind_id=lower_ind_id, site_tag_id=site_tag_id, tags=tags,
         )
+
+    def _build_mpo_cyclic(self, L, upper_ind_id="k{}",
+                          lower_ind_id="b{}", site_tag_id="I{}",
+                          tags=None, dtype=None):
+        dtype = dtype or get_default_dtype()
+        ids = dict(
+            upper_ind_id=upper_ind_id, lower_ind_id=lower_ind_id,
+            site_tag_id=site_tag_id,
+        )
+
+        # open-chain FSM part, promoted to a ring with a size-1 wrap bond
+        obc = SpinHam1D(S=self.S, cyclic=False)
+        obc.one_site_terms = list(self.one_site_terms)
+        obc.two_site_terms = list(self.two_site_terms)
+        obc.var_one_site_terms = dict(self.var_one_site_terms)
+        obc.var_two_site_terms = dict(self.var_two_site_terms)
+        mpo_obc = obc.build_mpo(L, tags=tags, dtype=dtype, **ids)
+        arrays = []
+        for i in range(L):
+            t = mpo_obc[mpo_obc.site_tag(i)]
+            u, lo = mpo_obc.upper_ind(i), mpo_obc.lower_ind(i)
+            bix = tuple(ix for ix in t.inds if ix not in (u, lo))
+            if i == 0:
+                # (r, u, d) -> (1, r, u, d)
+                a = t.transpose(*bix, u, lo).data[None, ...]
+            elif i == L - 1:
+                # (l, u, d) -> (l, 1, u, d)
+                a = t.transpose(*bix, u, lo).data[:, None, ...]
+            else:
+                lb = next(iter(
+                    bonds(mpo_obc[mpo_obc.site_tag(i - 1)], t)
+                ))
+                rb = next(iter(
+                    bonds(t, mpo_obc[mpo_obc.site_tag(i + 1)])
+                ))
+                a = t.transpose(lb, rb, u, lo).data
+            arrays.append(a)
+        total = MatrixProductOperator(
+            arrays, shape="lrud", cyclic=True, tags=tags, **ids
+        )
+
+        # wrap interaction terms as bond-1 cyclic product MPOs
+        d = int(2 * self.S + 1)
+        t2s = self.var_two_site_terms.get(
+            (L - 1, 0), self.two_site_terms
+        )
+        for factor, s1, s2 in t2s:
+            ops = [np.eye(d, dtype=complex) for _ in range(L)]
+            ops[L - 1] = factor * self._op(s1)
+            ops[0] = self._op(s2)
+            term = MPO_product_operator(
+                [to_device(o, dtype=dtype) for o in ops],
+                cyclic=True, tags=tags, **ids
+            )
+            total = total.add_MPO(term)
+        return total
 
     def build_sparse(self, L, **ikron_opts):
         """Sparse (host scipy) matrix form."""

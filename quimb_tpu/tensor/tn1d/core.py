@@ -47,6 +47,23 @@ class TensorNetwork1D(TensorNetwork):
         return self._L
 
     @property
+    def cyclic(self):
+        """Whether this network has periodic boundary conditions —
+        detected as a direct bond between the first and last sites
+        (reference stores an explicit flag; geometry is the ground
+        truth here)."""
+        if self._L <= 2:
+            return False
+        try:
+            t0 = self[self.site_tag(0)]
+            tL = self[self.site_tag(self._L - 1)]
+        except KeyError:
+            return False
+        if isinstance(t0, TensorNetwork) or isinstance(tL, TensorNetwork):
+            return False
+        return bool(bonds(t0, tL))
+
+    @property
     def site_tag_id(self):
         return self._site_tag_id
 
@@ -426,6 +443,82 @@ class TensorNetwork1DFlat(TensorNetwork1D):
 # ---------------------------------------------------------------------------
 
 
+def _direct_sum_1d_arrays(x, y, phys_inds_fn):
+    """Direct-sum the site arrays of two 1D networks over their bonds
+    (the tensor-network form of ``A + B``): existing bond axes are
+    block-diagonally stacked, missing (open-boundary edge) axes are
+    shared. Returns (arrays in 'lr<phys>' layout, cyclic)."""
+    L = x._L
+    if y._L != L:
+        raise ValueError("length mismatch in 1D direct sum")
+    cyc = x.cyclic
+    if y.cyclic != cyc:
+        raise ValueError("cannot add open and cyclic networks")
+
+    def site_bonds(tn, i):
+        t = tn[tn.site_tag(i)]
+        lb = rb = None
+        if i > 0 or cyc:
+            lb_set = bonds(tn[tn.site_tag((i - 1) % L)], t)
+            lb = next(iter(lb_set)) if lb_set else None
+        if i < L - 1 or cyc:
+            rb_set = bonds(t, tn[tn.site_tag((i + 1) % L)])
+            rb = next(iter(rb_set)) if rb_set else None
+        if L == 2 and lb is not None and lb == rb:
+            # two sites share a single bond; treat it as the right bond
+            # of site 0 / left bond of site 1
+            if i == 0:
+                lb = None
+            else:
+                rb = None
+        return lb, rb
+
+    arrays = []
+    for i in range(L):
+        t1 = x[x.site_tag(i)]
+        t2 = y[y.site_tag(i)]
+        lb1, rb1 = site_bonds(x, i)
+        lb2, rb2 = site_bonds(y, i)
+        p1 = phys_inds_fn(x, i)
+        p2 = phys_inds_fn(y, i)
+        A1 = t1.transpose(
+            *(ix for ix in (lb1, rb1) if ix is not None), *p1
+        ).data
+        A2 = t2.transpose(
+            *(ix for ix in (lb2, rb2) if ix is not None), *p2
+        ).data
+        has_l = lb1 is not None
+        has_r = rb1 is not None
+        pdims = tuple(t1.ind_size(ix) for ix in p1)
+        l1 = t1.ind_size(lb1) if has_l else 1
+        r1 = t1.ind_size(rb1) if has_r else 1
+        l2 = t2.ind_size(lb2) if has_l else 1
+        r2 = t2.ind_size(rb2) if has_r else 1
+        A1 = jnp.reshape(A1, (l1, r1) + pdims)
+        A2 = jnp.reshape(A2, (l2, r2) + pdims)
+        lnew = l1 + l2 if has_l else 1
+        rnew = r1 + r2 if has_r else 1
+        new = jnp.zeros(
+            (lnew, rnew) + pdims,
+            dtype=jnp.result_type(A1.dtype, A2.dtype),
+        )
+        sl1 = (slice(0, l1) if has_l else slice(None),
+               slice(0, r1) if has_r else slice(None))
+        sl2 = (slice(l1, l1 + l2) if has_l else slice(None),
+               slice(r1, r1 + r2) if has_r else slice(None))
+        new = new.at[sl1].set(A1)
+        # .add keeps L==1 (both axes shared) summing correctly; for any
+        # present bond axis the two blocks are disjoint anyway
+        new = new.at[sl2].add(A2)
+        # emit in 'lr<phys>' layout, dropping missing edge axes
+        if not has_l:
+            new = new[0]
+        if not has_r:
+            new = new[0] if not has_l else new[:, 0]
+        arrays.append(new)
+    return arrays, cyc
+
+
 class MatrixProductState(TensorNetwork1DVector, TensorNetwork1DFlat):
     """Matrix product state (reference ``MatrixProductState``
     tn1d/core.py:1670). Arrays follow ``shape`` convention (default
@@ -434,7 +527,7 @@ class MatrixProductState(TensorNetwork1DVector, TensorNetwork1DFlat):
     _EXTRA_PROPS = ("_site_tag_id", "_site_ind_id", "_L")
 
     def __init__(self, arrays, *, shape="lrp", tags=None, site_ind_id="k{}",
-                 site_tag_id="I{}", **tn_opts):
+                 site_tag_id="I{}", cyclic=False, **tn_opts):
         if isinstance(arrays, MatrixProductState):
             super().__init__(arrays)
             return
@@ -444,11 +537,14 @@ class MatrixProductState(TensorNetwork1DVector, TensorNetwork1DFlat):
         self._site_tag_id = site_tag_id
         tags = tags_to_oset(tags)
 
-        bond_inds = [rand_uuid() for _ in range(self._L - 1)]
+        # for cyclic chains ``bond_inds[-1]`` is the wrap bond between
+        # sites L-1 and 0 (python negative indexing closes the ring)
+        nb = self._L if cyclic else self._L - 1
+        bond_inds = [rand_uuid() for _ in range(nb)]
         tensors = []
         for i, arr in enumerate(arrays):
             # determine this site's layout chars
-            order = [c for c in shape if not (
+            order = [c for c in shape if cyclic or not (
                 (i == 0 and c == "l") or (i == self._L - 1 and c == "r")
             )]
             inds = []
@@ -510,6 +606,12 @@ class MatrixProductState(TensorNetwork1DVector, TensorNetwork1DFlat):
         SURVEY §5 'exponent stripping')."""
         import math as _math
 
+        if self.cyclic:
+            # wrap bond prevents the open-boundary transfer chain; use
+            # the structured sandwich contraction instead
+            n2 = complex(expec_TN_1D(self.H, self))
+            return 0.5 * _math.log(abs(n2))
+
         log_acc = 0.0
         env = None
         for i in range(self._L):
@@ -565,8 +667,12 @@ class MatrixProductState(TensorNetwork1DVector, TensorNetwork1DFlat):
         """Apply a 2-site gate and immediately split back (TEBD move,
         reference ``gate_split`` tn1d/core.py:2052)."""
         psi = self if inplace else self.copy()
-        i, j = sorted(where)
-        assert j == i + 1, "gate_split needs neighboring sites"
+        i, j = where
+        adjacent = abs(j - i) == 1 or (
+            {i % self._L, j % self._L} == {0, self._L - 1}
+            and self.cyclic
+        )
+        assert adjacent, "gate_split needs (cyclically) neighboring sites"
         from ..gating import tensor_network_gate_inds
 
         compress_opts.setdefault("contract", "reduce-split")
@@ -608,6 +714,27 @@ class MatrixProductState(TensorNetwork1DVector, TensorNetwork1DFlat):
         ket = self.gate(G, i, contract=True)
         norm = expec_TN_1D(bra, self)
         return expec_TN_1D(bra, ket) / norm
+
+    def add_MPS(self, other, compress=False, **compress_opts):
+        """``|self> + |other>`` via bond direct sum (reference
+        ``MatrixProductState.add_MPS`` tn1d/core.py). Supports both
+        open and cyclic chains."""
+        arrays, cyc = _direct_sum_1d_arrays(
+            self, other, lambda tn, i: (tn.site_ind(i),)
+        )
+        new = MatrixProductState(
+            arrays, shape="lrp", cyclic=cyc,
+            site_ind_id=self.site_ind_id, site_tag_id=self.site_tag_id,
+        )
+        if compress:
+            new.compress(**compress_opts)
+        return new
+
+    def __add__(self, other):
+        return self.add_MPS(other)
+
+    def __sub__(self, other):
+        return self.add_MPS(other.multiply(-1))
 
     def schmidt_values(self, i, cur_orthog=None, method="svd"):
         """Schmidt values across the (i-1, i) bond
@@ -791,7 +918,7 @@ class MatrixProductOperator(TensorNetwork1DOperator, TensorNetwork1DFlat):
 
     def __init__(self, arrays, *, shape="lrud", tags=None,
                  upper_ind_id="k{}", lower_ind_id="b{}",
-                 site_tag_id="I{}", **tn_opts):
+                 site_tag_id="I{}", cyclic=False, **tn_opts):
         if isinstance(arrays, MatrixProductOperator):
             super().__init__(arrays)
             return
@@ -802,10 +929,11 @@ class MatrixProductOperator(TensorNetwork1DOperator, TensorNetwork1DFlat):
         self._site_tag_id = site_tag_id
         tags = tags_to_oset(tags)
 
-        bond_inds = [rand_uuid() for _ in range(self._L - 1)]
+        nb = self._L if cyclic else self._L - 1
+        bond_inds = [rand_uuid() for _ in range(nb)]
         tensors = []
         for i, arr in enumerate(arrays):
-            order = [c for c in shape if not (
+            order = [c for c in shape if cyclic or not (
                 (i == 0 and c == "l") or (i == self._L - 1 and c == "r")
             )]
             inds = []
@@ -824,6 +952,30 @@ class MatrixProductOperator(TensorNetwork1DOperator, TensorNetwork1DFlat):
             ))
         super().__init__(tensors, virtual=True, **tn_opts)
 
+    def add_MPO(self, other, compress=False, **compress_opts):
+        """``self + other`` via bond direct sum (reference
+        ``MatrixProductOperator.add_MPO``). Supports open and cyclic
+        chains."""
+        arrays, cyc = _direct_sum_1d_arrays(
+            self, other,
+            lambda tn, i: (tn.upper_ind(i), tn.lower_ind(i)),
+        )
+        new = MatrixProductOperator(
+            arrays, shape="lrud", cyclic=cyc,
+            upper_ind_id=self.upper_ind_id,
+            lower_ind_id=self.lower_ind_id,
+            site_tag_id=self.site_tag_id,
+        )
+        if compress:
+            new.compress(**compress_opts)
+        return new
+
+    def __add__(self, other):
+        return self.add_MPO(other)
+
+    def __sub__(self, other):
+        return self.add_MPO(other.multiply(-1))
+
     def apply(self, other, compress=False, **compress_opts):
         """Apply this MPO to an MPS (or MPO): ``A|x>``
         (reference ``MatrixProductOperator.apply``). Exact zip then
@@ -841,6 +993,8 @@ class MatrixProductOperator(TensorNetwork1DOperator, TensorNetwork1DFlat):
     def _apply_mps(self, psi, compress=False, **compress_opts):
         A = self.copy()
         x = psi.copy()
+        A.mangle_inner_()
+        x.mangle_inner_()
         # contract site-by-site: new site tensor = A_i x_i
         x.reindex_sites_("__mpo_apply{}__")
         A.reindex_lower_sites_("__mpo_apply{}__")
@@ -852,9 +1006,11 @@ class MatrixProductOperator(TensorNetwork1DOperator, TensorNetwork1DFlat):
             new_arrays.append(
                 tensor_contract(ta, tx, preserve_tensor=True)
             )
-        # fuse pairs of bonds between consecutive new tensors
-        for i in range(L - 1):
-            t1, t2 = new_arrays[i], new_arrays[i + 1]
+        # fuse pairs of bonds between consecutive new tensors (the wrap
+        # pair too on cyclic chains)
+        cyc = L > 2 and bool(bonds(new_arrays[-1], new_arrays[0]))
+        for i in range(L if cyc else L - 1):
+            t1, t2 = new_arrays[i], new_arrays[(i + 1) % L]
             shared = list(bonds(t1, t2))
             if len(shared) > 1:
                 fused = rand_uuid()
@@ -863,24 +1019,28 @@ class MatrixProductOperator(TensorNetwork1DOperator, TensorNetwork1DFlat):
         mps_arrays = []
         for i, t in enumerate(new_arrays):
             order = []
-            if i > 0:
+            if i > 0 or cyc:
                 order.extend(bonds(new_arrays[i - 1], t))
-            if i < L - 1:
-                order.extend(bonds(t, new_arrays[i + 1]))
+            if i < L - 1 or cyc:
+                order.extend(bonds(t, new_arrays[(i + 1) % L]))
             order.append(self.upper_ind(i))
             mps_arrays.append(t.transpose(*order).data)
         new = MatrixProductState(
-            mps_arrays, shape="lrp",
+            mps_arrays, shape="lrp", cyclic=cyc,
             site_ind_id=self._upper_ind_id,
             site_tag_id=psi._site_tag_id,
         )
-        if compress:
+        if compress and not cyc:
             new.compress(**compress_opts)
         return new
 
     def _apply_mpo(self, other, compress=False, **compress_opts):
         A = self.copy()
         B = other.copy()
+        # fresh bond names so applying an operator to itself (A @ A)
+        # doesn't spuriously contract equal-named bonds
+        A.mangle_inner_()
+        B.mangle_inner_()
         tmp_id = "__mpo_mpo{}__"
         A.reindex_lower_sites_(tmp_id)
         B.reindex_upper_sites_(tmp_id)
@@ -891,8 +1051,9 @@ class MatrixProductOperator(TensorNetwork1DOperator, TensorNetwork1DFlat):
                 A[A.site_tag(i)], B[B.site_tag(i)], preserve_tensor=True
             )
             new_tensors.append(tnew)
-        for i in range(L - 1):
-            t1, t2 = new_tensors[i], new_tensors[i + 1]
+        cyc = L > 2 and bool(bonds(new_tensors[-1], new_tensors[0]))
+        for i in range(L if cyc else L - 1):
+            t1, t2 = new_tensors[i], new_tensors[(i + 1) % L]
             shared = list(bonds(t1, t2))
             if len(shared) > 1:
                 fused = rand_uuid()
@@ -901,20 +1062,20 @@ class MatrixProductOperator(TensorNetwork1DOperator, TensorNetwork1DFlat):
         arrays = []
         for i, t in enumerate(new_tensors):
             order = []
-            if i > 0:
+            if i > 0 or cyc:
                 order.extend(bonds(new_tensors[i - 1], t))
-            if i < L - 1:
-                order.extend(bonds(t, new_tensors[i + 1]))
+            if i < L - 1 or cyc:
+                order.extend(bonds(t, new_tensors[(i + 1) % L]))
             order.append(self.upper_ind(i))
             order.append(other.lower_ind(i))
             arrays.append(t.transpose(*order).data)
         new = MatrixProductOperator(
-            arrays, shape="lrud",
+            arrays, shape="lrud", cyclic=cyc,
             upper_ind_id=self._upper_ind_id,
             lower_ind_id=other._lower_ind_id,
             site_tag_id=self._site_tag_id,
         )
-        if compress:
+        if compress and not cyc:
             new.compress(**compress_opts)
         return new
 

@@ -42,8 +42,6 @@ class LocalHam1D:
     absorbed symmetrically into the neighbouring two-site terms."""
 
     def __init__(self, L, H2, H1=None, cyclic=False):
-        if cyclic:
-            raise NotImplementedError("cyclic LocalHam1D TODO")
         self.L = L
         self.cyclic = cyclic
 
@@ -54,13 +52,17 @@ class LocalHam1D:
             H1 = {None: H1}
         H1 = dict(H1 or {})
 
-        # normalize keys
+        # normalize keys; for cyclic chains the wrap term is stored
+        # under its natural orientation (L-1, 0)
         self.terms = {}
         default2 = H2.get(None)
-        for i in range(L - 1):
-            h = H2.get((i, i + 1), default2)
+        pairs = [(i, i + 1) for i in range(L - 1)]
+        if cyclic:
+            pairs.append((L - 1, 0))
+        for pair in pairs:
+            h = H2.get(pair, default2)
             if h is not None:
-                self.terms[(i, i + 1)] = jnp.asarray(h)
+                self.terms[pair] = jnp.asarray(h)
 
         # absorb single site terms
         default1 = H1.get(None)
@@ -71,21 +73,49 @@ class LocalHam1D:
             h1 = np.asarray(h1)
             d = h1.shape[0]
             I = np.eye(d)
-            # split between left and right bond terms; edge sites give
-            # their full weight to their single neighbouring bond
-            coeff_right = 1.0 if i == 0 else (0.5 if i < L - 1 else 0.0)
-            coeff_left = 1.0 if i == L - 1 else (0.5 if i > 0 else 0.0)
-            if coeff_right and (i, i + 1) in self.terms:
-                self.terms[(i, i + 1)] = self.terms[(i, i + 1)] + \
+            if cyclic:
+                # every site borders two bonds on a ring
+                coeff_right = coeff_left = 0.5
+                right_pair = (i, i + 1) if i < L - 1 else (L - 1, 0)
+                left_pair = (i - 1, i) if i > 0 else (L - 1, 0)
+            else:
+                # edge sites give their full weight to their single
+                # neighbouring bond
+                coeff_right = 1.0 if i == 0 else (
+                    0.5 if i < L - 1 else 0.0
+                )
+                coeff_left = 1.0 if i == L - 1 else (
+                    0.5 if i > 0 else 0.0
+                )
+                right_pair = (i, i + 1)
+                left_pair = (i - 1, i)
+            if coeff_right and right_pair in self.terms:
+                self.terms[right_pair] = self.terms[right_pair] + \
                     coeff_right * jnp.asarray(np.kron(h1, I))
-            if coeff_left and (i - 1, i) in self.terms:
-                self.terms[(i - 1, i)] = self.terms[(i - 1, i)] + \
+            if coeff_left and left_pair in self.terms:
+                self.terms[left_pair] = self.terms[left_pair] + \
                     coeff_left * jnp.asarray(np.kron(I, h1))
 
         self._gate_cache = {}
 
     def get_term(self, where):
-        return self.terms[tuple(sorted(where))]
+        where = tuple(where)
+        try:
+            return self.terms[where]
+        except KeyError:
+            pass
+        try:
+            return self.terms[tuple(sorted(where))]
+        except KeyError:
+            pass
+        # stored under reversed orientation: swap the two factors
+        h = self.terms[where[::-1]]
+        d = int(round(h.shape[0] ** 0.5))
+        return jnp.reshape(
+            jnp.transpose(
+                jnp.reshape(h, (d, d, d, d)), (1, 0, 3, 2)
+            ), (d * d, d * d),
+        )
 
     def __call__(self, where):
         return self.get_term(where)
@@ -200,10 +230,13 @@ class TEBD:
         if dt is not None:
             dt_frac *= dt / self._dt
         info = {}
+        cyclic = getattr(self.H, "cyclic", False)
         if direction == "right":  # even bonds (0,1), (2,3)...
             pairs = [(i, i + 1) for i in range(0, self.L - 1, 2)]
-        elif direction == "left":  # odd bonds
+        elif direction == "left":  # odd bonds (+ the wrap bond on rings)
             pairs = [(i, i + 1) for i in range(1, self.L - 1, 2)]
+            if cyclic:
+                pairs.append((self.L - 1, 0))
         else:
             raise ValueError(f"bad direction {direction}")
         for where in pairs:

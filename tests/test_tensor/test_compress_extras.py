@@ -222,3 +222,73 @@ class TestSLQTensor:
         w = w[w > 1e-16]
         S_ex = float(-(w * np.log2(w)).sum())
         assert abs(S_ap - S_ex) / S_ex < 0.15
+
+
+class TestCyclic:
+    def test_cyclic_mps_norm(self):
+        import quimb_tpu.tensor as qtn
+
+        psi = qtn.MPS_rand_state(6, 4, seed=0, cyclic=True,
+                                 dtype="float64")
+        assert psi.cyclic
+        d = np.asarray(psi.to_dense()).reshape(-1)
+        n2 = complex(psi.H @ psi)
+        assert abs(np.vdot(d, d).real - n2.real) < 1e-8
+
+    def test_add_mps_obc_and_cyclic(self):
+        import quimb_tpu.tensor as qtn
+
+        a = qtn.MPS_rand_state(5, 3, seed=1, dtype="float64")
+        b = qtn.MPS_rand_state(5, 4, seed=2, dtype="float64")
+        s = a.add_MPS(b)
+        assert np.allclose(
+            np.asarray(s.to_dense()),
+            np.asarray(a.to_dense()) + np.asarray(b.to_dense()),
+            atol=1e-10,
+        )
+        ac = qtn.MPS_rand_state(5, 3, seed=1, cyclic=True,
+                                dtype="float64")
+        bc = qtn.MPS_rand_state(5, 2, seed=2, cyclic=True,
+                                dtype="float64")
+        sc = ac.add_MPS(bc)
+        assert np.allclose(
+            np.asarray(sc.to_dense()),
+            np.asarray(ac.to_dense()) + np.asarray(bc.to_dense()),
+            atol=1e-10,
+        )
+
+    def test_cyclic_heis_mpo_exact(self):
+        import quimb_tpu.tensor as qtn
+        from quimb_tpu.gen.operators import ham_heis
+
+        L = 6
+        mpo = qtn.MPO_ham_heis(L, cyclic=True)
+        He = np.asarray(ham_heis(L, cyclic=True)).real
+        assert np.abs(np.asarray(mpo.to_dense()) - He).max() < 1e-10
+        # apply to MPS and to itself
+        psi = qtn.MPS_rand_state(L, 3, seed=0, cyclic=True,
+                                 dtype="float64")
+        got = np.asarray(mpo.apply(psi).to_dense()).reshape(-1)
+        want = He @ np.asarray(psi.to_dense()).reshape(-1)
+        assert np.abs(got - want).max() < 1e-8
+        got2 = np.asarray(mpo.apply(mpo).to_dense())
+        assert np.abs(got2 - He @ He).max() < 1e-8
+
+    def test_cyclic_tebd_vs_expm(self):
+        import quimb_tpu.tensor as qtn
+        from quimb_tpu.gen.operators import ham_heis
+
+        L = 6
+        He = np.asarray(ham_heis(L, cyclic=True)).real
+        ham = qtn.ham_1d_heis(L, cyclic=True)
+        psi0 = qtn.MPS_computational_state(
+            "010101", cyclic=True, dtype="complex128"
+        )
+        tebd = qtn.TEBD(psi0, ham, dt=0.05)
+        tebd.update_to(0.2, progbar=False)
+        got = np.asarray(tebd.pt.to_dense()).reshape(-1)
+        v0 = np.zeros(2**L)
+        v0[0b010101] = 1.0
+        want = sla.expm(-1j * 0.2 * He) @ v0
+        fid = abs(np.vdot(want, got)) ** 2 / np.vdot(got, got).real
+        assert fid > 1 - 1e-4

@@ -206,9 +206,13 @@ class TestDMRG:
         L = 8
         H = qtn.MPO_ham_heis(L)
         w0 = np.linalg.eigvalsh(np.asarray(ham_heis(L)))[0]
-        # start from a DMRG2-warmed state (1-site can't grow bonds)
-        warm = qtn.DMRG2(H, bond_dims=16, cutoffs=1e-10)
-        warm.solve(tol=1e-6, max_sweeps=3)
+        # start from a DMRG2-warmed state (1-site can't grow bonds);
+        # seeded so convergence is order-independent
+        warm = qtn.DMRG2(
+            H, bond_dims=16, cutoffs=1e-10,
+            p0=qtn.MPS_rand_state(L, 8, seed=7, dtype="float64"),
+        )
+        warm.solve(tol=1e-8, max_sweeps=4)
         dmrg1 = qtn.DMRG1(H, bond_dims=16, p0=warm.state)
         dmrg1.solve(tol=1e-10, max_sweeps=6)
         assert abs(dmrg1.energy - w0) < 1e-6
