@@ -126,3 +126,52 @@ class TestBuilder:
         lam, v = eigh_lanczos(Hs.matvec, v0, ncv=30, restarts=10)
         w0 = np.linalg.eigvalsh(np.asarray(qu.ham_heis(10)).real)[0]
         assert abs(float(lam) - w0) < 1e-9
+
+
+class TestPEPOBuilder:
+    def _pepo_to_dense(self, P, Lx, Ly):
+        inds = [P.upper_ind(i, j) for i in range(Lx)
+                for j in range(Ly)] + \
+               [P.lower_ind(i, j) for i in range(Lx) for j in range(Ly)]
+        t = P.contract(..., output_inds=tuple(inds),
+                       preserve_tensor=True)
+        d = 2 ** (Lx * Ly)
+        return np.asarray(t.data).reshape(d, d)
+
+    def test_tfim_exact(self):
+        from quimb_tpu.gen.operators import pauli
+        from quimb_tpu.operator import PEPO_nearest_neighbor
+        from quimb_tpu.core import ham_from_terms
+
+        X = np.asarray(pauli("X")).real
+        Z = np.asarray(pauli("Z")).real
+        Lx, Ly = 2, 3
+        P = PEPO_nearest_neighbor(-1.0 * Z, Z, -0.5 * X, Lx, Ly)
+        assert P.max_bond() == 3
+        terms = []
+        for i in range(Lx):
+            for j in range(Ly):
+                s = i * Ly + j
+                terms.append((-0.5, (X,), (s,)))
+                if i + 1 < Lx:
+                    terms.append((-1.0, (Z, Z), (s, (i + 1) * Ly + j)))
+                if j + 1 < Ly:
+                    terms.append((-1.0, (Z, Z), (s, s + 1)))
+        He = np.asarray(ham_from_terms(terms, (2,) * (Lx * Ly))).real
+        assert np.abs(
+            self._pepo_to_dense(P, Lx, Ly) - He
+        ).max() < 1e-10
+
+    def test_heisenberg_multi_pair_exact(self):
+        from quimb_tpu.gen.operators import ham_heis_2D, spin_operator
+        from quimb_tpu.operator import pepo_nearest_neighbor
+
+        Sx = np.asarray(spin_operator("X"))
+        Sy = np.asarray(spin_operator("Y"))
+        Sz = np.asarray(spin_operator("Z"))
+        P = pepo_nearest_neighbor(
+            3, 3, [(Sx, Sx), (Sy, Sy), (Sz, Sz)]
+        )
+        assert P.max_bond() == 5
+        He = np.asarray(ham_heis_2D(3, 3))
+        assert np.abs(self._pepo_to_dense(P, 3, 3) - He).max() < 1e-10
