@@ -1,2 +1,19 @@
-"""quimb_tpu.experimental — VMC, autojit, and other extras
-(reference ``quimb/experimental/``)."""
+"""quimb_tpu.experimental — VMC, autojit, cluster updates, CP
+decomposition, TN marginals and other extras (reference
+``quimb/experimental/``)."""
+
+from .cluster_update import ClusterUpdateGen, fit_bondenv_projectors
+from .cp_decomp import cp_decompose, cp_simplify
+from .tn_marginals import (
+    compute_all_marginals_via_autodiff,
+    compute_all_marginals_via_slicing,
+)
+
+__all__ = [
+    "ClusterUpdateGen",
+    "fit_bondenv_projectors",
+    "cp_decompose",
+    "cp_simplify",
+    "compute_all_marginals_via_autodiff",
+    "compute_all_marginals_via_slicing",
+]

@@ -384,9 +384,16 @@ class TensorNetworkGenVector(TensorNetworkGen):
     def compute_local_expectation(self, terms, method="cluster",
                                   return_all=False, **kwargs):
         """Sum of local expectations of ``terms`` {where: G}."""
+        tn = self
+        if method == "cluster" and kwargs.get("gauges") is None:
+            # derive converged simple gauges once: cluster estimates
+            # with hard-cut boundaries are far less accurate,
+            # especially for non-canonically-gauged states
+            tn, gauges = self.gauge_all_simple()
+            kwargs["gauges"] = gauges
         results = {}
         for where, G in terms.items():
-            results[where] = self.local_expectation(
+            results[where] = tn.local_expectation(
                 G, where, method=method, **kwargs
             )
         if return_all:

@@ -1,0 +1,160 @@
+"""Experimental extras: cluster update, CP decomposition, TN
+marginals."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+import quimb_tpu.tensor.tnag as tg
+from quimb_tpu.core import ham_from_terms
+from quimb_tpu.gen.operators import spin_operator
+
+
+def _heis_2x3():
+    edges = [((i, j), (i, j + 1)) for i in range(2) for j in range(2)]
+    edges += [((0, j), (1, j)) for j in range(3)]
+    ham = tg.ham_gen_heis(edges)
+    S = {k: np.asarray(spin_operator(k)) for k in "XYZ"}
+    sites = sorted({s for e in edges for s in e})
+    idx = {s: i for i, s in enumerate(sites)}
+    terms = [
+        (1.0, (S[k], S[k]), (idx[a], idx[b]))
+        for a, b in edges for k in "XYZ"
+    ]
+    Hd = np.asarray(ham_from_terms(terms, (2,) * 6)).real
+    return edges, ham, Hd
+
+
+class TestClusterUpdate:
+    def test_bondenv_fit_minimizes(self):
+        from quimb_tpu.experimental import fit_bondenv_projectors
+
+        rng = np.random.default_rng(1)
+        D, m = 8, 4
+        F = rng.standard_normal((20, D * D))
+        E = (F.T @ F).reshape(D, D, D, D)
+
+        def dist2(x):
+            d = (x - np.eye(D)).reshape(-1)
+            return float(d @ E.reshape(D * D, D * D) @ d)
+
+        Pl, s, Pr = fit_bondenv_projectors(E, m, max_iterations=100)
+        Pl0, _, Pr0 = fit_bondenv_projectors(E, m, max_iterations=0)
+        assert dist2(np.asarray(Pl @ Pr)) < 1e-6 * max(
+            dist2(np.asarray(Pl0 @ Pr0)), 1.0
+        )
+
+    def test_beats_simple_update(self):
+        from quimb_tpu.experimental import ClusterUpdateGen
+        from quimb_tpu.tensor.tnag.tebd import SimpleUpdateGen
+
+        edges, ham, Hd = _heis_2x3()
+        w0 = np.linalg.eigvalsh(Hd)[0]
+        psi0 = tg.TN_from_edges_rand(
+            edges, D=2, phys_dim=2, seed=1, dtype="float64"
+        )
+
+        def dense_energy(obj):
+            psi = obj.get_state()
+            v = np.array(
+                np.asarray(psi.to_dense()).reshape(-1).real, copy=True
+            )
+            v = v / np.linalg.norm(v)
+            return float(v @ Hd @ v)
+
+        res = {}
+        for name, cls, kw in (
+            ("su", SimpleUpdateGen, {}),
+            ("cu", ClusterUpdateGen, dict(cluster_distance=1)),
+        ):
+            obj = cls(psi0, ham, D=3, compute_energy_final=False, **kw)
+            for tau in (0.3, 0.1, 0.05):
+                obj.evolve(15, tau=tau)
+            res[name] = dense_energy(obj)
+            if name == "cu":
+                # gauged cluster estimator with matching distance
+                est = obj.compute_energy()
+                assert abs(est - res["cu"]) < 0.05 * abs(w0)
+        assert abs(res["cu"] - w0) < abs(res["su"] - w0) + 1e-9
+
+
+class TestCPDecomp:
+    def test_exact_rank(self):
+        import jax.numpy as jnp
+
+        from quimb_tpu.experimental import cp_decompose
+        from quimb_tpu.tensor.core import Tensor
+
+        rng = np.random.default_rng(0)
+        A, B, C = (rng.standard_normal((4, 2)) for _ in range(3))
+        X = np.einsum("ar,br,cr->abc", A, B, C)
+        t = Tensor(jnp.asarray(X), inds=("a", "b", "c"))
+        tcp = cp_decompose(t, 2, steps=300, seed=1)
+        R = np.asarray(
+            tcp.contract(
+                ..., output_inds=("a", "b", "c"), preserve_tensor=True
+            ).data
+        )
+        assert np.abs(R - X).max() < 1e-8
+
+    def test_cp_simplify_copy_tensor(self):
+        import jax.numpy as jnp
+
+        from quimb_tpu.experimental import cp_simplify
+        from quimb_tpu.tensor.core import Tensor, TensorNetwork
+
+        rng = np.random.default_rng(0)
+        d = 3
+        D = np.zeros((d, d, d))
+        for i in range(d):
+            D[i, i, i] = 1.0
+        tn = TensorNetwork([
+            Tensor(jnp.asarray(D), inds=("x", "y", "z")),
+            Tensor(jnp.asarray(rng.standard_normal((d, d))),
+                   inds=("z", "w")),
+        ])
+        tn2 = cp_simplify(tn, atol=1e-8, steps=500, seed=3)
+        assert tn2.num_tensors == 4
+        v1 = np.asarray(tn.contract(
+            ..., output_inds=("x", "y", "w"), preserve_tensor=True
+        ).data)
+        v2 = np.asarray(tn2.contract(
+            ..., output_inds=("x", "y", "w"), preserve_tensor=True
+        ).data)
+        assert np.abs(v1 - v2).max() < 1e-7
+
+
+class TestTNMarginals:
+    def test_vs_bruteforce(self):
+        from quimb_tpu.experimental import (
+            compute_all_marginals_via_autodiff,
+            compute_all_marginals_via_slicing,
+        )
+        from quimb_tpu.tensor.tnag.builders import (
+            HTN_classical_partition_function_from_edges,
+        )
+
+        edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+        beta, h = 0.35, 0.4
+        tn = HTN_classical_partition_function_from_edges(
+            edges, beta=beta, h=h
+        )
+        inds = [f"s{i}" for i in range(4)]
+
+        Z = 0.0
+        marg = {ix: np.zeros(2) for ix in inds}
+        for cfg in itertools.product([0, 1], repeat=4):
+            s = [1 if c == 0 else -1 for c in cfg]
+            E = -sum(s[a] * s[b] for a, b in edges) - h * sum(s)
+            w = np.exp(-beta * E)
+            Z += w
+            for i, c in enumerate(cfg):
+                marg[f"s{i}"][c] += w
+        we = {k: v / Z for k, v in marg.items()}
+
+        ws = compute_all_marginals_via_slicing(tn, inds)
+        wa = compute_all_marginals_via_autodiff(tn, inds)
+        for ix in inds:
+            assert np.allclose(ws[ix], we[ix], atol=1e-10)
+            assert np.allclose(wa[ix], we[ix], atol=1e-8)
