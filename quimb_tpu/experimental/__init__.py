@@ -3,6 +3,7 @@ decomposition, TN marginals and other extras (reference
 ``quimb/experimental/``)."""
 
 from .cluster_update import ClusterUpdateGen, fit_bondenv_projectors
+from .merabuilder import TensorNetworkGenIso, TTN_randtree_rand
 from .cp_decomp import cp_decompose, cp_simplify
 from .tn_marginals import (
     compute_all_marginals_via_autodiff,
@@ -11,6 +12,8 @@ from .tn_marginals import (
 
 __all__ = [
     "ClusterUpdateGen",
+    "TensorNetworkGenIso",
+    "TTN_randtree_rand",
     "fit_bondenv_projectors",
     "cp_decompose",
     "cp_simplify",

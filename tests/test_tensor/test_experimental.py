@@ -158,3 +158,38 @@ class TestTNMarginals:
         for ix in inds:
             assert np.allclose(ws[ix], we[ix], atol=1e-10)
             assert np.allclose(wa[ix], we[ix], atol=1e-8)
+
+
+class TestMeraBuilder:
+    def test_ttn_randtree_norm(self):
+        from quimb_tpu.experimental.merabuilder import TTN_randtree_rand
+
+        ttn = TTN_randtree_rand(range(7), max_bond=4, seed=0)
+        v = np.asarray(ttn.to_dense()).reshape(-1)
+        assert v.shape == (128,)
+        assert abs(np.linalg.norm(v) - 1) < 1e-10
+
+    def test_layered_mera_like(self):
+        from quimb_tpu.experimental.merabuilder import (
+            TensorNetworkGenIso,
+        )
+        from quimb_tpu.gen.operators import pauli
+
+        tn = TensorNetworkGenIso.empty(range(4), phys_dim=2)
+        tn.layer_unitary_rand((1, 2), seed=1)
+        tn.next_layer()
+        tn.layer_isometry_rand((0, 1), dim=4, seed=2)
+        tn.layer_isometry_rand((2, 3), dim=4, seed=3)
+        tn.next_layer()
+        tn.layer_cap_rand(seed=4)
+        tn.isometrize_()
+        v = np.asarray(tn.to_dense()).reshape(-1)
+        assert abs(np.linalg.norm(v) - 1) < 1e-10
+        # expectation matches dense
+        Z = np.asarray(pauli("Z")).real
+        ez = complex(tn.local_expectation_exact(Z, 1)).real
+        rho = v.reshape(2, 2, 2, 2)
+        ez_dense = np.einsum(
+            "abcd,be,aecd->", rho.conj(), Z, rho
+        ).real
+        assert abs(ez - ez_dense) < 1e-10
