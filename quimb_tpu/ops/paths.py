@@ -431,9 +431,18 @@ def optimize_path(inputs, output, sizes, optimize="auto"):
     if n == 1:
         return [(0,)]
     if optimize in ("auto", "auto-hq", None):
-        optimize = "optimal" if n <= 8 else "greedy"
-        if optimize == "greedy" and n <= 64:
-            optimize = "random-greedy"
+        if n <= 8:
+            optimize = "optimal"
+        else:
+            # the native multi-restart search is fast enough to be the
+            # default at any size; pure-python falls back to plain
+            # greedy beyond 64 terms
+            from .native import native_available
+
+            optimize = (
+                "random-greedy"
+                if (native_available() or n <= 64) else "greedy"
+            )
     if optimize == "optimal" and n <= 16:
         return path_optimal(inputs, output, sizes)
     if optimize == "random-greedy":
