@@ -33,8 +33,11 @@ __all__ = [
 ]
 
 from .extras import DIIS, HD1BP, L1BP, L2BP, RegionGraph, contract_l1bp, contract_l2bp
+from .gbp import HD1GBP, contract_hd1gbp
 
 __all__ += [
+    "HD1GBP",
+    "contract_hd1gbp",
     "DIIS", "HD1BP", "L1BP", "L2BP", "RegionGraph", "contract_l1bp",
     "contract_l2bp",
 ]

@@ -305,6 +305,62 @@ class RegionGraph:
     def get_count(self, region):
         return self.counts[frozenset(region)]
 
+    # -- Hasse-diagram accessors for generalized BP -------------------------
+
+    def get_direct_parents(self, region):
+        """Supersets of ``region`` with no intermediate region between."""
+        ps = self.parents[frozenset(region)]
+        return [
+            p for p in ps
+            if not any(q < p for q in ps)
+        ]
+
+    def get_direct_children(self, region):
+        cs = self.children[frozenset(region)]
+        return [
+            c for c in cs
+            if not any(c < q for q in cs)
+        ]
+
+    def get_descendents(self, region):
+        out = set()
+        stack = list(self.children[frozenset(region)])
+        while stack:
+            r = stack.pop()
+            if r not in out:
+                out.add(r)
+                stack.extend(self.children[r])
+        return out
+
+    def get_coparent_pairs(self, region):
+        """All (parent, child) message pairs entering the belief of
+        ``region``: direct parents of the region or of any of its
+        descendants, excluding sources inside the region itself."""
+        region = frozenset(region)
+        pairs = [(p, region) for p in self.get_direct_parents(region)]
+        rds = self.get_descendents(region)
+        seen = {region, *rds}
+        for rd in rds:
+            for rdp in self.get_direct_parents(rd):
+                if rdp not in seen:
+                    pairs.append((rdp, rd))
+                    seen.add(rdp)
+        return pairs
+
+    def get_message_parts(self, pair):
+        """Factors and (numerator, denominator) message groups for the
+        GBP update of message ``parent -> child``."""
+        source, target = map(frozenset, pair)
+        factors = source - target
+        source_pairs = set(self.get_coparent_pairs(source))
+        target_pairs = set(self.get_coparent_pairs(target))
+        target_pairs.discard((source, target))
+        return (
+            factors,
+            source_pairs - target_pairs,
+            target_pairs - source_pairs,
+        )
+
     def __repr__(self):
         return f"<RegionGraph(regions={len(self.counts)})>"
 

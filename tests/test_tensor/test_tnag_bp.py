@@ -175,3 +175,81 @@ class TestBP:
         Z = float(htn.contract(...))
         Zbp = float(np.real(bp.contract_hv1bp(htn.copy())))
         assert abs(Zbp - Z) / Z < 1e-6
+
+
+class TestHD1GBP:
+    def test_tree_exact(self):
+        import itertools
+
+        from quimb_tpu.tensor.belief_propagation import HD1GBP
+        from quimb_tpu.tensor.tnag.builders import (
+            HTN_classical_partition_function_from_edges,
+        )
+
+        edges = [(0, 1), (1, 2), (1, 3), (3, 4)]
+        beta = 0.4
+        tn = HTN_classical_partition_function_from_edges(
+            edges, beta=beta, site_ind_id="s{}"
+        )
+        Z = 0.0
+        for cfg in itertools.product([1, -1], repeat=5):
+            sv = dict(zip(range(5), cfg))
+            Z += np.exp(beta * sum(sv[a] * sv[b] for a, b in edges))
+        bp = HD1GBP(tn, [{tid} for tid in tn.tensor_map], damping=0.0)
+        bp.run(max_iterations=100, tol=1e-12)
+        zg = complex(bp.contract()).real
+        assert abs(zg - Z) / Z < 1e-12
+
+    def test_plaquettes_beat_plain_bp(self):
+        import itertools
+
+        from quimb_tpu.tensor.belief_propagation import (
+            HD1GBP,
+            contract_d1bp,
+        )
+        from quimb_tpu.tensor.tnag.builders import (
+            HTN_classical_partition_function_from_edges,
+        )
+
+        L, beta = 3, 0.4
+        edges = []
+        for i in range(L):
+            for j in range(L):
+                if j + 1 < L:
+                    edges.append(((i, j), (i, j + 1)))
+                if i + 1 < L:
+                    edges.append(((i, j), (i + 1, j)))
+        tn = HTN_classical_partition_function_from_edges(
+            edges, beta=beta, site_ind_id="s{}"
+        )
+        sites = sorted({s for e in edges for s in e})
+        Z = 0.0
+        for cfg in itertools.product([1, -1], repeat=9):
+            sv = dict(zip(sites, cfg))
+            Z += np.exp(beta * sum(sv[a] * sv[b] for a, b in edges))
+        err_bp = abs(
+            complex(contract_d1bp(tn.copy(), tol=1e-12)).real - Z
+        ) / Z
+
+        tidmap = {
+            frozenset(t.inds): tid for tid, t in tn.tensor_map.items()
+        }
+
+        def sind(s):
+            return f"s{s}"
+
+        regions = []
+        for i in range(2):
+            for j in range(2):
+                fe = [((i, j), (i, j + 1)),
+                      ((i + 1, j), (i + 1, j + 1)),
+                      ((i, j), (i + 1, j)),
+                      ((i, j + 1), (i + 1, j + 1))]
+                regions.append({
+                    tidmap[frozenset((sind(a), sind(b)))] for a, b in fe
+                })
+        bp = HD1GBP(tn, regions, damping=0.2)
+        bp.run(max_iterations=500, tol=1e-12)
+        err_gbp = abs(complex(bp.contract()).real - Z) / Z
+        assert err_gbp < 1e-3
+        assert err_gbp < 0.05 * err_bp
