@@ -1079,6 +1079,58 @@ class MatrixProductOperator(TensorNetwork1DOperator, TensorNetwork1DFlat):
             new.compress(**compress_opts)
         return new
 
+    def to_obc(self, compress=True, max_bond=None, cutoff=1e-12):
+        """Exactly convert a *cyclic* MPO to open-boundary form by
+        carrying the wrap bond through the chain (bond dimension w*k,
+        optionally recompressed). Lets open-chain algorithms (DMRG,
+        compression, MovingEnvironment) operate on ring Hamiltonians
+        unchanged."""
+        if not self.cyclic:
+            return self.copy()
+        L = self._L
+        ts = [self[self.site_tag(i)] for i in range(L)]
+        wrap = next(iter(bonds(ts[L - 1], ts[0])))
+        k = self.ind_size(wrap)
+
+        arrays = []
+        for i, t in enumerate(ts):
+            u, lo = self.upper_ind(i), self.lower_ind(i)
+            if i == 0:
+                rb = next(iter(bonds(t, ts[1])))
+                A = t.transpose(wrap, rb, u, lo).data  # (k, w, d, d)
+                kk, w, d, _ = A.shape
+                # r-space becomes (w, k): wrap value c emitted rightward
+                arr = jnp.zeros((w * kk, d, d), dtype=A.dtype)
+                arr = jnp.reshape(
+                    jnp.transpose(A, (1, 0, 2, 3)), (w * kk, d, d)
+                )
+                arrays.append(arr)
+            elif i == L - 1:
+                lb = next(iter(bonds(ts[i - 1], t)))
+                A = t.transpose(lb, wrap, u, lo).data  # (w, k, d, d)
+                w, kk, d, _ = A.shape
+                arrays.append(jnp.reshape(A, (w * kk, d, d)))
+            else:
+                lb = next(iter(bonds(ts[i - 1], t)))
+                rb = next(iter(bonds(t, ts[i + 1])))
+                A = t.transpose(lb, rb, u, lo).data  # (wl, wr, d, d)
+                wl, wr, d, _ = A.shape
+                eye = jnp.eye(k, dtype=A.dtype)
+                # (wl,k),(wr,k),d,d : carry the wrap value unchanged
+                arr = jnp.einsum("abud,ck->acbkud", A, eye)
+                arrays.append(
+                    jnp.reshape(arr, (wl * k, wr * k, d, d))
+                )
+        new = MatrixProductOperator(
+            arrays, shape="lrud",
+            upper_ind_id=self.upper_ind_id,
+            lower_ind_id=self.lower_ind_id,
+            site_tag_id=self.site_tag_id,
+        )
+        if compress:
+            new.compress(max_bond=max_bond, cutoff=cutoff)
+        return new
+
     def trace(self, **contract_opts):
         """Trace of the full operator."""
         tn = self.reindex({

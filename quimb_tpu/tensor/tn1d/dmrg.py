@@ -510,6 +510,11 @@ class DMRG:
         self._set_cutoff_seq(cutoffs)
         self.opts = get_default_opts()
 
+        if ham.cyclic:
+            # ring Hamiltonians: exact open-boundary form (wrap bond
+            # carried through the chain + recompressed) so the standard
+            # moving-environment sweeps apply unchanged
+            ham = ham.to_obc()
         self.ham = ham
         if p0 is not None:
             self._k = p0.copy()

@@ -292,3 +292,23 @@ class TestCyclic:
         want = sla.expm(-1j * 0.2 * He) @ v0
         fid = abs(np.vdot(want, got)) ** 2 / np.vdot(got, got).real
         assert fid > 1 - 1e-4
+
+    def test_cyclic_dmrg(self):
+        import quimb_tpu.tensor as qtn
+        from quimb_tpu.gen.operators import ham_heis
+
+        L = 10
+        H = qtn.MPO_ham_heis(L, cyclic=True)
+        w0 = np.linalg.eigvalsh(
+            np.asarray(ham_heis(L, cyclic=True)).real
+        )[0]
+        # exact OBC form of the ring MPO
+        obc = H.to_obc()
+        assert not obc.cyclic
+        assert np.abs(
+            np.asarray(obc.to_dense())
+            - np.asarray(ham_heis(L, cyclic=True)).real
+        ).max() < 1e-10
+        dmrg = qtn.DMRG2(H, bond_dims=[16, 32], cutoffs=1e-11)
+        dmrg.solve(tol=1e-9, max_sweeps=8)
+        assert abs(dmrg.energy - w0) < 1e-6
