@@ -865,3 +865,27 @@ def compute_oblique_projectors(
     Pl = Rr @ rddiv(dag(VH), safe)
     Pr = lddiv(safe, dag(U)) @ Rl
     return Pl, Pr
+
+
+def estimate_rank(x, eps=1e-10, k_start=16, k_max=None, q=2):
+    """Estimate the numerical rank of ``x`` at relative singular-value
+    threshold ``eps`` by adaptive randomized range sketching (reference
+    ``estimate_rank`` rand_linalg.py:302): double the sketch size until
+    the smallest captured singular value drops below ``eps * s_max``.
+    """
+    m, n = x.shape[-2:]
+    full = min(m, n)
+    if k_max is None:
+        k_max = full
+    k = min(k_start, full)
+    while True:
+        Q = _rand_range_finder(x, _next_key(), k, q)
+        B = dag(Q) @ x
+        s = _svd_kernel(B)[1]
+        s0 = s[0]
+        below = s < eps * s0
+        if bool(jnp.any(below)):
+            return int(jnp.argmax(below))
+        if k >= k_max:
+            return int(full if k >= full else k)
+        k = min(2 * k, k_max, full)

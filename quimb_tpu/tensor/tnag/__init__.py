@@ -8,11 +8,15 @@ from .core import (
 )
 from .builders import (
     HTN_classical_partition_function_from_edges,
+    HTN_from_clauses,
+    TN3D_classical_ising_partition_function,
     TN_classical_partition_function_from_edges,
+    TN_dimer_covering_from_edges,
     TN_from_edges_and_fill_fn,
     TN_from_edges_empty,
     TN_from_edges_rand,
     TN_rand_reg,
+    cnf_file_parse,
 )
 from .tebd import LocalHamGen, SimpleUpdateGen, TEBDGen, ham_gen_heis
 

@@ -172,3 +172,118 @@ def HTN_classical_partition_function_from_edges(
                 inds=(site_ind_id.format(s),),
             ))
     return TensorNetwork(ts, virtual=True, check_collisions=False)
+
+
+def HTN_from_clauses(clauses, weights=None, mode="dense",
+                     site_ind_id="s{}", dtype="float64"):
+    """Hyper tensor network whose full contraction counts (or weights)
+    the satisfying assignments of boolean ``clauses`` (reference
+    ``HTN_from_clauses`` / k-SAT builders tensor_builder.py).
+
+    Parameters
+    ----------
+    clauses : sequence[sequence[int]]
+        Each clause is a tuple of non-zero ints: variable ``v`` means
+        the literal is satisfied when ``s_v = 1``; ``-v`` when
+        ``s_v = 0`` (DIMACS convention, variables 1-based).
+    weights : dict[int, float], optional
+        Optional per-variable weight for the ``1`` state (else
+        unweighted counting).
+
+    Returns
+    -------
+    TensorNetwork
+        Contracting with no output indices gives the (weighted) count
+        of satisfying assignments.
+    """
+    ts = []
+    seen_vars = set()
+    for clause in clauses:
+        vs = tuple(abs(v) for v in clause)
+        seen_vars.update(vs)
+        shape = (2,) * len(vs)
+        data = np.ones(shape, dtype=dtype)
+        # the single violating assignment: every literal false
+        viol = tuple(0 if v > 0 else 1 for v in clause)
+        data[viol] = 0.0
+        ts.append(Tensor(
+            jnp.asarray(data),
+            inds=tuple(site_ind_id.format(v) for v in vs),
+        ))
+    if weights:
+        for v, w in weights.items():
+            ts.append(Tensor(
+                jnp.asarray(np.array([1.0, w], dtype=dtype)),
+                inds=(site_ind_id.format(abs(v)),),
+            ))
+    return TensorNetwork(ts, virtual=True, check_collisions=False)
+
+
+def cnf_file_parse(fname_or_str):
+    """Parse a DIMACS CNF file (or its contents) into a list of
+    clauses."""
+    if "\n" in fname_or_str or " 0" in fname_or_str:
+        contents = fname_or_str
+    else:
+        with open(fname_or_str) as f:
+            contents = f.read()
+    clauses = []
+    for line in contents.splitlines():
+        line = line.strip()
+        if not line or line.startswith(("c", "p", "%")):
+            continue
+        vals = [int(x) for x in line.split()]
+        if vals and vals[-1] == 0:
+            vals = vals[:-1]
+        if vals:
+            clauses.append(tuple(vals))
+    return clauses
+
+
+def TN_dimer_covering_from_edges(edges, cover_count=1,
+                                 site_ind_id=None, dtype="float64"):
+    """TN whose contraction counts the ``cover_count``-regular dimer
+    coverings (perfect matchings for 1) of the graph: one 0/1 index
+    per edge, one constraint tensor per site enforcing that exactly
+    ``cover_count`` incident edges are occupied (reference
+    ``TN_dimer_covering_from_edges`` tensor_builder.py)."""
+    incident = {}
+    edge_ix = {}
+    for e in map(tuple, edges):
+        a, b = sorted(e, key=str)
+        ix = f"d_{a}_{b}" if site_ind_id is None else rand_uuid()
+        edge_ix[a, b] = ix
+        incident.setdefault(a, []).append(ix)
+        incident.setdefault(b, []).append(ix)
+    ts = []
+    for site, ixs in incident.items():
+        k = len(ixs)
+        data = np.zeros((2,) * k, dtype=dtype)
+        for occ in itertools.product((0, 1), repeat=k):
+            if sum(occ) == cover_count:
+                data[occ] = 1.0
+        ts.append(Tensor(jnp.asarray(data), inds=tuple(ixs)))
+    return TensorNetwork(ts, virtual=True, check_collisions=False)
+
+
+def TN3D_classical_ising_partition_function(
+    Lx, Ly, Lz, beta, j=1.0, h=0.0, cyclic=False, dtype="float64",
+):
+    """3D cubic-lattice classical Ising partition function TN
+    (reference ``TN3D_classical_ising_partition_function``)."""
+    edges = []
+    for i, jj, k in itertools.product(range(Lx), range(Ly), range(Lz)):
+        for d, (ni, nj, nk) in enumerate(
+            ((i + 1, jj, k), (i, jj + 1, k), (i, jj, k + 1))
+        ):
+            dims = (Lx, Ly, Lz)
+            nxt = (ni, nj, nk)
+            if nxt[d] < dims[d]:
+                edges.append(((i, jj, k), nxt))
+            elif cyclic:
+                w = list(nxt)
+                w[d] = 0
+                edges.append(((i, jj, k), tuple(w)))
+    return HTN_classical_partition_function_from_edges(
+        edges, beta=beta, j=j, h=h, dtype=dtype,
+    )

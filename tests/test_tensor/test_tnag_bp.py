@@ -253,3 +253,62 @@ class TestHD1GBP:
         err_gbp = abs(complex(bp.contract()).real - Z) / Z
         assert err_gbp < 1e-3
         assert err_gbp < 0.05 * err_bp
+
+
+class TestCombinatorialBuilders:
+    def test_cnf_count(self):
+        import itertools
+
+        import quimb_tpu.tensor.tnag as tg
+
+        clauses = [(1, 2), (-1, 3), (2, -3)]
+        tn = tg.HTN_from_clauses(clauses)
+        cnt = float(np.real(complex(tn.contract(...))))
+        bf = 0
+        for a in itertools.product([0, 1], repeat=3):
+            x = {1: a[0], 2: a[1], 3: a[2]}
+            bf += bool(
+                (x[1] or x[2])
+                and ((not x[1]) or x[3])
+                and (x[2] or (not x[3]))
+            )
+        assert cnt == bf
+
+    def test_dimer_coverings(self):
+        import quimb_tpu.tensor.tnag as tg
+
+        tn = tg.TN_dimer_covering_from_edges(
+            [(0, 1), (1, 2), (2, 3), (3, 0)]
+        )
+        assert float(np.real(complex(tn.contract(...)))) == 2.0
+
+    def test_ising_3d(self):
+        import itertools as it
+
+        import quimb_tpu.tensor.tnag as tg
+
+        beta = 0.25
+        tn = tg.TN3D_classical_ising_partition_function(2, 2, 2, beta)
+        Z = float(np.real(complex(tn.contract(...))))
+        edges = []
+        for i, j, k in it.product(range(2), repeat=3):
+            for d, nxt in enumerate(
+                ((i + 1, j, k), (i, j + 1, k), (i, j, k + 1))
+            ):
+                if nxt[d] < 2:
+                    edges.append(((i, j, k), nxt))
+        sites = sorted({s for e in edges for s in e})
+        Zb = 0.0
+        for cfg in it.product([1, -1], repeat=8):
+            sv = dict(zip(sites, cfg))
+            Zb += np.exp(beta * sum(sv[a] * sv[b] for a, b in edges))
+        assert abs(Z - Zb) / Zb < 1e-10
+
+    def test_estimate_rank(self):
+        import jax.numpy as jnp
+
+        from quimb_tpu.ops.decomp import estimate_rank
+
+        rng = np.random.default_rng(0)
+        A = rng.standard_normal((120, 7)) @ rng.standard_normal((7, 90))
+        assert estimate_rank(jnp.asarray(A), eps=1e-8) == 7
