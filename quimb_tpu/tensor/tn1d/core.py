@@ -706,6 +706,62 @@ class MatrixProductState(TensorNetwork1DVector, TensorNetwork1DFlat):
         gate_with_auto_swap, inplace=True
     )
 
+    def gate_with_submpo(self, submpo, where=None, inplace=False,
+                         compress=True, max_bond=None, cutoff=1e-10):
+        """Apply an MPO acting on the contiguous sites ``where``
+        (default: the first ``submpo.L`` sites), zipping it in
+        site-by-site and optionally compressing the touched range
+        (reference ``gate_with_submpo`` tn1d/core.py:2295)."""
+        psi = self if inplace else self.copy()
+        mpo = submpo.copy()
+        mpo.mangle_inner_()
+        L = mpo._L
+        if where is None:
+            where = range(L)
+        sites = tuple(where)
+        if len(sites) != L or any(
+            b - a != 1 for a, b in zip(sites, sites[1:])
+        ):
+            raise ValueError("where must be contiguous, len == submpo.L")
+
+        # wire: mpo lower <- mps phys; mpo upper -> mps phys
+        for k, s in enumerate(sites):
+            tmp = rand_uuid()
+            psi[psi.site_tag(s)].reindex_({psi.site_ind(s): tmp})
+            tk = mpo[mpo.site_tag(k)]
+            tk.reindex_({
+                mpo.lower_ind(k): tmp,
+                mpo.upper_ind(k): psi.site_ind(s),
+            })
+
+        # contract each (mps, mpo) pair into the mps site tensor
+        for k, s in enumerate(sites):
+            t_ps = psi[psi.site_tag(s)]
+            t_mo = mpo[mpo.site_tag(k)]
+            new = tensor_contract(t_ps, t_mo, preserve_tensor=True)
+            t_ps.modify(data=new.data, inds=new.inds)
+
+        # fuse the doubled bonds inside the range
+        for a, b in zip(sites, sites[1:]):
+            ta, tb = psi[psi.site_tag(a)], psi[psi.site_tag(b)]
+            shared = list(bonds(ta, tb))
+            if len(shared) > 1:
+                fused = rand_uuid()
+                ta.fuse_({fused: shared})
+                tb.fuse_({fused: shared})
+
+        if compress:
+            for a, b in zip(sites, sites[1:]):
+                psi.compress_between(
+                    psi.site_tag(a), psi.site_tag(b),
+                    max_bond=max_bond, cutoff=cutoff,
+                )
+        return psi
+
+    gate_with_submpo_ = functools.partialmethod(
+        gate_with_submpo, inplace=True
+    )
+
     def magnetization(self, i, direction="Z"):
         from ...gen.operators import pauli
 

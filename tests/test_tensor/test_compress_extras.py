@@ -312,3 +312,17 @@ class TestCyclic:
         dmrg = qtn.DMRG2(H, bond_dims=[16, 32], cutoffs=1e-11)
         dmrg.solve(tol=1e-9, max_sweeps=8)
         assert abs(dmrg.energy - w0) < 1e-6
+
+    def test_gate_with_submpo(self):
+        import quimb_tpu.tensor as qtn
+        from quimb_tpu.core import ikron
+
+        L = 8
+        psi = qtn.MPS_rand_state(L, 6, seed=0, dtype="float64")
+        sub = qtn.MPO_ham_heis(3)
+        out = psi.gate_with_submpo(sub, where=(2, 3, 4), max_bond=24)
+        Hd = np.asarray(sub.to_dense())
+        want = np.asarray(ikron(Hd, (2,) * L, (2, 3, 4))) @ \
+            np.asarray(psi.to_dense()).reshape(-1)
+        got = np.asarray(out.to_dense()).reshape(-1)
+        assert np.abs(got - want).max() < 1e-8
