@@ -197,13 +197,22 @@ class TensorNetworkGenVector(TensorNetworkGen):
     # -- gauging -------------------------------------------------------------
 
     def gauge_all_simple(self, max_iterations=100, tol=1e-9, smudge=1e-12,
-                         gauges=None, inplace=False):
+                         gauges=None, inplace=False, info=None):
         """Iteratively simple-gauge every bond (Vidal form) until the
         gauges converge (reference ``gauge_all_simple``
-        tensor_core.py:7555). Returns (tn, gauges)."""
+        tensor_core.py:7555). Returns (tn, gauges).
+
+        If ``info`` (a dict) is passed, ``info['log_scale']`` receives
+        the accumulated log of the norms stripped from each extracted
+        singular-value vector — needed to reconstruct *absolute*
+        norms from the gauged representation (expectation ratios don't
+        need it)."""
+        import math as _math
+
         tn = self if inplace else self.copy()
         from ..core import tensor_compress_bond
 
+        log_scale = 0.0
         if gauges is None:
             gauges = {}
         # collect bonds (index names shared by exactly two tensors)
@@ -237,7 +246,10 @@ class TensorNetworkGenVector(TensorNetworkGen):
                 )
                 if len(out) == 3:
                     _, s, _ = out
-                    s = s / jnp.linalg.norm(s)
+                    ns = float(jnp.linalg.norm(s))
+                    if ns > 0:
+                        log_scale += _math.log(ns)
+                    s = s / ns
                     gauges[ix] = s
                     if s_old is not None and s.shape == s_old.shape:
                         max_diff = max(
@@ -253,6 +265,8 @@ class TensorNetworkGenVector(TensorNetworkGen):
                     )
             if max_diff < tol:
                 break
+        if info is not None:
+            info["log_scale"] = log_scale
         return tn, gauges
 
     def gauge_simple_insert(self, gauges, smudge=0.0):
@@ -316,14 +330,16 @@ class TensorNetworkGenVector(TensorNetworkGen):
 
     def local_expectation_cluster(
         self, G, where, normalized=True, max_distance=1, gauges=None,
-        optimize="auto", smudge=1e-12, **contract_opts,
+        optimize="auto", smudge=1e-12, region=None, **contract_opts,
     ):
         """Cluster (simple-environment) local expectation
         (reference tnag/core.py:2425): contract only the neighbourhood
-        of ``where``, capping external bonds with the simple gauges."""
+        of ``where`` (or the explicit site set ``region``), capping
+        external bonds with the simple gauges."""
         if not isinstance(where, (tuple, list)):
             where = (where,)
-        region = self._site_neighborhood(where, max_distance)
+        if region is None:
+            region = self._site_neighborhood(where, max_distance)
         tags = tuple(self.site_tag(s) for s in region)
         ket = self.select(tags, which="any").copy()
         # absorb gauges on boundary bonds (bonds leaving the cluster
@@ -376,16 +392,148 @@ class TensorNetworkGenVector(TensorNetworkGen):
             ev = ev / norm
         return ev
 
+    def _tid_to_site(self):
+        m = {}
+        for s in self._sites:
+            for tid in self._get_tids_from_tags(self.site_tag(s), "any"):
+                m[tid] = s
+        return m
+
+    def _gloop_site_regions(self, loops="gloops", max_size=None):
+        """Site-sets of the generalized (or chordless) loops of the
+        network."""
+        from ..networking import gen_gloops, gen_sloops
+
+        gen = gen_gloops if loops == "gloops" else gen_sloops
+        t2s = self._tid_to_site()
+        out = set()
+        for gl in gen(self, max_size=max_size) if loops == "gloops" \
+                else gen(self, max_loop_length=max_size):
+            sites = frozenset(
+                t2s[tid] for tid in gl if tid in t2s
+            )
+            if len(sites) > 1:
+                out.add(sites)
+        return out
+
+    def local_expectation_gloop_expand(
+        self, G, where, max_size=None, gauges=None, loops="gloops",
+        **kwargs,
+    ):
+        """Loop-corrected local expectation (reference gloop/sloop
+        expansions tnag/core.py:2682/:2875): combine gauge-capped
+        cluster estimates over the base region and every loop-extended
+        region, weighted by cluster-variation counting numbers."""
+        from ..belief_propagation.extras import RegionGraph
+
+        if not isinstance(where, (tuple, list)):
+            where = (where,)
+        if gauges is None:
+            tn, gauges = self.gauge_all_simple()
+        else:
+            tn = self
+        base = frozenset(where)
+        regions = {base}
+        for sites in tn._gloop_site_regions(loops, max_size):
+            if sites & base:
+                regions.add(base | sites)
+        rg = RegionGraph(regions, autocomplete=True)
+        ev = 0.0
+        for region in rg.regions:
+            c = rg.get_count(region)
+            if c == 0:
+                continue
+            ev = ev + c * tn.local_expectation_cluster(
+                G, where, region=region, gauges=gauges, **kwargs
+            )
+        return ev
+
+    def norm_gloop_expand(self, max_size=None, gauges=None,
+                          loops="gloops", smudge=1e-12, optimize="auto"):
+        """Loop-corrected estimate of ``log <psi|psi>`` (reference
+        ``norm_gloop_expand`` tnag/core.py:3025): ``sum_R c_R log Z_R``
+        over single sites and loop regions with gauge-capped
+        boundaries."""
+        import math
+
+        from ..belief_propagation.extras import RegionGraph
+
+        log_scale = 0.0
+        if gauges is None:
+            info = {}
+            tn, gauges = self.gauge_all_simple(info=info)
+            log_scale = info["log_scale"]
+        else:
+            tn = self
+        # base regions are the bonded site *pairs* — their single-site
+        # intersections then carry the (negative) counting numbers that
+        # divide out double-counted sites, exactly the Bethe / simple
+        # gauge norm estimate; loop regions add the corrections
+        t2s = tn._tid_to_site()
+        regions = set()
+        for ix, tids in tn.ind_map.items():
+            sites = {t2s[t] for t in tids if t in t2s}
+            if len(sites) == 2:
+                regions.add(frozenset(sites))
+        regions |= {frozenset((s,)) for s in tn._sites}
+        regions |= tn._gloop_site_regions(loops, max_size)
+        rg = RegionGraph(regions, autocomplete=True)
+        logz = 0.0
+        for region in rg.regions:
+            c = rg.get_count(region)
+            if c == 0:
+                continue
+            zr = tn._region_norm2(region, gauges, smudge=smudge,
+                                  optimize=optimize)
+            logz += c * math.log(abs(zr))
+        return 0.5 * logz + log_scale
+
+    def _region_norm2(self, region, gauges, smudge=1e-12,
+                      optimize="auto"):
+        """<psi|psi> restricted to a gauge-capped site region."""
+        tags = tuple(self.site_tag(s) for s in region)
+        ket = self.select(tags, which="any").copy()
+        if gauges:
+            for ix in tuple(ket.ind_map):
+                if ix not in gauges:
+                    continue
+                n_in = len(ket.ind_map[ix])
+                full_n = len(self.ind_map[ix])
+                if n_in == 2:
+                    sq = jnp.sqrt(gauges[ix] + smudge)
+                    for tid in tuple(ket.ind_map[ix]):
+                        ket.tensor_map[tid].multiply_index_diagonal_(
+                            ix, sq
+                        )
+                elif n_in == 1 and full_n == 2:
+                    (tid,) = ket.ind_map[ix]
+                    ket.tensor_map[tid].multiply_index_diagonal_(
+                        ix, gauges[ix] + smudge
+                    )
+        bra = ket.H
+        bra.mangle_inner_("*")
+        return complex(
+            (ket & bra).contract(..., optimize=optimize)
+        ).real
+
     def local_expectation(self, G, where, method="cluster", **kwargs):
         if method == "exact":
             return self.local_expectation_exact(G, where, **kwargs)
+        if method in ("gloop-expand", "sloop-expand"):
+            return self.local_expectation_gloop_expand(
+                G, where,
+                loops="gloops" if method == "gloop-expand" else "sloops",
+                **kwargs,
+            )
         return self.local_expectation_cluster(G, where, **kwargs)
 
     def compute_local_expectation(self, terms, method="cluster",
                                   return_all=False, **kwargs):
         """Sum of local expectations of ``terms`` {where: G}."""
         tn = self
-        if method == "cluster" and kwargs.get("gauges") is None:
+        if method in (
+            "cluster", "gloop-expand", "sloop-expand"
+        ) and kwargs.get("gauges") is None:
             # derive converged simple gauges once: cluster estimates
             # with hard-cut boundaries are far less accurate,
             # especially for non-canonically-gauged states

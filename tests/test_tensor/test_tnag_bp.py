@@ -312,3 +312,48 @@ class TestCombinatorialBuilders:
         rng = np.random.default_rng(0)
         A = rng.standard_normal((120, 7)) @ rng.standard_normal((7, 90))
         assert estimate_rank(jnp.asarray(A), eps=1e-8) == 7
+
+
+class TestLoopExpansions:
+    def _su_state(self):
+        import quimb_tpu.tensor.tnag as tg
+        from quimb_tpu.tensor.tnag.tebd import SimpleUpdateGen
+
+        edges = [((i, j), (i, j + 1)) for i in range(2)
+                 for j in range(2)]
+        edges += [((0, j), (1, j)) for j in range(3)]
+        ham = tg.ham_gen_heis(edges)
+        psi0 = tg.TN_from_edges_rand(
+            edges, D=2, phys_dim=2, seed=1, dtype="float64"
+        )
+        su = SimpleUpdateGen(psi0, ham, D=3,
+                             compute_energy_final=False)
+        su.evolve(15, tau=0.3)
+        su.evolve(15, tau=0.1)
+        return su.get_state(), ham
+
+    def test_expectation_gloop_expand_beats_cluster(self):
+        psi, ham = self._su_state()
+        E_exact = float(np.real(psi.compute_local_expectation(
+            ham.terms, method="exact"
+        )))
+        E_clust = float(np.real(psi.compute_local_expectation(
+            ham.terms, method="cluster"
+        )))
+        E_gloop = float(np.real(psi.compute_local_expectation(
+            ham.terms, method="gloop-expand", max_size=6
+        )))
+        assert abs(E_gloop - E_exact) < 1e-8
+        assert abs(E_gloop - E_exact) < abs(E_clust - E_exact)
+
+    def test_norm_gloop_expand(self):
+        import math
+
+        psi, _ = self._su_state()
+        ln_exact = math.log(
+            float(np.linalg.norm(np.asarray(psi.to_dense())))
+        )
+        ln_bethe = psi.norm_gloop_expand(max_size=2)
+        ln_gloop = psi.norm_gloop_expand(max_size=6)
+        assert abs(ln_gloop - ln_exact) < 1e-8
+        assert abs(ln_gloop - ln_exact) < abs(ln_bethe - ln_exact)
