@@ -18,6 +18,13 @@ from .builders import (
     TN_rand_reg,
     cnf_file_parse,
 )
+from .compress import (
+    tensor_network_ag_compress,
+    tensor_network_ag_compress_local_early,
+    tensor_network_ag_compress_local_late,
+    tensor_network_ag_compress_projector,
+    tensor_network_ag_compress_superorthogonal,
+)
 from .tebd import LocalHamGen, SimpleUpdateGen, TEBDGen, ham_gen_heis
 
 __all__ = [

@@ -357,3 +357,41 @@ class TestLoopExpansions:
         ln_gloop = psi.norm_gloop_expand(max_size=6)
         assert abs(ln_gloop - ln_exact) < 1e-8
         assert abs(ln_gloop - ln_exact) < abs(ln_bethe - ln_exact)
+
+
+class TestAGCompress:
+    @pytest.mark.parametrize(
+        "method",
+        ["superorthogonal", "local-early", "local-late", "projector"],
+    )
+    def test_pad_and_recompress(self, method):
+        import jax.numpy as jnp
+
+        import quimb_tpu.tensor.tnag as tg
+
+        edges = [((i, j), (i, j + 1)) for i in range(2)
+                 for j in range(2)]
+        edges += [((0, j), (1, j)) for j in range(3)]
+        psi2 = tg.TN_from_edges_rand(
+            edges, D=2, phys_dim=2, seed=0, dtype="float64"
+        )
+        psi4 = psi2.copy()
+        for ix in tuple(psi4.inner_inds()):
+            tids = tuple(psi4.ind_map[ix])
+            if len(tids) != 2:
+                continue
+            for tid in tids:
+                t = psi4.tensor_map[tid]
+                pads = [(0, 0)] * t.ndim
+                pads[t.inds.index(ix)] = (0, 2)
+                t.modify(data=jnp.pad(t.data, pads))
+        out = tg.tensor_network_ag_compress(
+            psi4, max_bond=2, method=method
+        )
+        assert out.max_bond() == 2
+        v = np.asarray(out.to_dense()).reshape(-1)
+        r = np.asarray(psi2.to_dense()).reshape(-1)
+        fid = abs(
+            np.vdot(v, r) / (np.linalg.norm(v) * np.linalg.norm(r))
+        )
+        assert fid > 1 - 1e-8
