@@ -40,9 +40,14 @@ def _build_lazy_index():
     import quimb_tpu.gen.rand as _rand
     import quimb_tpu.linalg.base_linalg as _bl
     import quimb_tpu.linalg.approx_spectral as _as
+    import quimb_tpu.linalg.rand_linalg as _rl
     import quimb_tpu.gates as _gates
+    import quimb_tpu.utils as _utils
+    import quimb_tpu.utils_plot as _uplot
+    import quimb_tpu.parallel.pools as _pools
 
-    mods = [_core, _calc, _evo, _states, _operators, _rand, _bl, _as, _gates]
+    mods = [_core, _calc, _evo, _states, _operators, _rand, _bl, _as,
+            _rl, _gates, _utils, _uplot, _pools]
     for mod in mods:
         for name in getattr(mod, "__all__", ()):
             _CORE_FUNCTIONS.setdefault(name, mod)

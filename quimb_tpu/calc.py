@@ -611,7 +611,7 @@ __all__ = [
     "tr_sqrt_subsys", "partial_transpose", "partial_transpose_norm",
     "logneg", "logarithmic_negativity", "logneg_subsys", "negativity",
     "concurrence", "one_way_classical_information", "quantum_discord",
-    "trace_distance", "cprint", "pauli_decomp", "bell_decomp",
+    "trace_distance", "cprint", "decomp", "pauli_decomp", "bell_decomp",
     "correlation", "pauli_correlations", "ent_cross_matrix", "qid",
     "is_degenerate", "is_eigenvector", "page_entropy",
     "heisenberg_energy",

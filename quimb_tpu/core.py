@@ -567,4 +567,84 @@ __all__ = [
     "kronpow", "eye", "identity", "eyepad", "ikron", "pkron", "permute",
     "partial_trace", "ptr", "ham_from_terms", "sparse_to_bcoo",
     "SparseHam",
+    "qarray", "speye", "sparse", "dim_map",
+    "cos", "exp", "log", "log2", "log10", "pi", "sin", "sqrt", "tan",
 ]
+
+
+# ---------------------------------------------------------------------------
+# small parity helpers (reference core.py:190 ``qarray``, :1511 ``speye``,
+# :1761 ``dim_map``; top-level math shorthands quimb/__init__.py:20)
+# ---------------------------------------------------------------------------
+
+from math import cos, exp, log, log2, log10, pi, sin, sqrt, tan  # noqa: E402,F401
+
+
+class qarray(np.ndarray):
+    """Thin ``numpy.ndarray`` subclass with a compact repr (reference
+    ``qarray`` core.py:190). Host-side only — device arrays are plain
+    ``jax.Array``; this exists for API compatibility when working with
+    host copies."""
+
+    def __new__(cls, input_array, dtype=None):
+        return np.asarray(input_array, dtype=dtype).view(cls)
+
+    @property
+    def H(self):
+        return self.conj().T
+
+    def __repr__(self):
+        with np.printoptions(precision=6, linewidth=120,
+                             suppress=True):
+            s = np.ndarray.__repr__(np.asarray(self))
+        return s.replace("array", "qarray", 1)
+
+
+speye = functools.partial(eye, sparse=True)
+sparse = sparse_matrix
+
+
+def _find_shape_of_nested_int_array(x):
+    """Find the shape of a nested list structure of ints."""
+    shape = []
+    sub = x
+    while not isinstance(sub, (int, np.integer)):
+        shape.append(len(sub))
+        sub = sub[0]
+    return tuple(shape)
+
+
+def dim_map(dims, coos, cyclic=False, trim=False):
+    """Flatten multi-dimensional ``dims`` and map coordinate tuples to
+    flat indices (reference ``dim_map`` core.py:1761)."""
+    if isinstance(dims, np.ndarray):
+        szs = dims.shape
+        ndim = dims.ndim
+    else:
+        szs = _find_shape_of_nested_int_array(dims)
+        ndim = len(szs)
+
+    if ndim == 1 and coos and isinstance(coos[0], (int, np.integer)):
+        coos = [(c,) for c in coos]
+
+    coos = list(map(tuple, coos))
+    if cyclic:
+        coos = [
+            tuple(c % s for c, s in zip(coo, szs)) for coo in coos
+        ]
+    elif trim:
+        coos = [
+            coo for coo in coos
+            if all(0 <= c < s for c, s in zip(coo, szs))
+        ]
+    elif any(
+        not (0 <= c < s) for coo in coos for c, s in zip(coo, szs)
+    ):
+        raise ValueError("coordinates beyond dimension size")
+
+    flat_dims = tuple(np.asarray(dims).flatten().tolist())
+    strides = np.cumprod((1,) + szs[:0:-1])[::-1]
+    inds = tuple(
+        int(sum(c * st for c, st in zip(coo, strides))) for coo in coos
+    )
+    return flat_dims, inds

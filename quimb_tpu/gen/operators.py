@@ -226,11 +226,43 @@ def ccX(dtype=None):
 toffoli = ccX
 
 
+def ccY(dtype=None):
+    """Double-controlled Y gate (reference ``ccY``
+    gen/operators.py:779)."""
+    return ncontrolled_gate(2, _pauli_np("Y"), dtype)
+
+
+def ccZ(dtype=None):
+    """Double-controlled Z gate (reference ``ccZ``
+    gen/operators.py:803)."""
+    return ncontrolled_gate(2, _pauli_np("Z"), dtype)
+
+
 def fredkin(dtype=None):
     return ncontrolled_gate(1, np.asarray(swap(2)), dtype)
 
 
 cswap = fredkin
+controlled_swap = fredkin
+
+
+def shift(dim, power=1, dtype=None):
+    """Cyclic shift operator of dimension ``dim`` raised to ``power``
+    (reference ``shift`` gen/operators.py:214)."""
+    power = power % dim
+    S = np.zeros((dim, dim), dtype=complex)
+    for i in range(dim):
+        S[(i + power) % dim, i] = 1.0
+    return _asdevice(S, dtype)
+
+
+def clock(dim, power=1, dtype=None):
+    """Clock operator diag(w^0, w^p, w^2p, ...) with w the primitive
+    dim-th root of unity (reference ``clock``
+    gen/operators.py:256)."""
+    omega = np.exp(power * 2j * np.pi / dim)
+    C = np.diag(omega ** np.arange(dim))
+    return _asdevice(C, dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -462,7 +494,8 @@ __all__ = [
     "S_gate", "T_gate", "rotation", "Rx", "Ry", "Rz", "U_gate", "Xsqrt",
     "Ysqrt", "Zsqrt", "Wsqrt", "swap", "iswap", "fsim", "fsimg",
     "ncontrolled_gate", "controlled", "CNOT", "cX", "cY", "cZ", "ccX",
-    "toffoli", "fredkin", "cswap", "ham_heis", "ham_ising", "ham_XY",
+    "ccY", "ccZ", "toffoli", "fredkin", "cswap", "controlled_swap",
+    "shift", "clock", "ham_heis", "ham_ising", "ham_XY",
     "ham_XXZ", "ham_mbl", "ham_j1j2", "ham_heis_2D",
     "ham_hubbard_hardcore", "zspin_projector", "create", "destroy", "num",
 ]

@@ -82,6 +82,24 @@ def randn(shape=(), dtype=None, scale=1.0, loc=0.0, seed=None, dist="normal",
     return out.astype(dtype_str)
 
 
+def get_rand_fill_fn(dist="normal", loc=0.0, scale=1.0, seed=None,
+                     dtype=None):
+    """Get a stateful ``fill_fn(shape) -> array`` closure with the given
+    distribution/parameters (reference ``get_rand_fill_fn``
+    gen/rand.py:322). Successive calls draw fresh (split) PRNG keys so
+    repeated fills differ even with a fixed ``seed``."""
+    dtype = dtype or get_default_dtype()
+    state = [jax.random.PRNGKey(seed) if seed is not None
+             else _next_key()]
+
+    def fill_fn(shape=()):
+        state[0], sub = jax.random.split(state[0])
+        return randn(tuple(shape), dtype=dtype, scale=scale, loc=loc,
+                     dist=dist, key=sub)
+
+    return fill_fn
+
+
 def rand_rademacher(shape, dtype=None, seed=None):
     dtype = dtype or "float64"
     return randn(shape, dtype=dtype, seed=seed, dist="rademacher")
@@ -234,8 +252,15 @@ def rand_mera(n, *args, **kwargs):
     return MERA.rand(n, *args, **kwargs)
 
 
+def rand(*args, **kwargs):
+    """Uniform random array (reference gen/rand.py:250)."""
+    kwargs.setdefault("dist", "uniform")
+    return randn(*args, **kwargs)
+
+
 __all__ = [
-    "seed_rand", "set_rand_bitgen", "randn", "rand_rademacher",
+    "seed_rand", "set_rand_bitgen", "randn", "rand", "get_rand_fill_fn",
+    "rand_rademacher",
     "rand_phase", "rand_matrix", "rand_herm", "rand_pos", "rand_rho",
     "rand_uni", "rand_ket", "rand_haar_state", "gen_rand_haar_states",
     "rand_mix", "rand_product_state", "rand_matrix_product_state",

@@ -252,7 +252,17 @@ def negativity_subsys_approx(psi_abc, dims, sysa, sysb, **kwargs):
     return max(0.0, (nrm - 1) / 2)
 
 
+def xlogx(x):
+    """``x * log2(x)`` with the 0 log 0 = 0 convention (reference
+    ``xlogx`` approx_spectral.py:951)."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    return jnp.where(x > 0, x * jnp.log2(jnp.where(x > 0, x, 1.0)), 0.0)
+
+
 __all__ = [
+    "xlogx",
     "LazyPtrOperator", "LazyPtrPptOperator", "construct_lanczos_tridiag",
     "approx_spectral_function", "tr_abs_approx", "tr_exp_approx",
     "tr_sqrt_approx", "tr_xlogx_approx", "entropy_subsys_approx",

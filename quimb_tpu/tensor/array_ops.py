@@ -18,10 +18,15 @@ import numpy as np
 def asarray(x):
     from ..ops.backend import to_device
 
+    if x.__class__.__name__ == "PArray":
+        # lazy parametrized array — keep unmaterialized
+        return x
     return x if isinstance(x, jax.Array) else to_device(x)
 
 
 def ndim(x):
+    if x.__class__.__name__ == "PArray":
+        return x.ndim
     return len(jnp.shape(x))
 
 

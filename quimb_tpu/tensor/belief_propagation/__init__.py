@@ -34,10 +34,13 @@ __all__ = [
 
 from .extras import DIIS, HD1BP, L1BP, L2BP, RegionGraph, contract_l1bp, contract_l2bp
 from .gbp import HD1GBP, contract_hd1gbp
+from .mps1bp import MPS1BP, contract_mps1bp
 
 __all__ += [
     "HD1GBP",
     "contract_hd1gbp",
+    "MPS1BP",
+    "contract_mps1bp",
     "DIIS", "HD1BP", "L1BP", "L2BP", "RegionGraph", "contract_l1bp",
     "contract_l2bp",
 ]

@@ -13,6 +13,7 @@ from .gates import (
 )
 from .mps import CircuitMPS, CircuitMPSLazy, CircuitPermMPS
 from .peps import CircuitPEPS, CircuitPEPSSimpleUpdate
+from .pepo import CircuitPEPOSimpleUpdate
 
 __all__ = [
     "Circuit",
@@ -23,6 +24,7 @@ __all__ = [
     "CircuitPermMPS",
     "CircuitPEPS",
     "CircuitPEPSSimpleUpdate",
+    "CircuitPEPOSimpleUpdate",
     "Gate",
     "ALL_GATES",
     "CONSTANT_GATES",

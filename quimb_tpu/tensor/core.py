@@ -1935,6 +1935,67 @@ class TensorNetwork:
 
     squeeze_ = functools.partialmethod(squeeze, inplace=True)
 
+    def fuse_multibonds(self, inplace=False):
+        """Fuse any multi-bonds (multiple indices shared by the same
+        pair of tensors) into single indices (reference
+        ``TensorNetwork.fuse_multibonds`` tensor_core.py)."""
+        tn = self if inplace else self.copy()
+        pair_bonds = {}
+        for ix, tids in tn.ind_map.items():
+            if len(tids) != 2:
+                continue
+            pair_bonds.setdefault(frozenset(tids), []).append(ix)
+        for tids, ixs in pair_bonds.items():
+            if len(ixs) > 1:
+                new_ix = rand_uuid()
+                for tid in tids:
+                    tn.tensor_map[tid].fuse_({new_ix: ixs})
+        return tn
+
+    fuse_multibonds_ = functools.partialmethod(
+        fuse_multibonds, inplace=True
+    )
+
+    def gauge_all_random(self, iterations=1, unitary=False, seed=None,
+                         inplace=False):
+        """Insert random invertible (or unitary) gauge pairs
+        ``G @ G^-1`` on every bond — the contracted value is unchanged
+        but local tensors are scrambled (reference
+        ``gauge_all_random`` tensor_core.py)."""
+        tn = self if inplace else self.copy()
+        rng = np.random.default_rng(seed)
+        for _ in range(iterations):
+            for ix, tids in tuple(tn.ind_map.items()):
+                if len(tids) != 2:
+                    continue
+                tida, tidb = tuple(tids)
+                ta = tn.tensor_map[tida]
+                tb = tn.tensor_map[tidb]
+                d = ta.ind_size(ix)
+                G = rng.normal(size=(d, d))
+                if unitary:
+                    G = np.linalg.qr(G)[0]
+                    Ginv = G.conj().T
+                else:
+                    G = G + d * np.eye(d)
+                    Ginv = np.linalg.inv(G)
+                if "complex" in str(ta.dtype):
+                    G = G.astype(str(ta.dtype))
+                    Ginv = Ginv.astype(str(ta.dtype))
+                for t, M in ((ta, G), (tb, Ginv.T)):
+                    ax = t.inds.index(ix)
+                    data = jnp.tensordot(
+                        t.data, jnp.asarray(M, dtype=t.dtype),
+                        axes=(ax, 0),
+                    )
+                    data = jnp.moveaxis(data, -1, ax)
+                    t.modify(data=data)
+        return tn
+
+    gauge_all_random_ = functools.partialmethod(
+        gauge_all_random, inplace=True
+    )
+
     def rank_simplify(self, inplace=False, **kwargs):
         from .simplify import rank_simplify as _rs
 
@@ -1998,3 +2059,304 @@ class TensorNetwork:
                 f"    {t!r}," for t in self.tensor_map.values()
             ) + "\n])"
         )
+
+
+# ---------------------------------------------------------------------------
+# module-level TN combinators (reference tensor_core.py:1239-1760)
+# ---------------------------------------------------------------------------
+
+def tensor_make_single_bond(t1, t2, gauges=None, bond_ind=None):
+    """Fuse any multiple bonds between ``t1`` and ``t2`` into a single
+    bond, creating one of size 1 if none exists (reference
+    ``tensor_make_single_bond``). Returns ``(created, bond_ind, size)``."""
+    shared = list(bonds(t1, t2))
+    if not shared:
+        if bond_ind is None:
+            bond_ind = rand_uuid()
+        new_bond(t1, t2, size=1, name=bond_ind)
+        return True, bond_ind, 1
+    if len(shared) == 1:
+        return False, shared[0], t1.ind_size(shared[0])
+    if bond_ind is None:
+        bond_ind = shared[0]
+    if gauges is not None:
+        for ix in shared:
+            if ix in gauges:
+                g = gauges.pop(ix)
+                t1.multiply_index_diagonal_(ix, jnp.sqrt(g))
+                t2.multiply_index_diagonal_(ix, jnp.sqrt(g))
+    t1.fuse_({bond_ind: shared})
+    t2.fuse_({bond_ind: shared})
+    return False, bond_ind, t1.ind_size(bond_ind)
+
+
+def tensor_fuse_squeeze(t1, t2, squeeze=True, gauges=None,
+                        bond_ind=None):
+    """Fuse any multibond between ``t1``/``t2`` into one index and
+    squeeze it away if its size is 1 (reference ``tensor_fuse_squeeze``
+    tensor_core.py:1239). Inplace."""
+    _, bond_ind, _ = tensor_make_single_bond(
+        t1, t2, gauges=gauges, bond_ind=bond_ind
+    )
+    if squeeze and t1.ind_size(bond_ind) == 1:
+        t1.squeeze_(include=(bond_ind,))
+        t2.squeeze_(include=(bond_ind,))
+        if gauges is not None and bond_ind in gauges:
+            s0_1_2 = float(jnp.reshape(gauges.pop(bond_ind), ())) ** 0.5
+            t1.modify(apply=lambda x: x * s0_1_2)
+            t2.modify(apply=lambda x: x * s0_1_2)
+
+
+def connect(t1, t2, ax1, ax2):
+    """Connect two tensors by renaming the given axes to a shared new
+    index (reference ``connect`` tensor_core.py:1760). Inplace — any
+    viewing TNs see the change."""
+    d1, d2 = t1.shape[ax1], t2.shape[ax2]
+    if d1 != d2:
+        raise ValueError(f"dimensions {d1} and {d2} do not match")
+    new_ix = rand_uuid()
+    inds1 = list(t1.inds)
+    inds1[ax1] = new_ix
+    t1.modify(inds=inds1)
+    inds2 = list(t2.inds)
+    inds2[ax2] = new_ix
+    t2.modify(inds=inds2)
+
+
+def tensor_network_sum(tnA, tnB, inplace=False):
+    """Direct sum of two structurally identical TNs: indices must match
+    exactly; bond dimensions add (reference ``tensor_network_sum``
+    tensor_core.py:1628)."""
+    tnAB = tnA if inplace else tnA.copy()
+    oix = tnAB.outer_inds()
+    tidsA = list(tnAB.tensor_map)
+    # match tensors by identical index sets
+    b_by_inds = {frozenset(t.inds): t for t in tnB.tensor_map.values()}
+    for tid in tidsA:
+        t = tnAB.tensor_map[tid]
+        tb = b_by_inds.get(frozenset(t.inds))
+        if tb is None:
+            raise ValueError(
+                "can only sum TNs with exactly matching indices — see "
+                "tensor_network_ag_sum for matching site structure only"
+            )
+        sum_inds = [ix for ix in t.inds if ix in oix]
+        tab = tensor_direct_product(t, tb, sum_inds)
+        t.modify(data=tab.data)
+    return tnAB
+
+
+# ---------------------------------------------------------------------------
+# parametrized / isometric tensors (reference tensor_core.py:12261,12398)
+# ---------------------------------------------------------------------------
+
+class PArray:
+    """A lazy ``fn(params) -> array`` pair behaving like its resulting
+    array (reference ``PArray`` tensor/array_ops.py:578). On TPU the
+    materialization happens inside jit when traced."""
+
+    __slots__ = ("_fn", "_params", "_data")
+
+    def __init__(self, fn, params):
+        self._fn = fn
+        self._params = params
+        self._data = None
+
+    def copy(self):
+        return PArray(self._fn, self._params)
+
+    @property
+    def fn(self):
+        return self._fn
+
+    @fn.setter
+    def fn(self, fn):
+        self._fn = fn
+        self._data = None
+
+    @property
+    def params(self):
+        return self._params
+
+    @params.setter
+    def params(self, params):
+        self._params = params
+        self._data = None
+
+    @property
+    def data(self):
+        if self._data is None:
+            self._data = ar.asarray(self._fn(self._params))
+        return self._data
+
+    @property
+    def shape(self):
+        return tuple(self.data.shape)
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    @property
+    def size(self):
+        return int(np.prod(self.shape))
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def add_function(self, g):
+        """Chain a new function ``g`` on top of the current one."""
+        f = self._fn
+        self._fn = lambda p: g(f(p))
+        self._data = None
+
+    def __array__(self, dtype=None):
+        out = np.asarray(self.data)
+        return out.astype(dtype) if dtype is not None else out
+
+
+class PTensor(Tensor):
+    """A tensor whose data is lazily generated from ``fn(params)``
+    (reference ``PTensor`` tensor_core.py:12261). Used by TNOptimizer to
+    keep e.g. unitary-constrained parametrizations."""
+
+    def __init__(self, fn, params, inds=(), tags=None, left_inds=None):
+        super().__init__(
+            PArray(fn, params), inds=inds, tags=tags, left_inds=left_inds
+        )
+
+    @classmethod
+    def from_parray(cls, parray, inds=(), tags=None, left_inds=None):
+        obj = cls.__new__(cls)
+        Tensor.__init__(obj, parray, inds=inds, tags=tags,
+                        left_inds=left_inds)
+        return obj
+
+    def copy(self):
+        return PTensor.from_parray(
+            self._data.copy(), inds=self.inds, tags=self.tags,
+            left_inds=self.left_inds,
+        )
+
+    @property
+    def data(self):
+        return self._data.data
+
+    @property
+    def fn(self):
+        return self._data.fn
+
+    @fn.setter
+    def fn(self, x):
+        self._data.fn = x
+
+    def get_params(self):
+        return self._data.params
+
+    def set_params(self, params):
+        self._data.params = params
+
+    @property
+    def params(self):
+        return self.get_params()
+
+    @params.setter
+    def params(self, x):
+        self.set_params(x)
+
+    @property
+    def shape(self):
+        return self._data.shape
+
+    @property
+    def ndim(self):
+        return self._data.ndim
+
+    def modify(self, apply=None, data=None, inds=None, tags=None,
+               left_inds=...):
+        if apply is not None:
+            self._data.add_function(apply)
+            apply = None
+        if data is not None:
+            if isinstance(data, PArray):
+                self._data = data
+                data = None
+            else:
+                raise TypeError(
+                    "can only set PTensor data to a PArray — use "
+                    ".unparametrize() for a plain Tensor"
+                )
+        super().modify(apply=apply, data=data, inds=inds, tags=tags,
+                       left_inds=left_inds)
+
+    def unparametrize(self):
+        """Turn into a normal (materialized) :class:`Tensor`."""
+        return Tensor(self.data, inds=self.inds, tags=self.tags,
+                      left_inds=self.left_inds)
+
+
+class IsoTensor(Tensor):
+    """A :class:`Tensor` which keeps its ``left_inds`` through
+    ``modify`` (reference ``IsoTensor`` tensor_core.py:12398) — the
+    marker class for isometric networks (MERA, TTN)."""
+
+    def modify(self, **kwargs):
+        kwargs.setdefault("left_inds", self.left_inds)
+        super().modify(**kwargs)
+
+    def fuse(self, *args, inplace=False, **kwargs):
+        t = self if inplace else self.copy()
+        t._left_inds = None
+        return Tensor.fuse(t, *args, inplace=True, **kwargs)
+
+
+def tensor_gauge_simple_bond(ta, tb, gauges, smudge=1e-12, power=1.0,
+                             damping=0.0, max_bond=None, cutoff=0.0,
+                             renorm=False, info=None):
+    """One simple-update-style gauging step for two tensors sharing a
+    bond (reference ``tensor_gauge_simple_bond``
+    tensor_core.py:1295): absorb the surrounding gauges, split/compress
+    the shared bond keeping the singular values as the new gauge,
+    then unabsorb. ``gauges`` is updated in place."""
+    _, bond_ix, _ = tensor_make_single_bond(ta, tb, gauges=gauges)
+
+    absorbed = []
+    for t in (ta, tb):
+        for ix in t.inds:
+            if ix != bond_ix and ix in gauges:
+                g = (gauges[ix] + smudge) ** power
+                t.multiply_index_diagonal_(ix, g)
+                absorbed.append((t, ix, g))
+    if bond_ix in gauges:
+        s_old = gauges[bond_ix]
+        sq = jnp.sqrt(s_old + smudge)
+        ta.multiply_index_diagonal_(bond_ix, sq)
+        tb.multiply_index_diagonal_(bond_ix, sq)
+    else:
+        s_old = None
+
+    out = tensor_compress_bond(
+        ta, tb, absorb=None, max_bond=max_bond, cutoff=cutoff,
+    )
+    max_sdiff = None
+    if len(out) == 3:
+        _, s, _ = out
+        nrm = jnp.linalg.norm(s)
+        if renorm:
+            s = s / nrm
+            if info is not None and "exponent" in info:
+                info["exponent"] += float(jnp.log10(nrm))
+        if damping > 0.0 and s_old is not None and \
+                s_old.shape == s.shape:
+            s = damping * s_old + (1 - damping) * s
+        if info is not None and "max_sdiff" in info and \
+                s_old is not None and s_old.shape == s.shape:
+            max_sdiff = float(jnp.linalg.norm(s - s_old))
+            info["max_sdiff"] = max(info["max_sdiff"], max_sdiff)
+        gauges[bond_ix] = s
+
+    for t, ix, g in absorbed:
+        if ix in t.inds:
+            t.multiply_index_diagonal_(ix, 1 / g)
+    return bond_ix

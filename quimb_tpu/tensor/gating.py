@@ -236,3 +236,7 @@ def tensor_network_gate_sandwich(
     tn = tensor_network_gate_inds(tn, Gc, lower_inds, inplace=True,
                                   **kwargs)
     return tn
+
+
+# reference-compatible name (gating.py:642)
+tensor_network_gate_sandwich_inds = tensor_network_gate_sandwich

@@ -207,3 +207,59 @@ __all__ = [
     "edges_3d_diamond", "edges_3d_pyrochlore", "edges_tree_rand",
     "edges_rand_reg",
 ]
+
+
+def edges_2d_triangular_rectangular(Lx, Ly, cyclic=False, cells=None):
+    """Edges of a 2D triangular lattice tiled rectangularly; two sites
+    per cell, labelled (i, j, s) for s in 'AB' (reference
+    ``edges_2d_triangular_rectangular`` geometry.py:168)."""
+    cyclic = _parse_cyclic(cyclic, 2)
+    if cells is None:
+        cells = itertools.product(range(Lx), range(Ly))
+    edges = set()
+    for i, j in cells:
+        A = (i, j, "A")
+        B = (i, j, "B")
+        for src, (di, dj), lbl in [
+            (A, (0, 0), "B"),
+            (A, (0, -1), "B"),
+            (A, (0, 1), "A"),
+            (B, (1, 0), "A"),
+            (B, (0, 1), "B"),
+            (B, (1, 1), "A"),
+        ]:
+            w = _maybe_wrap((i + di, j + dj), (Lx, Ly), cyclic)
+            if w is not None:
+                dst = (*w, lbl)
+                if dst != src:
+                    edges.add(tuple(sorted((src, dst))))
+    return sorted(edges)
+
+
+def edges_3d_diamond_cubic(Lx, Ly, Lz, cyclic=False, cells=None):
+    """Edges of a 3D diamond lattice tiled cubically; eight sites per
+    cell, labelled (i, j, k, s) for s in 'ABCDEFGH' (reference
+    ``edges_3d_diamond_cubic`` geometry.py:448)."""
+    cyclic = _parse_cyclic(cyclic, 3)
+    if cells is None:
+        cells = itertools.product(range(Lx), range(Ly), range(Lz))
+    neighbor_spec = {
+        "A": [((0, 0, 0), "E")],
+        "B": [((0, 0, 0), "E"), ((0, 0, 0), "F")],
+        "C": [((0, 0, 0), "E"), ((0, 0, 0), "G")],
+        "D": [((0, 0, 0), "E"), ((0, 0, 0), "H")],
+        "F": [((0, 1, 0), "C"), ((1, 0, 0), "D")],
+        "G": [((1, 0, 1), "A"), ((0, 0, 1), "B"), ((1, 0, 0), "D")],
+        "H": [((0, 1, 1), "A"), ((0, 0, 1), "B"), ((0, 1, 0), "C")],
+    }
+    edges = set()
+    for i, j, k in cells:
+        for s, nbrs in neighbor_spec.items():
+            src = (i, j, k, s)
+            for (di, dj, dk), lbl in nbrs:
+                w = _maybe_wrap(
+                    (i + di, j + dj, k + dk), (Lx, Ly, Lz), cyclic
+                )
+                if w is not None:
+                    edges.add(tuple(sorted((src, (*w, lbl)))))
+    return sorted(edges)

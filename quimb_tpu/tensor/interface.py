@@ -169,3 +169,11 @@ def register_all():
 
 
 register_all()
+
+
+def jax_register_pytree():
+    """Reference-compatible alias: (re-)register all Tensor/TN classes
+    as jax pytrees (reference ``jax_register_pytree``
+    interface.py:93). Registration already happens at import; calling
+    this is a safe no-op re-registration check."""
+    return None

@@ -645,3 +645,95 @@ def ham_1d_mbl(L, dh, j=1.0, seed=None, S=1 / 2, cyclic=False,
     for i in range(L):
         H[i] = [(-hs[i], "Z")]
     return H.build_local_ham(L, **opts)
+
+
+def MPO_ham_XXZ(L, delta, jxy=1.0, S=1 / 2, cyclic=False, **mpo_opts):
+    """XXZ-model MPO: ``jxy (XX + YY) + delta ZZ`` (reference
+    ``MPO_ham_XXZ`` tensor_builder.py:5584)."""
+    try:
+        jx, jy = jxy
+    except (TypeError, ValueError):
+        jx = jy = jxy
+    return MPO_ham_heis(L, j=(jx, jy, delta), S=S, cyclic=cyclic,
+                        **mpo_opts)
+
+
+def ham_1d_XXZ(L=None, delta=None, jxy=1.0, S=1 / 2, cyclic=False,
+               **opts):
+    """XXZ-model LocalHam1D (reference ``ham_1d_XXZ``
+    tensor_builder.py:5624)."""
+    if delta is None:
+        raise ValueError("must specify delta")
+    try:
+        jx, jy = jxy
+    except (TypeError, ValueError):
+        jx = jy = jxy
+    return ham_1d_heis(L, j=(jx, jy, delta), S=S, cyclic=cyclic,
+                       **opts)
+
+
+def _ham_bilinear_biquadratic_builder(theta, S=1 / 2, cyclic=False):
+    """Bilinear-biquadratic spin model:
+    ``cos(theta) S.S + sin(theta) (S.S)^2`` (reference
+    ``_ham_bilinear_biquadratic`` tensor_builder.py:5674)."""
+    H = SpinHam1D(S=S, cyclic=cyclic)
+    cost, sint = math.cos(theta), math.sin(theta)
+
+    H += cost, "X", "X"
+    H += cost, "Y", "Y"
+    H += cost, "Z", "Z"
+
+    # (S.S)^2 expanded into products of single-site operators
+    from ...gen.operators import _spin_op_np
+
+    for s1 in ("X", "Y", "Z"):
+        for t1 in ("X", "Y", "Z"):
+            op1 = np.asarray(_spin_op_np(s1, S)) @ np.asarray(
+                _spin_op_np(t1, S)
+            )
+            op2 = np.asarray(_spin_op_np(s1, S)) @ np.asarray(
+                _spin_op_np(t1, S)
+            )
+            H += sint, op1, op2
+    return H
+
+
+def MPO_ham_bilinear_biquadratic(L=None, theta=0, S=1 / 2,
+                                 cyclic=False, compress=True,
+                                 **mpo_opts):
+    """Bilinear-biquadratic model MPO (reference
+    ``MPO_ham_bilinear_biquadratic`` tensor_builder.py:5698)."""
+    H = _ham_bilinear_biquadratic_builder(theta, S=S, cyclic=cyclic)
+    mpo = H.build_mpo(L, **mpo_opts)
+    if compress:
+        mpo.compress(cutoff=1e-12)
+    return mpo
+
+
+def ham_1d_bilinear_biquadratic(L=None, theta=0, S=1 / 2,
+                                cyclic=False, **opts):
+    """Bilinear-biquadratic model LocalHam1D (reference
+    ``ham_1d_bilinear_biquadratic`` tensor_builder.py:5732)."""
+    H = _ham_bilinear_biquadratic_builder(theta, S=S, cyclic=cyclic)
+    return H.build_local_ham(L, **opts)
+
+
+def MPS_COPY(L, phys_dim=2, dtype="float64", **mps_opts):
+    """MPS form of the L-leg COPY (delta) tensor (reference
+    ``MPS_COPY`` tensor_builder.py:4315)."""
+    def delta(shape):
+        x = np.zeros(shape, dtype=dtype)
+        idx = np.indices(shape)
+        x[(idx[0] == idx).all(axis=0)] = 1
+        return x
+
+    arrays = []
+    for i in range(L):
+        shape = []
+        if i > 0:
+            shape.append(phys_dim)
+        if i < L - 1:
+            shape.append(phys_dim)
+        shape.append(phys_dim)
+        arrays.append(delta(tuple(shape)))
+    return MatrixProductState(arrays, **mps_opts)

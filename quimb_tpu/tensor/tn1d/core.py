@@ -1334,6 +1334,22 @@ class SuperOperator1D(TensorNetwork1D):
         "_outer_lower_ind_id", "_inner_lower_ind_id",
     )
 
+    @property
+    def outer_upper_ind_id(self):
+        return self._outer_upper_ind_id
+
+    @property
+    def inner_upper_ind_id(self):
+        return self._inner_upper_ind_id
+
+    @property
+    def outer_lower_ind_id(self):
+        return self._outer_lower_ind_id
+
+    @property
+    def inner_lower_ind_id(self):
+        return self._inner_lower_ind_id
+
     def __init__(self, arrays, *, shape="lrkudb",
                  outer_upper_ind_id="kn{}", inner_upper_ind_id="k{}",
                  outer_lower_ind_id="bn{}", inner_lower_ind_id="b{}",
@@ -1410,3 +1426,45 @@ def TNLinearOperator1D(tn, left_inds, right_inds, start=None, stop=None,
         tags = tuple(tn.site_tag(i) for i in range(start, stop))
         tn = tn.select_any(tags)
     return TNLinearOperator(tn, left_inds, right_inds, **kwargs)
+
+
+def superop_TN_1D(tn_super, tn_op, upper_ind_id="k{}",
+                  lower_ind_id="b{}", so_outer_upper_ind_id=None,
+                  so_inner_upper_ind_id=None,
+                  so_inner_lower_ind_id=None,
+                  so_outer_lower_ind_id=None):
+    """Act with a 1D TN superoperator on a 1D TN operator, keeping the
+    operator's original outer index ids (reference ``superop_TN_1D``
+    tn1d/core.py:266)."""
+    n = tn_op.L
+    if so_outer_upper_ind_id is None:
+        so_outer_upper_ind_id = getattr(
+            tn_super, "outer_upper_ind_id", "kn{}"
+        )
+    if so_inner_upper_ind_id is None:
+        so_inner_upper_ind_id = getattr(
+            tn_super, "inner_upper_ind_id", "k{}"
+        )
+    if so_inner_lower_ind_id is None:
+        so_inner_lower_ind_id = getattr(
+            tn_super, "inner_lower_ind_id", "b{}"
+        )
+    if so_outer_lower_ind_id is None:
+        so_outer_lower_ind_id = getattr(
+            tn_super, "outer_lower_ind_id", "bn{}"
+        )
+    reindex_map = {}
+    for i in range(n):
+        upper_bnd = rand_uuid()
+        lower_bnd = rand_uuid()
+        reindex_map[upper_ind_id.format(i)] = upper_bnd
+        reindex_map[lower_ind_id.format(i)] = lower_bnd
+        reindex_map[so_inner_upper_ind_id.format(i)] = upper_bnd
+        reindex_map[so_inner_lower_ind_id.format(i)] = lower_bnd
+        reindex_map[so_outer_upper_ind_id.format(i)] = \
+            upper_ind_id.format(i)
+        reindex_map[so_outer_lower_ind_id.format(i)] = \
+            lower_ind_id.format(i)
+    return TensorNetwork((
+        tn_super.reindex(reindex_map), tn_op.reindex(reindex_map)
+    ))

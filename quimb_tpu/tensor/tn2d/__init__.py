@@ -9,6 +9,7 @@ from .core import (
 )
 from .builders import (
     PEPO_identity,
+    PEPO_product_operator,
     PEPO_rand,
     PEPS_computational_state,
     PEPS_product_state,
@@ -24,6 +25,7 @@ __all__ = [
     "TensorNetwork2DVector",
     "gen_2d_bonds",
     "PEPO_identity",
+    "PEPO_product_operator",
     "PEPO_rand",
     "PEPS_computational_state",
     "PEPS_product_state",

@@ -144,3 +144,31 @@ def PEPO_rand(Lx, Ly, bond_dim, phys_dim=2, herm=False, dtype=None,
             s += 1
         arrays.append(row)
     return PEPO(arrays, shape="urdlbk", **pepo_opts)
+
+
+def PEPO_product_operator(arrays, **pepo_opts):
+    """Bond-dimension-1 PEPO of a tensor product of one-site operators
+    ``arrays[i][j]`` (reference ``PEPO_product_operator``
+    tensor_builder.py:4655)."""
+    import jax.numpy as jnp
+
+    arrays = tuple(tuple(x for x in xs) for xs in arrays)
+    Lx, Ly = len(arrays), len(arrays[0])
+    reshaped = []
+    for i in range(Lx):
+        row = []
+        for j in range(Ly):
+            arr = jnp.asarray(arrays[i][j])
+            shape = []
+            if i < Lx - 1:
+                shape.append(1)
+            if j < Ly - 1:
+                shape.append(1)
+            if i > 0:
+                shape.append(1)
+            if j > 0:
+                shape.append(1)
+            shape.extend(arr.shape)
+            row.append(jnp.reshape(arr, tuple(shape)))
+        reshaped.append(row)
+    return PEPO(reshaped, shape="urdlbk", **pepo_opts)

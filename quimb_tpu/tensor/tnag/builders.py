@@ -175,7 +175,9 @@ def HTN_classical_partition_function_from_edges(
 
 
 def HTN_from_clauses(clauses, weights=None, mode="dense",
-                     site_ind_id="s{}", dtype="float64"):
+                     site_ind_id="s{}", dtype="float64",
+                     var_ind_id=None, clause_tag_id="CLAUSE{}",
+                     weight_tag_id="WEIGHT{}"):
     """Hyper tensor network whose full contraction counts (or weights)
     the satisfying assignments of boolean ``clauses`` (reference
     ``HTN_from_clauses`` / k-SAT builders tensor_builder.py).
@@ -196,48 +198,122 @@ def HTN_from_clauses(clauses, weights=None, mode="dense",
         Contracting with no output indices gives the (weighted) count
         of satisfying assignments.
     """
+    if var_ind_id is not None:
+        site_ind_id = var_ind_id
     ts = []
-    seen_vars = set()
-    for clause in clauses:
+    for c, clause in enumerate(clauses):
         vs = tuple(abs(v) for v in clause)
-        seen_vars.update(vs)
-        shape = (2,) * len(vs)
-        data = np.ones(shape, dtype=dtype)
+        inds = tuple(site_ind_id.format(v) for v in vs)
+        tags = (clause_tag_id.format(c),)
         # the single violating assignment: every literal false
         viol = tuple(0 if v > 0 else 1 for v in clause)
-        data[viol] = 0.0
-        ts.append(Tensor(
-            jnp.asarray(data),
-            inds=tuple(site_ind_id.format(v) for v in vs),
-        ))
+        if isinstance(mode, int):
+            cmode = "parafac" if len(vs) > mode else "dense"
+        else:
+            cmode = mode
+        if cmode == "dense" or len(vs) == 1:
+            data = np.ones((2,) * len(vs), dtype=dtype)
+            data[viol] = 0.0
+            ts.append(Tensor(jnp.asarray(data), inds=inds, tags=tags))
+        elif cmode == "parafac":
+            # OR tensor = ones - e_viol1 x e_viol2 x ... : a rank-2
+            # CP decomposition over one hyper index (reference
+            # ``or_clause_parafac_data`` tensor_builder.py:3604)
+            hyper = rand_uuid()
+            for ix, vi in zip(inds, viol):
+                f = np.zeros((2, 2), dtype=dtype)
+                f[0, :] = 1.0
+                f[1, vi] = 1.0
+                ts.append(Tensor(jnp.asarray(f), inds=(hyper, ix),
+                                 tags=tags))
+            ts.append(Tensor(
+                jnp.asarray(np.array([1.0, -1.0], dtype=dtype)),
+                inds=(hyper,), tags=tags,
+            ))
+        elif cmode == "mps":
+            # bond-2 MPS: bond carries (ones-part, all-violating
+            # flag); final site subtracts the flag (reference
+            # ``or_clause_mps_tensors`` tensor_builder.py:3571)
+            bnds = [rand_uuid() for _ in range(len(vs) - 1)]
+            for pos, (ix, vi) in enumerate(zip(inds, viol)):
+                ind_v = np.zeros(2, dtype=dtype)
+                ind_v[vi] = 1.0
+                ones = np.ones(2, dtype=dtype)
+                if pos == 0:
+                    a = np.stack([ones, ind_v], axis=1)  # (s, b)
+                    t_inds = (ix, bnds[0])
+                elif pos < len(vs) - 1:
+                    a = np.zeros((2, 2, 2), dtype=dtype)
+                    a[0, :, 0] = ones
+                    a[1, :, 1] = ind_v
+                    t_inds = (bnds[pos - 1], ix, bnds[pos])
+                else:
+                    a = np.stack([ones, -ind_v], axis=0)  # (b, s)
+                    t_inds = (bnds[pos - 1], ix)
+                ts.append(Tensor(jnp.asarray(a), inds=t_inds,
+                                 tags=tags))
+        else:
+            raise ValueError(f"unknown clause mode {mode!r}")
     if weights:
         for v, w in weights.items():
+            if isinstance(w, (tuple, list)):
+                w0, w1 = w
+            else:
+                w0, w1 = 1.0, w
             ts.append(Tensor(
-                jnp.asarray(np.array([1.0, w], dtype=dtype)),
+                jnp.asarray(np.array([w0, w1], dtype=dtype)),
                 inds=(site_ind_id.format(abs(v)),),
+                tags=(weight_tag_id.format(abs(v)),),
             ))
     return TensorNetwork(ts, virtual=True, check_collisions=False)
 
 
 def cnf_file_parse(fname_or_str):
-    """Parse a DIMACS CNF file (or its contents) into a list of
-    clauses."""
+    """Parse a DIMACS '.cnf'/'.wcnf' file (or its contents) into an
+    instance dict with keys ``clauses``, ``weights``,
+    ``num_variables``, ``num_clauses`` (reference ``cnf_file_parse``
+    tensor_builder.py:3786)."""
     if "\n" in fname_or_str or " 0" in fname_or_str:
         contents = fname_or_str
     else:
         with open(fname_or_str) as f:
             contents = f.read()
     clauses = []
+    weights = {}
+    num_variables = 0
     for line in contents.splitlines():
         line = line.strip()
         if not line or line.startswith(("c", "p", "%")):
+            if line.startswith("p"):
+                parts = line.split()
+                if len(parts) >= 3 and parts[2].isdigit():
+                    num_variables = int(parts[2])
+            continue
+        if line.startswith("w"):
+            # weighted literal: 'w <lit> <weight> [0]'
+            parts = line.split()
+            lit = int(parts[1])
+            w = float(parts[2])
+            if lit > 0:
+                weights.setdefault(lit, [1.0, 1.0])[1] = w
+            else:
+                weights.setdefault(-lit, [1.0, 1.0])[0] = w
             continue
         vals = [int(x) for x in line.split()]
         if vals and vals[-1] == 0:
             vals = vals[:-1]
         if vals:
             clauses.append(tuple(vals))
-    return clauses
+            num_variables = max(
+                num_variables, max(abs(v) for v in vals)
+            )
+    weights = {v: tuple(w) for v, w in weights.items()}
+    return {
+        "num_variables": num_variables,
+        "num_clauses": len(clauses),
+        "clauses": clauses,
+        "weights": weights,
+    }
 
 
 def TN_dimer_covering_from_edges(edges, cover_count=1,

@@ -120,6 +120,13 @@ class TensorNetworkGen(TensorNetwork):
                 out.append(other)
         return out
 
+    def gen_sites_present(self):
+        """Yield the sites which currently have tensors (reference
+        ``gen_sites_present`` tnag/core.py)."""
+        for site in self._sites:
+            if self.site_tag(site) in self.tag_map:
+                yield site
+
     def _site_neighborhood(self, sites, max_distance=1):
         """All sites within graph distance ``max_distance``."""
         frontier = set(sites)
@@ -143,6 +150,25 @@ class TensorNetworkGenVector(TensorNetworkGen):
     @property
     def site_ind_id(self):
         return self._site_ind_id
+
+    @site_ind_id.setter
+    def site_ind_id(self, new_id):
+        if new_id != self._site_ind_id:
+            self.reindex_sites_(new_id)
+            self._site_ind_id = new_id
+
+    def reindex_sites(self, new_id, where=None, inplace=False):
+        """Reindex the site indices to a new format string ``new_id``
+        (optionally only at ``where`` sites)."""
+        if where is None:
+            where = self.gen_sites_present()
+        tn = self if inplace else self.copy()
+        tn.reindex_(
+            {self.site_ind(s): new_id.format(s) for s in where}
+        )
+        return tn
+
+    reindex_sites_ = functools.partialmethod(reindex_sites, inplace=True)
 
     def site_ind(self, site):
         return self._site_ind_id.format(site)
@@ -297,6 +323,63 @@ class TensorNetworkGenVector(TensorNetworkGen):
                 if nrm > 0:
                     t.modify(apply=lambda d, nrm=nrm: d / nrm)
         return self
+
+    def gate_simple(self, G, where, gauges, renorm=True,
+                    smudge=1e-12, inplace=False, **gate_opts):
+        """Apply a (1- or 2-site) gate in the simple-update gauge:
+        absorb the environment gauges around ``where``, gate with
+        ``reduce-split``, extract the updated central-bond gauge into
+        ``gauges``, then unabsorb (reference ``gate_simple_``
+        tnag/core.py). ``gauges`` is modified in place."""
+        from ..core import tensor_compress_bond
+
+        psi = self if inplace else self.copy()
+        if not isinstance(where, (tuple, list)):
+            where = (where,)
+        if len(where) == 1:
+            psi.gate_(G, where, contract=True, **gate_opts)
+            return psi
+
+        a, b = where
+        (ta,) = psi.select_tensors(psi.site_tag(a), "any")
+        (tb,) = psi.select_tensors(psi.site_tag(b), "any")
+        central = list(bonds(ta, tb))
+        central_ix = central[0] if central else None
+
+        absorbed = []
+        for t, coo in ((ta, a), (tb, b)):
+            for ix in t.inds:
+                if ix != central_ix and ix in gauges:
+                    t.multiply_index_diagonal_(ix, gauges[ix] + smudge)
+                    absorbed.append((coo, ix))
+        if central_ix is not None and central_ix in gauges:
+            s = gauges[central_ix]
+            ta.multiply_index_diagonal_(central_ix, jnp.sqrt(s))
+            tb.multiply_index_diagonal_(central_ix, jnp.sqrt(s))
+
+        psi.gate_(G, where, contract="reduce-split", **gate_opts)
+
+        (ta,) = psi.select_tensors(psi.site_tag(a), "any")
+        (tb,) = psi.select_tensors(psi.site_tag(b), "any")
+        central = list(bonds(ta, tb))
+        if central:
+            out = tensor_compress_bond(
+                ta, tb, absorb=None,
+                max_bond=gate_opts.get("max_bond"), cutoff=0.0,
+            )
+            if len(out) == 3:
+                _, s, _ = out
+                if renorm:
+                    s = s / jnp.linalg.norm(s)
+                gauges[central[0]] = s
+
+        for coo, ix in absorbed:
+            (t,) = psi.select_tensors(psi.site_tag(coo), "any")
+            if ix in t.inds and ix in gauges:
+                t.multiply_index_diagonal_(ix, 1 / (gauges[ix] + smudge))
+        return psi
+
+    gate_simple_ = functools.partialmethod(gate_simple, inplace=True)
 
     # -- local expectations -----------------------------------------------------
 
@@ -567,9 +650,46 @@ class TensorNetworkGenOperator(TensorNetworkGen):
     def upper_ind_id(self):
         return self._upper_ind_id
 
+    @upper_ind_id.setter
+    def upper_ind_id(self, new_id):
+        if new_id != self._upper_ind_id:
+            self.reindex_upper_sites_(new_id)
+            self._upper_ind_id = new_id
+
     @property
     def lower_ind_id(self):
         return self._lower_ind_id
+
+    @lower_ind_id.setter
+    def lower_ind_id(self, new_id):
+        if new_id != self._lower_ind_id:
+            self.reindex_lower_sites_(new_id)
+            self._lower_ind_id = new_id
+
+    def reindex_upper_sites(self, new_id, where=None, inplace=False):
+        if where is None:
+            where = self.gen_sites_present()
+        tn = self if inplace else self.copy()
+        tn.reindex_(
+            {self.upper_ind(s): new_id.format(s) for s in where}
+        )
+        return tn
+
+    def reindex_lower_sites(self, new_id, where=None, inplace=False):
+        if where is None:
+            where = self.gen_sites_present()
+        tn = self if inplace else self.copy()
+        tn.reindex_(
+            {self.lower_ind(s): new_id.format(s) for s in where}
+        )
+        return tn
+
+    reindex_upper_sites_ = functools.partialmethod(
+        reindex_upper_sites, inplace=True
+    )
+    reindex_lower_sites_ = functools.partialmethod(
+        reindex_lower_sites, inplace=True
+    )
 
     def upper_ind(self, site):
         return self._upper_ind_id.format(site)
@@ -590,3 +710,279 @@ class TensorNetworkGenOperator(TensorNetworkGen):
         )
         d = int(np.prod([self.ind_size(ix) for ix in inds_seq[0]]))
         return jnp.reshape(t.data, (d, -1))
+
+
+# ---------------------------------------------------------------------------
+# lattice bond bookkeeping + structural combinators
+# (reference tnag/core.py:31 ``LatticeBondMap``, :118 ``tensor_network_align``,
+#  :188 ``tensor_network_apply_op_vec``, :290 ``tensor_network_apply_op_op``,
+#  :397 ``create_lazy_edge_map``, :449 ``tensor_network_ag_sum``)
+# ---------------------------------------------------------------------------
+
+class LatticeBondMap:
+    """Helper for creating consistent lattice bond indices, with
+    periodic-wrap awareness: coordinates just outside the lattice are
+    interpreted as crossing a periodic boundary, keeping short periodic
+    bonds distinct from in-lattice bonds."""
+
+    def __init__(self, Lx, Ly=None, Lz=None):
+        if Ly is None:
+            self.shape = (Lx,)
+        elif Lz is None:
+            self.shape = (Lx, Ly)
+        else:
+            self.shape = (Lx, Ly, Lz)
+        self.ndim = len(self.shape)
+        self._ix = collections.defaultdict(rand_uuid)
+
+    def wrap(self, *coos):
+        wrapped = []
+        for coo in coos:
+            coo = tuple(coo)
+            if len(coo) != self.ndim:
+                raise ValueError("coordinate dimensionality mismatch")
+            wrapped.append(
+                tuple(x % L for x, L in zip(coo, self.shape))
+            )
+        if len(wrapped) == 1:
+            return wrapped[0]
+        return tuple(wrapped)
+
+    def _key(self, cooa, coob):
+        cooa, coob = tuple(cooa), tuple(coob)
+        if len(cooa) != self.ndim or len(coob) != self.ndim:
+            raise ValueError("coordinate dimensionality mismatch")
+        periodic_axis = None
+        cooa_wrapped = []
+        for axis, (a, b, L) in enumerate(zip(cooa, coob, self.shape)):
+            if not (0 <= a < L and 0 <= b < L):
+                if periodic_axis is not None:
+                    raise ValueError(
+                        "only one periodic crossing supported"
+                    )
+                periodic_axis = axis
+            cooa_wrapped.append(a % L)
+        if periodic_axis is None:
+            return frozenset((cooa, coob))
+        key = list(cooa_wrapped)
+        key[periodic_axis] = "PBC"
+        return tuple(key)
+
+    def __call__(self, cooa, coob, *, return_seen=False):
+        key = self._key(cooa, coob)
+        seen = key in self._ix
+        bond = self._ix[key]
+        if return_seen:
+            return bond, seen
+        return bond
+
+
+def create_lazy_edge_map(tn, site_tags=None):
+    """Which site tags are connected to which, computed from the index
+    map in one pass (reference ``create_lazy_edge_map``
+    tnag/core.py:397). Returns ``(edges, neighbors)``."""
+    if site_tags is None:
+        site_tags = tn.site_tags
+    lookup = set(site_tags)
+    edges = {}
+    neighbors = {tag: [] for tag in site_tags if tag in tn.tag_map}
+    for ix, tids in tn.ind_map.items():
+        tags = {
+            tag for tid in tids
+            for tag in tn.tensor_map[tid].tags if tag in lookup
+        }
+        if len(tags) >= 2:
+            i, j = tuple(sorted(tags))
+            if (i, j) not in edges:
+                edges[(i, j)] = [ix]
+                neighbors[i].append(j)
+                neighbors[j].append(i)
+            else:
+                edges[(i, j)].append(ix)
+    return edges, neighbors
+
+
+def tensor_network_ag_sum(tna, tnb, site_tags=None, negate=False,
+                          compress=False, inplace=False,
+                          **compress_opts):
+    """Direct-sum two TNs with matching site structure (one tensor per
+    site, single bond per edge) but possibly different bond names
+    (reference ``tensor_network_ag_sum`` tnag/core.py:449)."""
+    from ..core import tensor_direct_product
+
+    tna = tna if inplace else tna.copy()
+    edges_a, neighbors_a = create_lazy_edge_map(tna, site_tags)
+    edges_b, _ = create_lazy_edge_map(tnb, site_tags)
+
+    reindex_map = {}
+    for (si, sj), inds in edges_a.items():
+        (ixa,) = inds
+        (ixb,) = edges_b.pop((si, sj))
+        reindex_map[ixb] = ixa
+    if edges_b:
+        raise ValueError("not all edges matched")
+
+    for si in neighbors_a:
+        (ta,) = tna.select_tensors(si, "any")
+        (tb,) = tnb.select_tensors(si, "any")
+        tb = tb.reindex(reindex_map)
+        sum_inds = [ix for ix in tb.inds if ix not in reindex_map.values()]
+        if negate:
+            tb.modify(apply=lambda x: -x)
+            negate = False
+        tab = tensor_direct_product(ta, tb, sum_inds)
+        ta.modify(data=tab.data)
+
+    if compress:
+        for si, sj in edges_a:
+            (ta,) = tna.select_tensors(si, "any")
+            (tb,) = tna.select_tensors(sj, "any")
+            from ..core import tensor_compress_bond
+            tensor_compress_bond(ta, tb, **compress_opts)
+    return tna
+
+
+def tensor_network_align(*tns, ind_ids=None, trace=False,
+                         inplace=False):
+    """Align vector/operator TNs in a stack so neighbouring layers
+    share indices (reference ``tensor_network_align``
+    tnag/core.py:118)."""
+    if not inplace:
+        tns = [tn.copy() for tn in tns]
+    else:
+        tns = list(tns)
+    n = len(tns)
+    if ind_ids is None:
+        first = tns[0]
+        base = (first.site_ind_id if hasattr(first, "site_ind_id")
+                else first.lower_ind_id)
+        ind_ids = [base] + [
+            f"__align{i}_" + "{}__" for i in range(n - 2)
+        ]
+    else:
+        ind_ids = list(ind_ids)
+
+    for i, tn in enumerate(tns):
+        if hasattr(tn, "site_ind_id"):
+            if i == 0:
+                tn.site_ind_id = ind_ids[0]
+            elif i == n - 1:
+                tn.site_ind_id = ind_ids[i - 1]
+            else:
+                raise ValueError(
+                    "a TN 'vector' can only be first or last"
+                )
+        elif hasattr(tn, "upper_ind_id"):
+            if i != 0:
+                tn.upper_ind_id = ind_ids[i - 1]
+            if i != n - 1:
+                tn.lower_ind_id = ind_ids[i]
+        else:
+            raise ValueError("can only align vectors and operators")
+    if trace:
+        tns[-1].lower_ind_id = tns[0].upper_ind_id
+    return tns
+
+
+def tensor_network_apply_op_vec(A, x, which_A="lower", contract=False,
+                                fuse_multibonds=True, compress=False,
+                                inplace=False, inplace_A=False,
+                                **compress_opts):
+    """Lazily apply operator TN ``A`` to vector TN ``x`` — pair up the
+    site tensors then optionally contract sites / fuse multibonds /
+    compress (reference ``tensor_network_apply_op_vec``
+    tnag/core.py:188)."""
+    x = x if inplace else x.copy()
+    A = A if inplace_A else A.copy()
+
+    inner_ind_id = rand_uuid() + "{}"
+    if which_A == "lower":
+        A.lower_ind_id = inner_ind_id
+        A.upper_ind_id = x.site_ind_id
+    elif which_A == "upper":
+        A.upper_ind_id = inner_ind_id
+        A.lower_ind_id = x.site_ind_id
+    else:
+        raise ValueError(f"invalid which_A: {which_A}")
+
+    sites_present = tuple(A.gen_sites_present())
+    x.reindex_sites_(inner_ind_id, where=sites_present)
+    x.add_tensor_network(A, virtual=True, check_collisions=False)
+
+    if contract:
+        for site in sites_present:
+            x.contract_tags_(x.site_tag(site), which="any")
+        if fuse_multibonds:
+            x.fuse_multibonds_()
+    if compress:
+        for sa, sb in x.gen_bonds():
+            (ta,) = x.select_tensors(x.site_tag(sa), "any")
+            (tb,) = x.select_tensors(x.site_tag(sb), "any")
+            from ..core import tensor_compress_bond
+            tensor_compress_bond(ta, tb, **compress_opts)
+    return x
+
+
+def tensor_network_apply_op_op(A, B, which_A="lower", which_B="upper",
+                               contract=False, fuse_multibonds=True,
+                               compress=False, inplace=False,
+                               inplace_A=False, **compress_opts):
+    """Lazily apply operator TN ``A`` to operator TN ``B`` (reference
+    ``tensor_network_apply_op_op`` tnag/core.py:290)."""
+    B = B if inplace else B.copy()
+    A = A if inplace_A else A.copy()
+
+    inner_ind_id = rand_uuid() + "{}"
+    if (which_A, which_B) == ("lower", "upper"):
+        A.lower_ind_id = inner_ind_id
+        A.upper_ind_id = B.upper_ind_id
+        B.reindex_upper_sites_(inner_ind_id)
+    elif (which_A, which_B) == ("lower", "lower"):
+        A.lower_ind_id = inner_ind_id
+        A.upper_ind_id = B.lower_ind_id
+        B.reindex_lower_sites_(inner_ind_id)
+    elif (which_A, which_B) == ("upper", "upper"):
+        A.upper_ind_id = inner_ind_id
+        A.lower_ind_id = B.upper_ind_id
+        B.reindex_upper_sites_(inner_ind_id)
+    elif (which_A, which_B) == ("upper", "lower"):
+        A.upper_ind_id = inner_ind_id
+        A.lower_ind_id = B.lower_ind_id
+        B.reindex_lower_sites_(inner_ind_id)
+    else:
+        raise ValueError("invalid which_A/which_B combination")
+
+    B.add_tensor_network(A, virtual=True, check_collisions=False)
+
+    if contract:
+        for site in B.gen_sites_present():
+            B.contract_tags_(B.site_tag(site), which="any")
+        if fuse_multibonds:
+            B.fuse_multibonds_()
+    if compress:
+        for sa, sb in B.gen_bonds():
+            (ta,) = B.select_tensors(B.site_tag(sa), "any")
+            (tb,) = B.select_tensors(B.site_tag(sb), "any")
+            from ..core import tensor_compress_bond
+            tensor_compress_bond(ta, tb, **compress_opts)
+    return B
+
+
+def tensor_network_ag_gate(self, G, where, contract="reduce-split",
+                           tags=None, inplace=False, **opts):
+    """Module-level alias of ``TensorNetworkGenVector.gate`` (reference
+    ``tensor_network_ag_gate`` tnag/core.py)."""
+    return TensorNetworkGenVector.gate(
+        self, G, where, contract=contract, tags=tags, inplace=inplace,
+        **opts,
+    )
+
+
+def tensor_network_ag_gate_simple(self, G, where, gauges,
+                                  renorm=True, **gate_opts):
+    """Apply a gate in the simple-update gauge: insert the bond gauges
+    around the gated sites, gate with ``reduce-split``, then extract
+    the updated gauges (reference ``gate_simple_``)."""
+    return TensorNetworkGenVector.gate_simple_(
+        self, G, where, gauges, renorm=renorm, **gate_opts
+    )

@@ -495,3 +495,13 @@ def default_to_neutral_style(fn):
             return fn(*args, **kwargs)
 
     return wrapper
+
+
+__all__ = [
+    "check_opt", "oset", "LRU", "save_to_disk", "load_from_disk",
+    "format_number_with_error", "deprecated", "int2tup", "ensure_dict",
+    "pairwise", "unique", "concat", "frequencies", "partition_all",
+    "valmap", "tree_map", "tree_apply", "tree_flatten",
+    "tree_unflatten", "RollingMeanVar", "Timer",
+    "default_to_neutral_style",
+]

@@ -3,6 +3,25 @@
 
 from .utils import default_to_neutral_style
 
+# the neutral matplotlib style dict (reference quimb/utils_plot.py:5)
+NEUTRAL_STYLE = {
+    "axes.edgecolor": (0.5, 0.5, 0.5),
+    "axes.facecolor": (0, 0, 0, 0),
+    "axes.grid": True,
+    "axes.labelcolor": (0.5, 0.5, 0.5),
+    "axes.spines.right": False,
+    "axes.spines.top": False,
+    "figure.facecolor": (0, 0, 0, 0),
+    "grid.alpha": 0.1,
+    "grid.color": (0.5, 0.5, 0.5),
+    "legend.frameon": False,
+    "text.color": (0.5, 0.5, 0.5),
+    "xtick.color": (0.5, 0.5, 0.5),
+    "xtick.minor.visible": True,
+    "ytick.color": (0.5, 0.5, 0.5),
+    "ytick.minor.visible": True,
+}
+
 
 @default_to_neutral_style
 def plot_multi_series_zoom(
@@ -36,4 +55,12 @@ def plot_multi_series_zoom(
     return fig, ax
 
 
-__all__ = ["plot_multi_series_zoom"]
+def plot(*args, **kwargs):
+    """Generic neutral-style plot helper (alias of
+    ``plot_multi_series_zoom`` — the reference's top-level ``plot``
+    export)."""
+    return plot_multi_series_zoom(*args, **kwargs)
+
+
+__all__ = ["plot_multi_series_zoom", "NEUTRAL_STYLE",
+           "default_to_neutral_style", "plot"]

@@ -395,3 +395,65 @@ class TestAGCompress:
             np.vdot(v, r) / (np.linalg.norm(v) * np.linalg.norm(r))
         )
         assert fid > 1 - 1e-8
+
+
+class TestMPS1BP:
+    def test_peps_norm_matches_d2bp_fixed_point(self):
+        import quimb_tpu.tensor as tg
+        from quimb_tpu.tensor.belief_propagation import (
+            D2BP, MPS1BP,
+        )
+
+        peps = tg.PEPS_rand(3, 3, 2, seed=0, dtype="float64")
+        norm = peps.make_norm(layer_tags=("KET", "BRA"))
+        z_exact = float(np.real(np.asarray(norm.contract())))
+
+        bp = MPS1BP(norm, max_bond=8, layer_tags=("KET", "BRA"),
+                    site_tags=norm.site_tags)
+        bp.run(max_iterations=50, tol=1e-8)
+        z_bp = complex(bp.contract()).real
+
+        d2 = D2BP(peps)
+        d2.run()
+        z_d2 = float(np.real(np.asarray(d2.contract())))
+
+        # with 2 layers the MPS-message fixed point coincides with
+        # the D2BP fixed point; both approximate the exact value
+        assert z_bp == pytest.approx(z_d2, rel=1e-6)
+        assert z_bp == pytest.approx(z_exact, rel=0.2)
+
+    def test_three_layer_sandwich(self):
+        import quimb_tpu.tensor as tg
+        from quimb_tpu.tensor.belief_propagation import MPS1BP
+
+        # <psi|O|psi> with O a bond-1 product PEPO (a positive
+        # diagonal operator keeps the sandwich BP-friendly):
+        # 3-layer structure
+        peps = tg.PEPS_rand(3, 3, 2, seed=1, dtype="float64")
+        X = np.diag([1.0, 0.5])
+        pepo = tg.PEPO_product_operator(
+            [[X for _ in range(3)] for _ in range(3)]
+        )
+        ket = peps.copy()
+        ket.add_tag("KET")
+        op = pepo.copy()
+        op.add_tag("OP")
+        # align: ket k{i,j} -> op upper; op lower -> bra
+        op.reindex_({op.lower_ind(i, j): f"m{i},{j}"
+                     for i in range(3) for j in range(3)})
+        bra = peps.conj()
+        bra.add_tag("BRA")
+        bra.reindex_({bra.site_ind(i, j): f"m{i},{j}"
+                      for i in range(3) for j in range(3)})
+        bra.mangle_inner_("*")
+        tn = tg.TensorNetwork((ket, op, bra))
+        z_exact = float(np.real(np.asarray(tn.contract())))
+
+        site_tags = tuple(
+            f"I{i},{j}" for i in range(3) for j in range(3)
+        )
+        bp = MPS1BP(tn, max_bond=8, layer_tags=("KET", "OP", "BRA"),
+                    site_tags=site_tags)
+        bp.run(max_iterations=60, tol=1e-8)
+        z_bp = complex(bp.contract()).real
+        assert z_bp == pytest.approx(z_exact, rel=0.25)
