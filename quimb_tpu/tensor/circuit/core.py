@@ -518,6 +518,76 @@ class Circuit(CircuitBase):
                 fix[q] = v
             yield "".join(str(fix[q]) for q in range(self.N))
 
+    def get_gate_by_gate_circuits(self, group_size=10):
+        """Partition the gates into a growing sequence of prefix
+        circuits, each acting on at most ``group_size`` new qubits
+        compared to its predecessor (reference
+        ``get_gate_by_gate_circuits`` exact.py:1589)."""
+        circs = [self.__class__(self.N)]
+        groups = []
+        current_group = set()
+        for gate in self.gates:
+            qs = set(gate.qubits) | set(gate.controls)
+            next_group = current_group | qs
+            if len(next_group) > group_size and current_group:
+                groups.append(tuple(sorted(current_group)))
+                circs.append(circs[-1].copy())
+                current_group = qs
+            else:
+                current_group = next_group
+            circs[-1]._apply_gate(gate)
+        groups.append(tuple(sorted(current_group)))
+        return tuple(
+            {"circuit": c, "where": g}
+            for c, g in zip(circs, groups)
+        )
+
+    def sample_gate_by_gate(self, C, group_size=10, seed=None,
+                            optimize="auto",
+                            simplify_sequence="ADCR",
+                            simplify_atol=1e-12, **contract_opts):
+        """Sample via the gate-by-gate (Markov) method of Bravyi,
+        Gosset & Liu arXiv:2112.08499: evolve a bitstring through a
+        growing sequence of prefix circuits, resampling only the
+        qubits each new gate group acts on (reference
+        ``sample_gate_by_gate`` exact.py:1635). Total cost is
+        comparable to one amplitude evaluation per gate group.
+
+        Yields
+        ------
+        str
+        """
+        rng = np.random.default_rng(seed)
+        key = ("gate_by_gate_circuits", group_size)
+        if not hasattr(self, "_gbg_storage"):
+            self._gbg_storage = {}
+        circs_wheres = self._gbg_storage.get(key)
+        if circs_wheres is None:
+            circs_wheres = self.get_gate_by_gate_circuits(group_size)
+            self._gbg_storage[key] = circs_wheres
+
+        for _ in range(C):
+            result = {q: 0 for q in range(self.N)}
+            for cw in circs_wheres:
+                circ_g = cw["circuit"]
+                where = cw["where"]
+                if not where:
+                    continue
+                fix = {q: v for q, v in result.items()
+                       if q not in where}
+                p = circ_g.compute_marginal(
+                    where, fix=fix, optimize=optimize,
+                    simplify_sequence=simplify_sequence,
+                    simplify_atol=simplify_atol, **contract_opts,
+                )
+                p = p / p.sum()
+                outcome = rng.choice(p.size, p=p)
+                bits = [(outcome >> (len(where) - 1 - i)) & 1
+                        for i in range(len(where))]
+                for q, v in zip(where, bits):
+                    result[q] = v
+            yield "".join(str(result[q]) for q in range(self.N))
+
     def to_dense(self, optimize="auto", simplify_sequence="R",
                  simplify_atol=1e-12, **contract_opts):
         """Full dense statevector (reference ``to_dense``

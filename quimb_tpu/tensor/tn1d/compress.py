@@ -90,7 +90,7 @@ def tensor_network_1d_compress(
     dimension (reference dispatcher tn1d/compress.py:2815)."""
     check_opt("method", method,
               ("direct", "dm", "zipup", "zipup-oversample", "fit",
-               "src", "projector"))
+               "src", "src-oversample", "projector"))
     if site_tags is None:
         site_tags = tn.site_tags
     if site_inds is None:
@@ -103,7 +103,18 @@ def tensor_network_1d_compress(
         out = _compress_direct(arrays, max_bond, cutoff)
     elif method == "dm":
         out = _compress_dm(arrays, max_bond, cutoff)
-    elif method in ("zipup", "zipup-oversample", "src"):
+    elif method == "src":
+        out = _compress_src(arrays, max_bond,
+                            seed=kwargs.get("seed"))
+    elif method == "src-oversample":
+        # sketch at a larger bond, then truncate down directly
+        # (reference 'src first' tn1d/compress.py:1454)
+        over = kwargs.get(
+            "max_bond_oversample", max(max_bond + 8, 2 * max_bond)
+        )
+        out = _compress_src(arrays, over, seed=kwargs.get("seed"))
+        out = _compress_direct(out, max_bond, cutoff)
+    elif method in ("zipup", "zipup-oversample"):
         oversample = method != "zipup"
         out = _compress_zipup(arrays, max_bond, cutoff,
                               oversample=oversample)
@@ -190,6 +201,57 @@ def _compress_dm(arrays, max_bond, cutoff):
         new.append(iso)
         # update left map: project old into new basis
         left = jnp.einsum("kpc,kpr->cr", jnp.conj(iso), Aeff)
+    return new
+
+
+def _compress_src(arrays, max_bond, noise_dist="normal", seed=None):
+    """'Successive Randomized Compression' (reference 'src'
+    tn1d/compress.py:1273, arXiv:2504.06475): sketch the left
+    environments with a batch of ``max_bond`` random product states
+    (one hyper batch index), then sweep right-to-left forming
+    projectors by QR of the (batch x site x right-env) tensor. No SVD
+    of fat bonds is ever taken — every step is an einsum + a skinny
+    QR, ideal for the MXU."""
+    from ...gen.rand import randn
+
+    L = len(arrays)
+    if L == 1:
+        return list(arrays)
+    dtype = arrays[0].dtype
+    B = max_bond
+
+    # random product-state sketches w_i[B, p_i]
+    ws = [
+        randn((B, a.shape[1]), dtype=str(dtype), dist=noise_dist,
+              seed=None if seed is None else seed + i)
+        for i, a in enumerate(arrays)
+    ]
+
+    # left sketched environments LE_i[b, l_i]
+    LEs = [None] * L
+    le = jnp.einsum("lpr,bp->br", arrays[0], ws[0])
+    LEs[1] = le
+    for i in range(1, L - 1):
+        le = jnp.einsum("bl,lpr,bp->br", le, arrays[i], ws[i])
+        LEs[i + 1] = le
+
+    # right-to-left sweep of projectors
+    new = [None] * L
+    re = jnp.ones((1, 1), dtype=dtype)  # (r_old, chi_new)
+    for i in range(L - 1, 0, -1):
+        t = jnp.einsum("bl,lpr,rk->bpk", LEs[i], arrays[i], re)
+        b, p, k = t.shape
+        # QR with (p, k) left, batch right -> left isometry Q
+        Q, _, _ = decomp.array_split(
+            jnp.reshape(jnp.transpose(t, (1, 2, 0)), (p * k, b)),
+            method="qr", cutoff=-1.0,
+        )
+        chi = Q.shape[-1]
+        U = jnp.transpose(jnp.reshape(Q, (p, k, chi)), (2, 0, 1))
+        new[i] = U  # (chi, p, k) = (l_new, p, r_new)
+        re = jnp.einsum("lpr,rk,cpk->lc", arrays[i], re, jnp.conj(U))
+
+    new[0] = jnp.einsum("lpr,rk->lpk", arrays[0], re)
     return new
 
 
@@ -311,6 +373,7 @@ mps_gate_with_mpo_zipup = _apply_via("zipup")
 mps_gate_with_mpo_zipup_oversample = _apply_via("zipup-oversample")
 mps_gate_with_mpo_fit = _apply_via("fit")
 mps_gate_with_mpo_src = _apply_via("src")
+mps_gate_with_mpo_src_oversample = _apply_via("src-oversample")
 
 _APPLY_METHODS = {
     "direct": mps_gate_with_mpo_direct,
@@ -319,6 +382,7 @@ _APPLY_METHODS = {
     "zipup-oversample": mps_gate_with_mpo_zipup_oversample,
     "fit": mps_gate_with_mpo_fit,
     "src": mps_gate_with_mpo_src,
+    "src-oversample": mps_gate_with_mpo_src_oversample,
 }
 
 

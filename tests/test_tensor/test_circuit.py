@@ -237,3 +237,31 @@ class TestCircuitGen:
         assert abs(
             complex(circ.amplitude(b)) - complex(cd.amplitude(b))
         ) < 1e-10
+
+
+class TestSampleGateByGate:
+    def test_ghz(self):
+        circ = Circuit(N=4)
+        circ.apply_gate("H", 0)
+        for q in range(3):
+            circ.apply_gate("CNOT", q, q + 1)
+        samples = list(
+            circ.sample_gate_by_gate(20, group_size=2, seed=0)
+        )
+        assert all(s in ("0000", "1111") for s in samples)
+
+    def test_statistics_match_exact(self):
+        from quimb_tpu.tensor.circuit_gen import circ_ansatz_1D_rand
+
+        circ = circ_ansatz_1D_rand(4, 3, seed=2)
+        psi = np.asarray(circ.to_dense()).ravel()
+        p_exact = np.abs(psi) ** 2
+        from collections import Counter
+
+        cnt = Counter(
+            circ.sample_gate_by_gate(300, group_size=3, seed=1)
+        )
+        p_emp = np.zeros(16)
+        for b, c in cnt.items():
+            p_emp[int(b, 2)] = c / 300
+        assert 0.5 * np.abs(p_emp - p_exact).sum() < 0.2

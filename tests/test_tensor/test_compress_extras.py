@@ -15,7 +15,7 @@ from quimb_tpu.tensor.tn1d import compress as C
 class TestCompress1D:
     @pytest.mark.parametrize(
         "method", ["direct", "dm", "zipup", "zipup-oversample", "fit",
-                   "src"]
+                   "src", "src-oversample"]
     )
     def test_mpo_mps_apply(self, method):
         mps = qtn.MPS_rand_state(8, 8, seed=0, dtype="float64")
@@ -28,9 +28,22 @@ class TestCompress1D:
         ph = np.vdot(got, exact)
         ph = ph / abs(ph)
         err = np.linalg.norm(got * ph - exact) / np.linalg.norm(exact)
-        tol = 0.2 if method == "zipup" else 0.02
+        tol = 0.2 if method in ("zipup", "src") else 0.02
         assert err < tol
         assert out.max_bond() <= 16
+
+    def test_src_exact_at_full_rank(self):
+        """SRC with batch >= true rank reproduces the MPO x MPS
+        application exactly (single randomized pass, no fat SVDs)."""
+        mps = qtn.MPS_rand_state(8, 6, seed=1, dtype="float64")
+        mpo = qtn.MPO_ham_heis(8)
+        exact = np.asarray(mpo.apply(mps).to_dense()).reshape(-1)
+        out = C.mps_gate_with_mpo(
+            mps, mpo, max_bond=30, cutoff=0.0, method="src"
+        )
+        got = np.asarray(out.to_dense()).reshape(-1)
+        err = np.linalg.norm(got - exact) / np.linalg.norm(exact)
+        assert err < 1e-10
 
     def test_optimal_methods_match_svd(self):
         mps = qtn.MPS_rand_state(8, 8, seed=1, dtype="float64")
