@@ -260,8 +260,14 @@ def _eigs_dense_partial(Aa, k, which, return_vecs, sigma, sort):
 
 
 def eigensystem(A, isherm=True, k=-1, sort=True, return_vecs=True,
-                **kwargs):
+                autoblock=False, **kwargs):
     """Find all or some eigenpairs (reference ``eigensystem``)."""
+    if autoblock:
+        from .autoblock import eigensystem_autoblocked
+
+        return eigensystem_autoblocked(
+            A, sort=sort, isherm=isherm, return_vecs=return_vecs
+        )
     if k == -1 or (isinstance(k, int) and k >= np.shape(A)[0]):
         A = jnp.asarray(A.toarray()) if sp.issparse(A) else jnp.asarray(A)
         if isherm:
@@ -508,4 +514,10 @@ __all__ = [
     "eigh_window", "eigvalsh_window", "eigvecsh_window", "svd", "svds",
     "norm", "norm_2", "norm_fro", "norm_trace", "expm", "expm_multiply",
     "sqrtm", "IdentityLinearOperator", "AUTO_DENSE_CUTOFF",
+    "eigensystem_autoblocked", "compute_blocks",
 ]
+
+from .autoblock import (  # noqa: E402
+    compute_blocks,
+    eigensystem_autoblocked,
+)

@@ -323,6 +323,18 @@ _KEY_FROM_MAT = {}
 _MAT_FROM_KEY = {}
 
 
+def get_mat(op, dtype=None):
+    """The dense 2x2 matrix of a named single-site operator (reference
+    ``get_mat`` operator/builder.py:50)."""
+    M = _op_matrix(op)
+    if dtype is not None:
+        M = M.astype(dtype)
+    elif not np.iscomplexobj(M) or np.allclose(M.imag, 0):
+        M = M.real.astype(np.float64) if np.allclose(M.imag, 0) \
+            else M
+    return M
+
+
 def _op_matrix(op):
     if isinstance(op, str):
         if op not in _OP2:

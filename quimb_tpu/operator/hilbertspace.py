@@ -47,12 +47,22 @@ class HilbertSpace:
     """
 
     def __init__(self, nsites, symmetry=None, sector=None):
+        if isinstance(nsites, int):
+            self._sites = tuple(range(nsites))
+        else:
+            # reference signature: a sequence of (hashable) site labels
+            self._sites = tuple(nsites)
+            nsites = len(self._sites)
         self.nsites = nsites
         self.symmetry, self.sector = parse_symmetry(
             symmetry, nsites, sector
         )
         self._configs = None
         self._rank_lookup = None
+
+    @property
+    def sites(self):
+        return self._sites
 
     @property
     def size(self):

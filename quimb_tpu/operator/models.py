@@ -72,3 +72,30 @@ def fermi_hubbard_spinless_from_edges(edges, t=1.0, V=0.0, mu=0.0,
         for s in sites:
             H += -mu, ("n", s)
     return H
+
+
+def rand_operator(n, m, k, kmin=None, seed=None, ops="XYZ"):
+    """Random ``n``-qubit operator with ``m`` terms of ``k`` (or
+    ``kmin..k``) single-site factors and gaussian coefficients
+    (reference ``rand_operator`` operator/models.py:424)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    allowed = list(ops)
+    if kmin is None:
+        kmin = k
+    if not (0 <= kmin <= k <= n):
+        raise ValueError("need 0 <= kmin <= k <= n")
+
+    H = SparseOperatorBuilder(
+        hilbert_space=HilbertSpace(tuple(range(n)))
+    )
+    for _ in range(m):
+        coeff = float(rng.normal())
+        ki = k if kmin == k else int(rng.integers(kmin, k + 1))
+        regs = rng.choice(np.arange(n), size=ki, replace=False)
+        term = tuple(
+            (str(rng.choice(allowed)), int(r)) for r in regs
+        )
+        H += (coeff, *term)
+    return H

@@ -337,3 +337,31 @@ class TestEvolution:
         )
         evo.update_to(10.0)
         assert evo.t < 1.0
+
+
+class TestAutoblock:
+    def test_compute_blocks_hubbard(self):
+        import quimb_tpu as qu
+        from quimb_tpu.linalg.autoblock import compute_blocks
+
+        H = qu.ham_hubbard_hardcore(4, sparse=True)
+        ix, jx = H.nonzero()
+        sectors = compute_blocks(ix, jx, H.shape[0])
+        # the reference's documented sectors (autoblock.py:36)
+        assert sectors == [
+            [0], [1, 2, 4, 8], [3, 5, 6, 9, 10, 12],
+            [7, 11, 13, 14], [15],
+        ]
+
+    def test_eigh_autoblock_matches_dense(self):
+        import quimb_tpu as qu
+
+        H = qu.ham_hubbard_hardcore(4, sparse=True)
+        el_b, ev_b = qu.eigh(H, autoblock=True)
+        el, _ = qu.eigh(np.asarray(H.toarray()))
+        assert np.allclose(np.asarray(el_b), np.asarray(el),
+                           atol=1e-10)
+        Hd = np.asarray(H.toarray())
+        V = np.asarray(ev_b)
+        rec = V @ np.diag(np.asarray(el_b)) @ V.conj().T
+        assert np.allclose(rec, Hd, atol=1e-10)
