@@ -3,9 +3,14 @@
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 
-- value = sustained contraction TFLOP/s over one full timed DMRG sweep
-  (effective-Hamiltonian Lanczos matvecs + theta SVDs — the flops the
-  reference spends >90% of its time on, SURVEY §3.1).
+- value = sustained *effective* contraction TFLOP/s over one full timed
+  DMRG sweep: wall-clock normalized by the flop count of the
+  reference's effective-Hamiltonian matvec chain + theta SVDs at the
+  same bond dimensions (the flops the reference spends >90% of its
+  time on, SURVEY §3.1). "Effective" because the TPU build fuses the
+  two MPO tensors, doing ~0.55x the raw flops for the same update —
+  normalizing by the reference algorithm keeps the comparison
+  apples-to-apples.
 - vs_baseline = value / CPU_BASELINE_TFLOPS, where the baseline is the
   same sweep measured on this image's CPU (the reference implementation
   is CPU-only — numpy/numba class; it cannot be imported here as its
@@ -144,8 +149,9 @@ def main():
     )
 
     out = {
-        "metric": "DMRG2 sweep contraction TFLOP/s "
-                  f"(Heisenberg L={L}, chi={CHI}, {dtype})",
+        "metric": "DMRG2 sweep effective contraction TFLOP/s "
+                  f"(Heisenberg L={L}, chi={CHI}, {dtype}, "
+                  "reference-algorithm flops)",
         "value": round(tflops, 4),
         "unit": "TFLOP/s",
         "vs_baseline": round(tflops / CPU_BASELINE_TFLOPS, 3),

@@ -81,6 +81,11 @@ def safe_qr(x):
         return Q, jnp.concatenate([R1, R2], axis=-1)
 
 
+def safe_eigh(x):
+    """Hermitian eigendecomposition (square — no shim needed)."""
+    return jnp.linalg.eigh(x)
+
+
 def safe_svd(x):
     """Thin SVD of (batch of) matrices, routing rectangular inputs
     through a zero-padded square SVD on TPU."""
@@ -706,6 +711,55 @@ def svd_truncated_masked(
     ``rank <= k`` counts surviving values.
     """
     U, s, VH = safe_svd(x)
+    return _truncate_mask_absorb(
+        U, s, VH, max_bond=max_bond, cutoff=cutoff,
+        cutoff_mode=cutoff_mode, renorm=renorm, absorb=absorb,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_bond", "cutoff_mode", "renorm", "absorb"),
+)
+def svd_truncated_masked_eig(
+    x, max_bond, cutoff=0.0, cutoff_mode=4, renorm=0, absorb="both"
+):
+    """Like :func:`svd_truncated_masked` but via a hermitian
+    eigendecomposition of the gram matrix (reference ``svd:eig``
+    driver decomp.py:1294) — substantially faster than Jacobi SVD on
+    TPU. The gram side is chosen so the factor that must stay
+    isometric comes *exactly* from the eigh (the other side is
+    recovered by division and immediately rescaled by ``s``, so its
+    small-singular-value noise is suppressed)."""
+    eps = jnp.finfo(x.dtype).eps
+
+    if absorb == "left":
+        # VH must be exactly isometric
+        G = dag(x) @ x
+        el, V = safe_eigh(G)
+        el = el[..., ::-1]
+        V = V[..., :, ::-1]
+        s = jnp.sqrt(jnp.clip(el, 0.0, None))
+        s_safe = jnp.where(s > eps, s, 1.0)
+        U = (x @ V) / s_safe[..., None, :]
+        VH = dag(V)
+    else:
+        # U must be exactly isometric (absorb 'right'/'both'/None)
+        G = x @ dag(x)
+        el, U = safe_eigh(G)
+        el = el[..., ::-1]
+        U = U[..., :, ::-1]
+        s = jnp.sqrt(jnp.clip(el, 0.0, None))
+        s_safe = jnp.where(s > eps, s, 1.0)
+        VH = (dag(U) @ x) / s_safe[..., :, None]
+    return _truncate_mask_absorb(
+        U, s, VH, max_bond=max_bond, cutoff=cutoff,
+        cutoff_mode=cutoff_mode, renorm=renorm, absorb=absorb,
+    )
+
+
+def _truncate_mask_absorb(U, s, VH, max_bond, cutoff, cutoff_mode,
+                          renorm, absorb):
     k = min(max_bond, s.shape[-1]) if max_bond > 0 else s.shape[-1]
     U = U[..., :, :k]
     VH = VH[..., :k, :]

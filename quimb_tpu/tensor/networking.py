@@ -283,3 +283,340 @@ __all__ = [
     "compute_hierarchical_ordering", "istree", "isconnected",
     "subgraphs",
 ]
+
+
+# ---------------------------------------------------------------------------
+# patches/paths containers + queries (reference networking.py:13,72,
+# 350,420,875,1131-1482)
+# ---------------------------------------------------------------------------
+
+class NetworkPatch:
+    """A patch of tensors and indices — the (tids, inds) pair
+    (reference ``NetworkPatch`` networking.py:13)."""
+
+    __slots__ = ("_tids", "_inds", "_key")
+
+    def __init__(self, tids, inds):
+        self._tids = oset(tids)
+        self._inds = oset(inds)
+        self._key = None
+
+    @classmethod
+    def from_sequence(cls, it):
+        tids, inds = [], []
+        for x in it:
+            (tids if isinstance(x, int) else inds).append(x)
+        return cls(tids, inds)
+
+    @property
+    def tids(self):
+        return self._tids
+
+    @property
+    def inds(self):
+        return self._inds
+
+    def __iter__(self):
+        return itertools.chain(self._tids, self._inds)
+
+    @property
+    def key(self):
+        if self._key is None:
+            self._key = frozenset(self)
+        return self._key
+
+    def merge(self, other):
+        return NetworkPatch(
+            itertools.chain(self._tids, other._tids),
+            itertools.chain(self._inds, other._inds),
+        )
+
+    def __contains__(self, x):
+        return x in self.key
+
+    def __hash__(self):
+        return hash(self.key)
+
+    def __eq__(self, other):
+        if not isinstance(other, NetworkPatch):
+            return NotImplemented
+        return self.key == other.key
+
+    def __repr__(self):
+        return (
+            f"{self.__class__.__name__}"
+            f"({tuple(self._tids)}, {tuple(self._inds)})"
+        )
+
+
+class NetworkPath(NetworkPatch):
+    """A path through a TN: alternating tids and the inds between them
+    (reference ``NetworkPath`` networking.py:72)."""
+
+    __slots__ = NetworkPatch.__slots__
+
+    def __init__(self, tids, inds=()):
+        self._tids = tuple(tids)
+        self._inds = tuple(inds)
+        if len(self._tids) != len(self._inds) + 1:
+            raise ValueError("tids should be one longer than inds")
+        self._key = None
+
+    def __len__(self):
+        return len(self._inds)
+
+    def __iter__(self):
+        for tid, ind in zip(self._tids, self._inds):
+            yield tid
+            yield ind
+        yield self._tids[-1]
+
+    def extend(self, ind, tid):
+        new = NetworkPath.__new__(NetworkPath)
+        new._tids = self._tids + (tid,)
+        new._inds = self._inds + (ind,)
+        new._key = None if self._key is None else \
+            self._key | {tid, ind}
+        return new
+
+
+def get_path_between_tids(tn, tida, tidb):
+    """Shortest :class:`NetworkPath` between two tids via
+    bidirectional BFS, ignoring dangling/hyper indices (reference
+    ``get_path_between_tids`` networking.py:420)."""
+    path_a0 = NetworkPath((tida,))
+    path_b0 = NetworkPath((tidb,))
+    queue_a = collections.deque((path_a0,))
+    queue_b = collections.deque((path_b0,))
+    ends_a = {tida: path_a0}
+    ends_b = {tidb: path_b0}
+
+    while queue_a or queue_b:
+        for queue, ends_this, ends_other, forward in [
+            (queue_a, ends_a, ends_b, True),
+            (queue_b, ends_b, ends_a, False),
+        ]:
+            if not queue:
+                return None
+            path = queue.popleft()
+            last_tid = path.tids[-1]
+            t = tn.tensor_map[last_tid]
+            for next_ind in t.inds:
+                if next_ind in path:
+                    continue
+                tids = tuple(tn.ind_map[next_ind])
+                if len(tids) != 2:
+                    continue
+                next_tid = next(
+                    tid for tid in tids if tid != last_tid
+                )
+                if next_tid in ends_this:
+                    continue
+                if next_tid in ends_other:
+                    other = ends_other[next_tid]
+                    if forward:
+                        return NetworkPath(
+                            path.tids + other.tids[::-1],
+                            path.inds + (next_ind,)
+                            + other.inds[::-1],
+                        )
+                    return NetworkPath(
+                        other.tids + path.tids[::-1],
+                        other.inds + (next_ind,) + path.inds[::-1],
+                    )
+                next_path = path.extend(next_ind, next_tid)
+                ends_this[next_tid] = next_path
+                queue.append(next_path)
+
+
+def tids_are_connected(tn, tids):
+    """Whether the given tids form one connected region (reference
+    ``tids_are_connected`` networking.py:1204)."""
+    tids = list(tids)
+    if len(tids) <= 1:
+        return True
+    adj = tn_adjacency(tn)
+    target = set(tids)
+    seen = {tids[0]}
+    frontier = [tids[0]]
+    while frontier:
+        t = frontier.pop()
+        for o in adj[t]:
+            if o in target and o not in seen:
+                seen.add(o)
+                frontier.append(o)
+    return seen == target
+
+
+def compute_shortest_distances(tn, tids=None, exclude_inds=()):
+    """Minimum graph distances between (all or some) pairs of tids
+    (reference ``compute_shortest_distances`` networking.py:1233)."""
+    if tids is None:
+        tids = list(tn.tensor_map)
+    else:
+        tids = list(tids)
+    exclude = set(exclude_inds)
+    adj = {tid: set() for tid in tn.tensor_map}
+    for ix, ts in tn.ind_map.items():
+        if ix in exclude:
+            continue
+        for a, b in itertools.combinations(tuple(ts), 2):
+            adj[a].add(b)
+            adj[b].add(a)
+    distances = {}
+    targets = set(tids)
+    for i, start in enumerate(tids):
+        # BFS from each target
+        dist = {start: 0}
+        frontier = collections.deque([start])
+        while frontier:
+            t = frontier.popleft()
+            for o in adj[t]:
+                if o not in dist:
+                    dist[o] = dist[t] + 1
+                    frontier.append(o)
+        for other in tids[i + 1:]:
+            if other in dist:
+                distances[tuple(sorted((start, other)))] = dist[other]
+    return distances
+
+
+def gen_inds_connected(tn, max_length):
+    """All connected index patches up to ``max_length`` indices
+    (reference ``gen_inds_connected`` networking.py:1171)."""
+    # index adjacency: two inds are neighbours if they share a tensor
+    ind_adj = collections.defaultdict(set)
+    for tid, t in tn.tensor_map.items():
+        for a, b in itertools.combinations(t.inds, 2):
+            ind_adj[a].add(b)
+            ind_adj[b].add(a)
+    queue = [(ix,) for ix in tn.ind_map]
+    seen = {frozenset(s) for s in queue}
+    while queue:
+        s = queue.pop()
+        if len(s) == max_length:
+            continue
+        for last in s:
+            for ix in ind_adj[last]:
+                next_s = s + (ix,)
+                key = frozenset(next_s)
+                if ix not in s and key not in seen:
+                    yield next_s
+                    seen.add(key)
+                    queue.append(next_s)
+
+
+def gen_paths_loops(tn, max_loop_length=None, intersect=False,
+                    tids=None, inds=None):
+    """Generate both open paths and closed loops up to a maximum
+    length (reference ``gen_paths_loops`` networking.py:576). Paths
+    are tuples of tids; loops are closed tuples from
+    :func:`gen_loops`."""
+    adj = tn_adjacency(tn)
+    if max_loop_length is None:
+        max_loop_length = min(len(adj), 6)
+    seen = set()
+    # open paths by DFS
+    for start in sorted(adj, key=str):
+        stack = [(start,)]
+        while stack:
+            path = stack.pop()
+            if len(path) > 1:
+                key = frozenset(path)
+                if key not in seen:
+                    seen.add(key)
+                    yield tuple(path)
+            if len(path) < max_loop_length:
+                for o in adj[path[-1]]:
+                    if o not in path and str(o) > str(start):
+                        stack.append(path + (o,))
+    yield from gen_loops(tn, max_loop_length)
+
+
+def get_local_patch(tn, tids, max_distance=1):
+    """All tids within graph distance ``max_distance`` of the given
+    region (reference ``get_local_patch`` networking.py:350)."""
+    adj = tn_adjacency(tn)
+    region = set(tids)
+    frontier = set(tids)
+    for _ in range(max_distance):
+        new = set()
+        for t in frontier:
+            new.update(adj[t])
+        new -= region
+        region |= new
+        frontier = new
+    return tuple(sorted(region, key=str))
+
+
+def get_loop_union(tn, tids, max_size=None, grow_from="all"):
+    """Union of all generalized loops through the given tids
+    (reference ``get_loop_union`` networking.py:1131)."""
+    tids = set(tids)
+    out = set()
+    for loop in gen_gloops(tn, max_size=max_size):
+        ls = set(loop)
+        if grow_from == "all":
+            if tids <= ls:
+                out |= ls
+        elif tids & ls:
+            out |= ls
+    return tuple(sorted(out, key=str))
+
+
+def connected_bipartitions(tn):
+    """Yield all bipartitions of the tids into two connected halves
+    (reference ``connected_bipartitions`` networking.py:875)."""
+    tids = sorted(tn.tensor_map, key=str)
+    n = len(tids)
+    seen = set()
+    for r in range(1, n // 2 + 1):
+        for combo in itertools.combinations(tids, r):
+            rest = tuple(t for t in tids if t not in combo)
+            key = frozenset((frozenset(combo), frozenset(rest)))
+            if key in seen:
+                continue
+            seen.add(key)
+            if tids_are_connected(tn, combo) and \
+                    tids_are_connected(tn, rest):
+                yield (tuple(combo), rest)
+
+
+def most_central_tid(tn):
+    """The tid with the highest centrality (reference
+    ``most_central_tid`` networking.py:1476)."""
+    c = compute_centralities(tn)
+    return max(c, key=c.get)
+
+
+def least_central_tid(tn):
+    """The tid with the lowest centrality (reference
+    ``least_central_tid`` networking.py:1482)."""
+    c = compute_centralities(tn)
+    return min(c, key=c.get)
+
+
+def compute_hierarchical_grouping(tn, max_group_size=8,
+                                  method="weighted"):
+    """Group tids hierarchically into clusters of bounded size, in
+    linkage order (reference ``compute_hierarchical_grouping``
+    networking.py:1391)."""
+    order = compute_hierarchical_ordering(tn, method=method)
+    groups = []
+    cur = []
+    for tid in order:
+        cur.append(tid)
+        if len(cur) == max_group_size:
+            groups.append(tuple(cur))
+            cur = []
+    if cur:
+        groups.append(tuple(cur))
+    return groups
+
+
+def compute_hierarchical_ssa_path(tn, method="weighted"):
+    """The hierarchical linkage as an ssa (single static assignment)
+    contraction path (reference ``compute_hierarchical_ssa_path``
+    networking.py:1331): scipy linkage rows are already ssa merges."""
+    Z = compute_hierarchical_linkage(tn, method=method)
+    return tuple((int(row[0]), int(row[1])) for row in Z)

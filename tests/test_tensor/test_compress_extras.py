@@ -339,3 +339,44 @@ class TestCyclic:
             np.asarray(psi.to_dense()).reshape(-1)
         got = np.asarray(out.to_dense()).reshape(-1)
         assert np.abs(got - want).max() < 1e-8
+
+
+class TestNetworkingPathsPatches:
+    def test_paths_and_queries(self):
+        import quimb_tpu.tensor.networking as nw
+
+        tn = qtn.TN2D_rand(3, 4, 2, seed=0)
+
+        def tid_at(i, j):
+            return next(iter(tn.tag_map[f"I{i},{j}"]))
+
+        t00, t01, t23 = tid_at(0, 0), tid_at(0, 1), tid_at(2, 3)
+        p = nw.get_path_between_tids(tn, t00, t23)
+        # shortest = manhattan distance on the grid
+        assert len(p) == 5
+        for (a, b), ix in zip(zip(p.tids, p.tids[1:]), p.inds):
+            assert set(tn.ind_map[ix]) == {a, b}
+        assert nw.tids_are_connected(tn, [t00, t01])
+        assert not nw.tids_are_connected(tn, [t00, t23])
+        d = nw.compute_shortest_distances(tn, [t00, t01, t23])
+        assert d[tuple(sorted((t00, t01)))] == 1
+        assert d[tuple(sorted((t00, t23)))] == 5
+        assert len(nw.get_local_patch(tn, [t00], max_distance=1)) == 3
+        lu = nw.get_loop_union(tn, [t00], max_size=4, grow_from="any")
+        assert t00 in lu and len(lu) >= 4
+
+    def test_bipartitions_and_hierarchy(self):
+        import quimb_tpu.tensor.networking as nw
+
+        bips = list(
+            nw.connected_bipartitions(qtn.MPS_rand_state(4, 2))
+        )
+        assert len(bips) == 3  # chain of 4 has 3 connected cuts
+
+        tn = qtn.TN2D_rand(3, 4, 2, seed=0)
+        g = nw.compute_hierarchical_grouping(tn, max_group_size=4)
+        assert sum(len(x) for x in g) == 12
+        sp = nw.compute_hierarchical_ssa_path(tn)
+        assert len(sp) == tn.num_tensors - 1
+        pats = list(nw.gen_inds_connected(tn, 2))
+        assert pats and all(len(s) == 2 for s in pats)
