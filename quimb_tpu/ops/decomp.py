@@ -752,6 +752,12 @@ def svd_truncated_masked_eig(
         s = jnp.sqrt(jnp.clip(el, 0.0, None))
         s_safe = jnp.where(s > eps, s, 1.0)
         VH = (dag(U) @ x) / s_safe[..., :, None]
+    # the gram side can exceed the true rank side — cap at min(m, n)
+    # so shapes match the plain-SVD driver exactly
+    kmax = min(x.shape[-2], x.shape[-1])
+    U = U[..., :, :kmax]
+    s = s[..., :kmax]
+    VH = VH[..., :kmax, :]
     return _truncate_mask_absorb(
         U, s, VH, max_bond=max_bond, cutoff=cutoff,
         cutoff_mode=cutoff_mode, renorm=renorm, absorb=absorb,

@@ -57,3 +57,45 @@ class BeliefPropagationCommon:
                 self.converged = True
                 break
         return self
+
+
+def initialize_hyper_messages(tn, fill_fn=None, smudge_factor=1e-12):
+    """Initial messages for hyper BP: one vector per (index, tensor)
+    slot, including hyper indices (reference
+    ``initialize_hyper_messages`` bp_common.py:436)."""
+    import jax.numpy as jnp
+
+    messages = {}
+    for ix, tids in tn.ind_map.items():
+        if len(tids) < 2:
+            continue
+        d = tn.ind_size(ix)
+        for tid in tids:
+            if fill_fn is not None:
+                m = fill_fn((d,))
+            else:
+                m = jnp.ones((d,), dtype=str(tn.dtype))
+            messages[ix, tid] = m / jnp.sum(jnp.abs(m))
+    return messages
+
+
+def combine_local_contractions(zvals, strip_exponent=False,
+                               check_zero=True, mantissa=None,
+                               exponent=None):
+    """Combine local contraction values ``(value, power)`` into a
+    single result with exponent stripping (reference
+    ``combine_local_contractions`` bp_common.py:494)."""
+    import math
+
+    m = 1.0 if mantissa is None else mantissa
+    e = 0.0 if exponent is None else exponent
+    for z, power in zvals:
+        z = complex(z)
+        if check_zero and z == 0:
+            return (0.0, 0.0) if strip_exponent else 0.0
+        a = abs(z)
+        m = m * (z / a) ** power
+        e = e + power * math.log10(a)
+    if strip_exponent:
+        return m, e
+    return m * 10.0**e

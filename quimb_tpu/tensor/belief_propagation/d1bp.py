@@ -119,3 +119,83 @@ def contract_d1bp(tn, max_iterations=1000, tol=5e-6, damping=0.0,
               max_iterations=max_iterations, **kwargs)
     bp.run()
     return bp.contract(strip_exponent=strip_exponent)
+
+
+def contract_hd1bp(tn, messages=None, max_iterations=1000, tol=5e-6,
+                   damping=0.0, strip_exponent=False, **kwargs):
+    """Hyper-index 1-norm BP contraction estimate (reference
+    ``contract_hd1bp`` hd1bp.py:443 — the D1BP here is natively
+    hyper-index aware)."""
+    bp = D1BP(tn, messages=messages, damping=damping,
+              max_iterations=max_iterations, tol=tol, **kwargs)
+    bp.run()
+    return bp.contract(strip_exponent=strip_exponent)
+
+
+def _d1bp_marginal(bp, ix):
+    """Unnormalized marginal over index ``ix``: product of the
+    outgoing messages from every tensor holding it."""
+    import jax.numpy as jnp
+
+    tids = tuple(bp.tn.ind_map[ix])
+    m = None
+    for tid in tids:
+        out = bp._compute_outgoing(tid, ix)
+        m = out if m is None else m * out
+    p = jnp.clip(jnp.real(m), 0.0, None)
+    return p / jnp.sum(p)
+
+
+def sample_hd1bp(tn, messages=None, output_inds=None, max_iterations=1000,
+                 tol=1e-2, damping=0.0, seed=None, bias=None,
+                 progbar=False, **kwargs):
+    """Sample a configuration of ``output_inds`` using hyper 1-norm BP
+    marginals, fixing the most decided index each round and re-running
+    BP (reference ``sample_hd1bp`` hd1bp.py:604).
+
+    Returns
+    -------
+    config : dict[str, int]
+        The sampled value of each index.
+    tn_config : TensorNetwork
+        The network with the sampled indices fixed.
+    omega : float
+        The probability the sampler assigned to this configuration.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    tn = tn.copy()
+    if output_inds is None:
+        # default: sample every index (for a closed hyper TN each
+        # index is one classical variable)
+        output_inds = set(tn.ind_map)
+    remaining = set(output_inds)
+    config = {}
+    omega = 1.0
+
+    while remaining:
+        bp = D1BP(tn, damping=damping, max_iterations=max_iterations,
+                  tol=tol, **kwargs)
+        bp.run()
+        marginals = {ix: _d1bp_marginal(bp, ix) for ix in remaining}
+        # fix the most decided index
+        ix, p = max(
+            marginals.items(), key=lambda kv: float(jnp_max(kv[1]))
+        )
+        p = np.asarray(p, dtype=float)
+        if bias is not None:
+            p = p**bias
+            p = p / p.sum()
+        v = int(rng.choice(p.size, p=p))
+        config[ix] = v
+        omega *= float(p[v])
+        tn.isel_({ix: v})
+        remaining.discard(ix)
+    return config, tn, omega
+
+
+def jnp_max(x):
+    import jax.numpy as jnp
+
+    return jnp.max(x)

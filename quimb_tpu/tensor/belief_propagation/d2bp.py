@@ -286,3 +286,82 @@ def compress_d2bp(psi, max_bond, cutoff=0.0, max_iterations=1000,
         d1 = jnp.moveaxis(d1, -1, ax1)
         t1.modify(data=d1)
     return psi
+
+
+def _d2bp_marginal(bp, ix):
+    """Diagonal of the BP reduced density matrix on output index
+    ``ix``."""
+    psi = bp.tn
+    (tid,) = psi.ind_map[ix]
+    t = psi.tensor_map[tid]
+    arrays = [t.data]
+    inputs = [t.inds]
+    bra_inds = []
+    for ox in t.inds:
+        if ox == ix:
+            bra_inds.append(ox + "__bra__")
+        elif any(
+            (ox, otid) in bp.messages
+            for otid in psi.ind_map.get(ox, ())
+        ):
+            bra_inds.append(ox + "__bra__")
+        else:
+            bra_inds.append(ox)
+    arrays.append(jnp.conj(t.data))
+    inputs.append(tuple(bra_inds))
+    for ox in t.inds:
+        if ox == ix:
+            continue
+        for otid in psi.ind_map.get(ox, ()):
+            if otid != tid and (ox, otid) in bp.messages:
+                arrays.append(bp.messages[ox, otid])
+                inputs.append((ox, ox + "__bra__"))
+    rho = array_contract(arrays, inputs, output=(ix, ix + "__bra__"))
+    p = jnp.clip(jnp.real(jnp.diagonal(rho)), 0.0, None)
+    return p / jnp.sum(p)
+
+
+def sample_d2bp(tn, output_inds=None, messages=None,
+                max_iterations=100, tol=1e-2, bias=None, seed=None,
+                damping=0.0, update="sequential", local_convergence=True,
+                progbar=False, **kwargs):
+    """Sample a computational-basis configuration of a TN *vector*
+    via 2-norm BP marginals: repeatedly fix the most decided output
+    index and re-converge the messages (reference ``sample_d2bp``
+    d2bp.py:1734).
+
+    Returns ``(config, tn_config, omega)``.
+    """
+    rng = np.random.default_rng(seed)
+    tn = tn.copy()
+    if output_inds is None:
+        output_inds = tn.outer_inds()
+    remaining = set(output_inds)
+    config = {}
+    omega = 1.0
+
+    while remaining:
+        bp = D2BP(tn, messages=messages, damping=damping,
+                  update=update, max_iterations=max_iterations,
+                  tol=tol, output_inds=remaining, **kwargs)
+        bp.run()
+        marginals = {ix: _d2bp_marginal(bp, ix) for ix in remaining}
+        ix, p = max(
+            marginals.items(),
+            key=lambda kv: float(jnp.max(kv[1])),
+        )
+        p = np.asarray(p, dtype=float)
+        if bias is not None:
+            p = p**bias
+            p = p / p.sum()
+        v = int(rng.choice(p.size, p=p))
+        config[ix] = v
+        omega *= float(p[v])
+        tn.isel_({ix: v})
+        remaining.discard(ix)
+        # warm start the next run with the still-valid messages
+        messages = {
+            k: m for k, m in bp.messages.items()
+            if k[0] in tn.ind_map
+        }
+    return config, tn, omega

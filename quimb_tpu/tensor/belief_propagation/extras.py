@@ -369,3 +369,83 @@ __all__ = [
     "HD1BP", "L1BP", "L2BP", "contract_l1bp", "contract_l2bp", "DIIS",
     "RegionGraph",
 ]
+
+
+def gen_region_counts(regions, autocomplete=True):
+    """Counting numbers of a set of regions via the cluster variation
+    method (reference ``gen_region_counts`` regions.py:478). Returns
+    ``{frozenset(region): count}`` for all (auto-completed) regions
+    with nonzero counts."""
+    rg = RegionGraph(regions, autocomplete=autocomplete)
+    if not autocomplete:
+        rg.compute_counts()
+    return {
+        r: c for r, c in rg.counts.items() if c
+    }
+
+
+def compress_l2bp(psi, max_bond, cutoff=0.0, site_tags=None,
+                  max_iterations=1000, tol=5e-6, inplace=False,
+                  **kwargs):
+    """Compress a TN vector's bonds using converged lazy 2-norm BP
+    environments as oblique projectors (reference ``compress_l2bp``
+    l2bp.py:525)."""
+    import jax.numpy as jnp
+
+    from ...ops import decomp
+
+    psi = psi if inplace else psi.copy()
+    bp = L2BP(psi, site_tags=site_tags, max_iterations=max_iterations,
+              tol=tol, **kwargs)
+    bp.run()
+
+    psi_inds = set(psi.ind_map)
+
+    def sqrtm_psd(m):
+        m = (m + jnp.conj(m.T)) / 2
+        el, V = jnp.linalg.eigh(m)
+        el = jnp.clip(jnp.real(el), 0.0, None)
+        return (V * jnp.sqrt(el)) @ jnp.conj(V.T)
+
+    for (ta, tb), shared in bp.links.items():
+        ket_bonds = [ix for ix in shared if ix in psi_inds]
+        if len(ket_bonds) != 1:
+            continue
+        (kix,) = ket_bonds
+        bra_bonds = [ix for ix in shared if ix not in psi_inds]
+        if len(bra_bonds) != 1:
+            continue
+        (bix,) = bra_bonds
+        # messages over `shared` ind order
+        order = list(shared)
+        ki, bi = order.index(kix), order.index(bix)
+        m_ab = jnp.transpose(bp.messages[(ta, tb)], (ki, bi))
+        m_ba = jnp.transpose(bp.messages[(tb, ta)], (ki, bi))
+        Ra = sqrtm_psd(m_ab)
+        Rb = sqrtm_psd(m_ba)
+        Pl, Pr = decomp.compute_oblique_projectors(
+            Ra, jnp.conj(Rb.T), max_bond=max_bond, cutoff=cutoff,
+        )
+        # insert Pl @ Pr on the ket bond: multiply the two psi
+        # tensors holding kix
+        tids = tuple(psi.ind_map[kix])
+        if len(tids) != 2:
+            continue
+        t1 = psi.tensor_map[tids[0]]
+        t2 = psi.tensor_map[tids[1]]
+        # decide orientation: t in group ta gets Pl
+        ta_tids = psi._get_tids_from_tags(ta, "any")
+        if tids[0] in ta_tids:
+            tl, tr = t1, t2
+        else:
+            tl, tr = t2, t1
+        axl = tl.inds.index(kix)
+        datal = jnp.tensordot(tl.data, Pl, axes=(axl, 0))
+        datal = jnp.moveaxis(datal, -1, axl)
+        tl.modify(data=datal)
+        axr = tr.inds.index(kix)
+        datar = jnp.tensordot(tr.data, jnp.transpose(Pr),
+                              axes=(axr, 0))
+        datar = jnp.moveaxis(datar, -1, axr)
+        tr.modify(data=datar)
+    return psi

@@ -215,3 +215,59 @@ def contract_hv1bp(tn, max_iterations=1000, tol=5e-6, damping=0.0,
                max_iterations=max_iterations, **kwargs)
     bp.run()
     return bp.contract(strip_exponent=strip_exponent)
+
+
+def sample_hv1bp(tn, messages=None, output_inds=None,
+                 max_iterations=1000, tol=1e-2, damping=0.0, seed=None,
+                 bias=None, progbar=False, **kwargs):
+    """Sample a configuration using vectorized hyper 1-norm BP
+    (reference ``sample_hv1bp`` hv1bp.py:1012): converge batched
+    messages, fix the most decided variable index, repeat. Returns
+    ``(config, tn_config, omega)``."""
+    import numpy as np
+
+    from .d1bp import D1BP, _d1bp_marginal
+
+    rng = np.random.default_rng(seed)
+    tn = tn.copy()
+    if output_inds is None:
+        # default: sample every index (for a closed hyper TN each
+        # index is one classical variable)
+        output_inds = set(tn.ind_map)
+    remaining = set(output_inds)
+    config = {}
+    omega = 1.0
+
+    while remaining:
+        from .bp_common import initialize_messages
+
+        if initialize_messages(tn):
+            bp = HV1BP(tn, messages=messages, damping=damping,
+                       max_iterations=max_iterations, tol=tol,
+                       **kwargs)
+            bp.run()
+            msgs = bp.get_messages()
+        else:
+            # nothing left to propagate: marginals are direct
+            msgs = {}
+        # unbatch the converged messages and reuse the (hyper-aware)
+        # scalar-message marginal machinery
+        flat = D1BP(tn, messages=msgs)
+        marginals = {
+            ix: _d1bp_marginal(flat, ix) for ix in remaining
+        }
+        ix, p = max(
+            marginals.items(),
+            key=lambda kv: float(jnp.max(kv[1])),
+        )
+        p = np.asarray(p, dtype=float)
+        if bias is not None:
+            p = p**bias
+            p = p / p.sum()
+        v = int(rng.choice(p.size, p=p))
+        config[ix] = v
+        omega *= float(p[v])
+        tn.isel_({ix: v})
+        remaining.discard(ix)
+        messages = None  # shapes changed, re-initialize
+    return config, tn, omega

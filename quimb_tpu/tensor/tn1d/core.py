@@ -130,6 +130,18 @@ class TensorNetwork1DVector(TensorNetwork1D):
 
     _EXTRA_PROPS = ("_site_tag_id", "_site_ind_id", "_L")
 
+    def make_norm(self, layer_tags=("KET", "BRA")):
+        """The <psi|psi> sandwich network with the two layers tagged
+        (reference ``make_norm``)."""
+        ket = self.copy()
+        ket.add_tag(layer_tags[0])
+        bra = ket.H
+        bra.retag_({layer_tags[0]: layer_tags[1]})
+        bra.mangle_inner_("*")
+        norm = ket & bra
+        norm.view_like_(self)
+        return norm
+
     @property
     def site_ind_id(self):
         return self._site_ind_id

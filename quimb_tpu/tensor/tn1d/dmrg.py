@@ -71,6 +71,24 @@ class DMRGError(Exception):
     pass
 
 
+class _EndlessSeq:
+    """A picklable 'last value repeats forever' sequence (the
+    reference stores bond-dim/cutoff schedules as itertools chains,
+    dmrg.py:596 — a plain class keeps DMRG objects checkpointable)."""
+
+    def __init__(self, values):
+        self.values = list(values)
+        self.i = 0
+
+    def __next__(self):
+        v = self.values[min(self.i, len(self.values) - 1)]
+        self.i += 1
+        return v
+
+    def __iter__(self):
+        return self
+
+
 # ---------------------------------------------------------------------------
 # jitted kernels (uniform array layout)
 # ---------------------------------------------------------------------------
@@ -571,23 +589,14 @@ class DMRG:
 
     def _set_bond_dim_seq(self, bond_dims):
         if isinstance(bond_dims, int):
-            self._bond_dims = itertools.repeat(bond_dims)
-            self._bond_dim0 = bond_dims
-        else:
-            bond_dims = list(bond_dims)
-            self._bond_dim0 = bond_dims[0]
-            self._bond_dims = itertools.chain(
-                bond_dims, itertools.repeat(bond_dims[-1])
-            )
+            bond_dims = [bond_dims]
+        self._bond_dims = _EndlessSeq(bond_dims)
+        self._bond_dim0 = self._bond_dims.values[0]
 
     def _set_cutoff_seq(self, cutoffs):
         if isinstance(cutoffs, float):
-            self._cutoffs = itertools.repeat(cutoffs)
-        else:
-            cutoffs = list(cutoffs)
-            self._cutoffs = itertools.chain(
-                cutoffs, itertools.repeat(cutoffs[-1])
-            )
+            cutoffs = [cutoffs]
+        self._cutoffs = _EndlessSeq(cutoffs)
 
     @property
     def state(self):

@@ -457,3 +457,83 @@ class TestMPS1BP:
         bp.run(max_iterations=60, tol=1e-8)
         z_bp = complex(bp.contract()).real
         assert z_bp == pytest.approx(z_exact, rel=0.25)
+
+
+class TestBPSamplingCompression:
+    CLAUSES = [(1, 2, -3), (-1, 3), (2, 3)]
+
+    @staticmethod
+    def _qtn():
+        import quimb_tpu.tensor as qtn
+
+        return qtn
+
+    def _is_sat(self, config):
+        vals = {int(k[1:]): v for k, v in config.items()}
+        return all(
+            any((vals[abs(v)] == 1) == (v > 0) for v in c)
+            for c in self.CLAUSES
+        )
+
+    def test_sample_hd1bp_satisfies(self):
+        from quimb_tpu.tensor.belief_propagation import sample_hd1bp
+
+        htn = self._qtn().HTN_from_clauses(self.CLAUSES, mode="dense")
+        for seed in range(3):
+            config, _, omega = sample_hd1bp(
+                htn, seed=seed, max_iterations=100, tol=1e-8
+            )
+            assert self._is_sat(config)
+            assert 0 < omega <= 1
+
+    def test_sample_hv1bp_satisfies(self):
+        from quimb_tpu.tensor.belief_propagation import sample_hv1bp
+
+        htn = self._qtn().HTN_from_clauses(self.CLAUSES, mode="dense")
+        config, _, _ = sample_hv1bp(htn, seed=2, max_iterations=100)
+        assert self._is_sat(config)
+
+    def test_sample_d2bp(self):
+        from quimb_tpu.tensor.belief_propagation import sample_d2bp
+
+        peps = self._qtn().PEPS_rand(2, 3, 2, seed=0, dtype="float64")
+        cfg, tncfg, omega = sample_d2bp(
+            peps, seed=1, max_iterations=60
+        )
+        assert len(cfg) == 6
+        assert 0 < omega <= 1
+
+    def test_compress_l2bp_matches_svd_on_mps(self):
+        from quimb_tpu.tensor.belief_propagation import compress_l2bp
+
+        psi = self._qtn().MPS_rand_state(8, 12, seed=3, dtype="float64")
+        psi.normalize()
+        out = compress_l2bp(psi, max_bond=8)
+        assert out.max_bond() <= 8
+        vout = np.asarray(out.to_dense()).ravel()
+        f = abs(
+            np.vdot(vout, np.asarray(psi.to_dense()).ravel())
+        ) / np.linalg.norm(vout)
+        ref = psi.copy()
+        ref.compress(max_bond=8)
+        vref = np.asarray(ref.to_dense()).ravel()
+        fr = abs(
+            np.vdot(vref, np.asarray(psi.to_dense()).ravel())
+        ) / np.linalg.norm(vref)
+        # BP environments are exact on a chain: same as optimal
+        assert f == pytest.approx(fr, abs=1e-8)
+
+    def test_region_counts_and_combine(self):
+        from quimb_tpu.tensor.belief_propagation import (
+            combine_local_contractions,
+            gen_region_counts,
+        )
+
+        counts = gen_region_counts([(0, 1, 2), (1, 2, 3)])
+        assert counts[frozenset((0, 1, 2))] == 1
+        assert counts[frozenset((1, 2, 3))] == 1
+        assert counts[frozenset((1, 2))] == -1
+        m, e = combine_local_contractions(
+            [(2.0, 1), (4.0, -1)], strip_exponent=True
+        )
+        assert m * 10**e == pytest.approx(0.5)
