@@ -183,8 +183,10 @@ class TEBD:
     """
 
     def __init__(self, p0, H, dt=None, tol=None, t0=0.0, imag=False,
-                 split_opts=None, progbar=True):
-        self.pt = p0.copy()
+                 split_opts=None, progbar=True, fused=True):
+        self._pt = p0.copy()
+        self.fused = fused
+        self._vidal = None
         self.L = p0.L
         if not isinstance(H, LocalHam1D):
             H = LocalHam1D(self.L, H)
@@ -199,6 +201,83 @@ class TEBD:
         self.err = 0.0
         self.taus = []
         self._U_cache = {}
+
+    @property
+    def pt(self):
+        """The current state (materialized from the fused Vidal form
+        if that is active)."""
+        if self._vidal is not None:
+            Gs, ls = self._vidal
+            Bs = _vidal_to_mps_arrays(Gs, ls)
+            L = len(Bs)
+            site_arrays = []
+            for i, a in enumerate(Bs):
+                if i == 0:
+                    # (l=pad, d, r) -> (r, p)
+                    site_arrays.append(jnp.transpose(a[0], (1, 0)))
+                elif i == L - 1:
+                    # (l, d, r=pad) -> (l, p)
+                    site_arrays.append(a[:, :, 0])
+                else:
+                    # (l, d, r) -> (l, r, p)
+                    site_arrays.append(jnp.transpose(a, (0, 2, 1)))
+            psi = MatrixProductState(
+                site_arrays, shape="lrp",
+                site_ind_id=self._pt._site_ind_id,
+                site_tag_id=self._pt._site_tag_id,
+            )
+            # strip the zero padding
+            psi.compress(cutoff=1e-14)
+            self._pt = psi
+            self._vidal = None
+        return self._pt
+
+    @pt.setter
+    def pt(self, value):
+        self._pt = value
+        self._vidal = None
+
+    def _fused_applicable(self):
+        return (
+            self.fused
+            and not getattr(self.H, "cyclic", False)
+            and self.L >= 4
+            and self.split_opts.get("max_bond") is not None
+        )
+
+    def _ensure_vidal(self):
+        if self._vidal is None:
+            chi = int(self.split_opts["max_bond"])
+            self._vidal = _mps_to_vidal(self._pt, chi)
+        return self._vidal
+
+    def _fused_sweep(self, direction, dt_frac):
+        """One parity sweep as a single vmapped gate+split kernel."""
+        Gs, ls = self._ensure_vidal()
+        L = self.L
+        parity = 0 if direction == "right" else 1
+        pairs = [(i, i + 1) for i in range(parity, L - 1, 2)]
+        if not pairs:
+            return
+        Us = jnp.stack([
+            self._get_gate(p, dt_frac * self._dt) for p in pairs
+        ])
+        idx = jnp.asarray([p[0] for p in pairs])
+        G1s = Gs[idx]
+        G2s = Gs[idx + 1]
+        l_l = ls[idx]
+        l_c = ls[idx + 1]
+        l_r = ls[idx + 2]
+        G1n, G2n, lcn, errs = _vidal_gate_split_batch(
+            G1s, G2s, l_l, l_c, l_r, Us,
+            max_bond=int(self.split_opts["max_bond"]),
+            cutoff=self.split_opts.get("cutoff", 1e-10),
+        )
+        Gs = Gs.at[idx].set(G1n)
+        Gs = Gs.at[idx + 1].set(G2n)
+        ls = ls.at[idx + 1].set(lcn)
+        self._vidal = (Gs, ls)
+        self.err += float(jnp.sum(errs))
 
     @property
     def dt(self):
@@ -239,17 +318,22 @@ class TEBD:
                 pairs.append((self.L - 1, 0))
         else:
             raise ValueError(f"bad direction {direction}")
+        if self._fused_applicable():
+            if dt is not None:
+                pass  # dt_frac already scaled above
+            self._fused_sweep(direction, dt_frac)
+            return
         for where in pairs:
             U = self._get_gate(where, dt_frac * self._dt)
             info_i = {"error": None}
-            self.pt.gate_split_(
+            self._pt.gate_split_(
                 U, where, info=info_i, **self.split_opts
             )
             err = info_i.get("error")
             if err is not None:
                 self.err += float(err)
         if self.imag:
-            self.pt.normalize()
+            self._pt.normalize()
 
     def _step_order2(self, tau=1.0, **sweep_opts):
         """2nd-order Suzuki-Trotter step (reference :434)."""
@@ -354,3 +438,142 @@ def OTOC_local(psi0, H, H_back, ts, i, A, j=None, B=None,
         yield abs(complex(
             expec_TN_1D(xBx.H, psi_z)
         ))
+
+
+# ---------------------------------------------------------------------------
+# fused Vidal-gauge sweeps: all same-parity bond gates commute, so on TPU
+# one sweep is ONE vmapped gate+split kernel over L/2 bonds instead of
+# L/2 sequential TN operations (the classic parallel-TEBD scheme; the
+# reference applies gates sequentially, tn1d/tebd.py:319)
+# ---------------------------------------------------------------------------
+
+
+def _safe_inv(lam, tol=1e-12):
+    return jnp.where(lam > tol, 1.0 / jnp.where(lam > tol, lam, 1.0),
+                     0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_bond",))
+def _vidal_gate_split_batch(G1s, G2s, l_l, l_c, l_r, Us, max_bond,
+                            cutoff):
+    """Apply two-site gates to a batch of disjoint bonds in Vidal
+    (Gamma-lambda) form and re-split with bounded bond.
+
+    G1s/G2s: (m, chi, d, chi); l_l/l_c/l_r: (m, chi); Us: (m, d*d, d*d).
+    Returns updated (G1s, G2s, l_c, errs)."""
+    from ...ops import decomp
+
+    m, chi, d, _ = G1s.shape
+
+    def one(G1, G2, ll, lc, lr, U):
+        # theta = ll . G1 . lc . G2 . lr
+        th = G1 * ll[:, None, None]
+        th = th * lc[None, None, :]
+        th = jnp.einsum("lpc,cqr->lpqr", th, G2)
+        th = th * lr[None, None, None, :]
+        # gate
+        Ur = jnp.reshape(U, (d, d, d, d))
+        th = jnp.einsum("uvpq,lpqr->luvr", Ur, th)
+        # split
+        mat = jnp.reshape(th, (chi * d, d * chi))
+        Uf, s, VH, rank = decomp.svd_truncated_masked(
+            mat, max_bond=max_bond, cutoff=cutoff, cutoff_mode=4,
+            absorb=None,
+        )
+        nrm = jnp.linalg.norm(s)
+        total = jnp.linalg.norm(mat)
+        err = jnp.sqrt(jnp.clip(total**2 - nrm**2, 0.0, None)) / \
+            jnp.where(total > 0, total, 1.0)
+        s_n = s / jnp.where(nrm > 0, nrm, 1.0)
+        G1n = jnp.reshape(Uf, (chi, d, chi)) * \
+            _safe_inv(ll)[:, None, None]
+        G2n = jnp.reshape(VH, (chi, d, chi)) * \
+            _safe_inv(lr)[None, None, :]
+        return G1n, G2n, s_n, err
+
+    return jax.vmap(one)(G1s, G2s, l_l, l_c, l_r, Us)
+
+
+def _mps_to_vidal(psi, chi):
+    """Convert an (open) MPS to zero-padded uniform Vidal form:
+    Gammas (L, chi, d, chi) and bond weights ls (L+1, chi)."""
+    from ...ops import decomp
+
+    psi = psi.copy()
+    psi.right_canonize()
+    arrays = []
+    L = psi.L
+    d = psi.phys_dim()
+    for i in range(L):
+        t = psi[psi.site_tag(i)]
+        if i == 0:
+            a = jnp.reshape(
+                t.transpose(psi.site_ind(0), *(
+                    ix for ix in t.inds if ix != psi.site_ind(0)
+                )).data, (1, d, -1),
+            )
+            # order (l, p, r): first site l=1
+            a = jnp.transpose(a, (0, 1, 2))
+        else:
+            prev = psi[psi.site_tag(i - 1)]
+            bix = tuple(ix for ix in t.inds if any(
+                ix in p.inds for p in [prev]
+            ))[0]
+            oix = [ix for ix in t.inds if ix != bix]
+            pix = psi.site_ind(i)
+            rix = [ix for ix in oix if ix != pix]
+            order = (bix, pix, *rix)
+            a = t.transpose(*order).data
+            if a.ndim == 2:
+                a = a[..., None]
+        arrays.append(a)
+
+    Gs = np.zeros((L, chi, d, chi), dtype=np.asarray(arrays[0]).dtype)
+    ls = np.zeros((L + 1, chi), dtype=float)
+    ls[0, 0] = 1.0
+    ls[L, 0] = 1.0
+
+    # left-to-right SVD sweep to extract bond weights
+    carry = np.asarray(arrays[0])  # (1, d, r) right-canonical tail
+    lam_prev = np.zeros(chi)
+    lam_prev[0] = 1.0
+    for i in range(L):
+        l, _, r = carry.shape
+        mat = carry.reshape(l * d, r)
+        if i < L - 1:
+            U, s, VH = np.linalg.svd(mat, full_matrices=False)
+            k = min(len(s), chi)
+            U, s, VH = U[:, :k], s[:k], VH[:k, :]
+            A = U.reshape(l, d, k)  # left-canonical
+            # Vidal Gamma_i = lam_{i-1}^{-1} A_i
+            inv = np.where(lam_prev[:l] > 1e-12,
+                           1.0 / np.where(lam_prev[:l] > 1e-12,
+                                          lam_prev[:l], 1.0), 0.0)
+            Gs[i, :l, :, :k] = A * inv[:, None, None]
+            nrm = np.linalg.norm(s)
+            s = s / (nrm if nrm > 0 else 1.0)
+            ls[i + 1, :k] = s
+            lam_prev = np.zeros(chi)
+            lam_prev[:k] = s
+            nxt = np.asarray(arrays[i + 1])
+            carry = np.einsum(
+                "kr,rpc->kpc", (np.diag(s) @ VH) * nrm, nxt
+            )
+        else:
+            inv = np.where(lam_prev[:l] > 1e-12,
+                           1.0 / np.where(lam_prev[:l] > 1e-12,
+                                          lam_prev[:l], 1.0), 0.0)
+            nrm = np.linalg.norm(mat)
+            Gs[i, :l, :, 0] = (carry[:, :, 0] / (nrm if nrm else 1.0)
+                               ) * inv[:, None]
+    return jnp.asarray(Gs), jnp.asarray(ls)
+
+
+def _vidal_to_mps_arrays(Gs, ls):
+    """Vidal form back to B-form (right-canonical-ish) site arrays."""
+    L = Gs.shape[0]
+    out = []
+    for i in range(L):
+        B = Gs[i] * ls[i + 1][None, None, :]
+        out.append(B)
+    return out

@@ -282,3 +282,45 @@ class TestProjectors:
         )
         assert Pl.shape == (20, 10)
         assert Pr.shape == (10, 20)
+
+
+class TestSvdTruncatedMaskedEig:
+    @pytest.mark.parametrize("shape", [(96, 128), (128, 96), (4, 64),
+                                       (64, 4), (128, 128)])
+    @pytest.mark.parametrize("absorb", ["left", "right", "both",
+                                        "none"])
+    def test_matches_svd_driver(self, shape, absorb):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=shape))
+        U1, s1, VH1, r1 = decomp.svd_truncated_masked(
+            x, max_bond=48, cutoff=1e-10, absorb=absorb
+        )
+        U2, s2, VH2, r2 = decomp.svd_truncated_masked_eig(
+            x, max_bond=48, cutoff=1e-10, absorb=absorb
+        )
+        assert U1.shape == U2.shape
+        assert VH1.shape == VH2.shape
+        assert np.allclose(np.asarray(s1), np.asarray(s2), atol=1e-8)
+        if absorb == "none":
+            rec1 = np.asarray(U1 * s1 @ VH1)
+            rec2 = np.asarray(U2 * s2 @ VH2)
+        else:
+            rec1 = np.asarray(U1 @ VH1)
+            rec2 = np.asarray(U2 @ VH2)
+        assert np.allclose(rec1, rec2, atol=1e-7)
+
+    def test_isometric_side_exact(self):
+        rng = np.random.default_rng(1)
+        # nearly rank-deficient input: the isometric factor must stay
+        # exactly orthogonal (this is what crashes/degrades plain
+        # Jacobi SVD on TPU)
+        a = rng.normal(size=(64, 3))
+        x = jnp.asarray(a @ rng.normal(size=(3, 64)))
+        U, s, VH, r = decomp.svd_truncated_masked_eig(
+            x, max_bond=32, cutoff=0.0, absorb="right"
+        )
+        # columns past the surviving rank are zero-masked; the kept
+        # ones must be exactly orthonormal
+        k = int(r)
+        Uk = np.asarray(U)[:, :k]
+        assert np.allclose(Uk.T.conj() @ Uk, np.eye(k), atol=1e-10)

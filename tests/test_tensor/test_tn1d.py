@@ -291,3 +291,57 @@ class TestTEBD:
         ).reshape(-1)
         vt = np.asarray(tebd.pt.to_dense()).reshape(-1)
         assert abs(1 - abs(np.vdot(v, vt))) < 1e-4
+
+
+class TestTEBDFused:
+    def test_fused_matches_exact_and_sequential(self):
+        import scipy.linalg as sla
+
+        import quimb_tpu as qu
+
+        L = 8
+        psi0 = qtn.MPS_neel_state(L)
+        H = qtn.ham_1d_heis(L)
+        Hd = np.asarray(qu.ham_heis(L))
+        v0 = np.asarray(psi0.to_dense()).ravel().astype(complex)
+        T = 1.0
+        v_exact = sla.expm(-1j * T * Hd) @ v0
+
+        def fid(a, b):
+            return abs(np.vdot(a, b)) / (
+                np.linalg.norm(a) * np.linalg.norm(b)
+            )
+
+        vs = {}
+        for fused in (True, False):
+            tebd = qtn.TEBD(
+                psi0.astype("complex128"), H,
+                split_opts={"max_bond": 32, "cutoff": 1e-12},
+                fused=fused, progbar=False,
+            )
+            tebd.update_to(T, dt=0.02, order=4, progbar=False)
+            v = np.asarray(tebd.pt.to_dense()).ravel()
+            vs[fused] = v
+            assert fid(v, v_exact) > 1 - 1e-7
+        assert fid(vs[True], vs[False]) > 1 - 1e-7
+
+    def test_fused_entropy_growth_matches(self):
+        """Half-chain entropy growth curves agree between the fused
+        (batched Vidal) and sequential sweeps."""
+        L = 10
+        psi0 = qtn.MPS_neel_state(L)
+        H = qtn.ham_1d_heis(L)
+        ents = {}
+        for fused in (True, False):
+            tebd = qtn.TEBD(
+                psi0.astype("complex128"), H,
+                split_opts={"max_bond": 32, "cutoff": 1e-12},
+                fused=fused, progbar=False,
+            )
+            es = []
+            for _ in range(5):
+                tebd.update_to(tebd.t + 0.2, dt=0.05, order=2,
+                               progbar=False)
+                es.append(float(tebd.pt.entropy(L // 2)))
+            ents[fused] = es
+        assert np.allclose(ents[True], ents[False], atol=1e-5)
