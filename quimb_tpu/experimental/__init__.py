@@ -9,6 +9,14 @@ from .tn_marginals import (
     compute_all_marginals_via_autodiff,
     compute_all_marginals_via_slicing,
 )
+from .tnvmc import (
+    DenseSampler,
+    ExchangeSampler,
+    HamiltonianSampler,
+    MetropolisHastingsSampler,
+    TNVMC,
+)
+from .autojittn import autojit_tn
 
 __all__ = [
     "ClusterUpdateGen",
@@ -19,4 +27,10 @@ __all__ = [
     "cp_simplify",
     "compute_all_marginals_via_autodiff",
     "compute_all_marginals_via_slicing",
+    "TNVMC",
+    "MetropolisHastingsSampler",
+    "ExchangeSampler",
+    "HamiltonianSampler",
+    "DenseSampler",
+    "autojit_tn",
 ]

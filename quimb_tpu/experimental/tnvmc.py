@@ -136,6 +136,39 @@ class ExchangeSampler(MetropolisHastingsSampler):
         return new
 
 
+class HamiltonianSampler(MetropolisHastingsSampler):
+    """Propose moves from the Hamiltonian's off-diagonal flip masks —
+    keeps walkers inside the connected sector (reference hamiltonian
+    sampler tnvmc.py)."""
+
+    def __init__(self, nsites, flip_masks, nchains=64, initial=None,
+                 seed=0):
+        super().__init__(nsites, nchains=nchains, initial=initial,
+                         seed=seed)
+        masks = [m for m in flip_masks if np.any(np.asarray(m))]
+        if not masks:
+            masks = [np.eye(1, nsites, 0, dtype=np.int32)[0]]
+        self.flip_masks = jnp.asarray(np.stack(masks)).astype(
+            jnp.int32
+        )
+
+    @classmethod
+    def from_ham(cls, ham, nsites, **kwargs):
+        masks = []
+        for coeff, sites, flip, mats in ham.build_coupling_map():
+            bits = np.zeros(nsites, dtype=np.int32)
+            for s in range(nsites):
+                bits[s] = (flip >> s) & 1
+            masks.append(bits)
+        return cls(nsites, masks, **kwargs)
+
+    def propose(self, key, configs):
+        idx = jax.random.randint(
+            key, (configs.shape[0],), 0, self.flip_masks.shape[0]
+        )
+        return jnp.bitwise_xor(configs, self.flip_masks[idx])
+
+
 class DenseSampler:
     """Exact sampler from the full dense distribution (small systems;
     reference ``DenseSampler`` tnvmc.py:96)."""
@@ -291,6 +324,19 @@ class TNVMC:
                 S.shape[0], dtype=S.dtype
             )
             delta = jnp.linalg.solve(S, grad_flat)
+        elif self.conditioner == "minsr":
+            # MinSR (reference tnvmc.py:1162, Chen & Heyl): solve in
+            # the nsamples-dim space via the push-through identity
+            # (O'O/n + l)^-1 O' = O' (OO'/n + l)^-1 — an (n, n) solve
+            # instead of (nparams, nparams), ideal when chains <<
+            # parameters
+            n = configs.shape[0]
+            T = (Om @ Om.T) / n + self.sr_damping * jnp.eye(
+                n, dtype=Om.dtype
+            )
+            delta = (2.0 / n) * (
+                Om.T @ jnp.linalg.solve(T, dE.astype(Om.dtype))
+            )
         else:
             delta = grad_flat
 
@@ -344,5 +390,5 @@ class TNVMC:
 
 __all__ = [
     "TNVMC", "MetropolisHastingsSampler", "ExchangeSampler",
-    "DenseSampler", "make_amplitude_fn",
+    "HamiltonianSampler", "DenseSampler", "make_amplitude_fn",
 ]

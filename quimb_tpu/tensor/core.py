@@ -241,6 +241,13 @@ def tensor_split(
     return TensorNetwork(tensors, virtual=True)
 
 
+@jax.jit
+def _jmm(a, b):
+    """Jitted matmul — eager ``@`` on complex arrays is UNIMPLEMENTED
+    on the TPU backend, compiled matmuls are fine."""
+    return a @ b
+
+
 def tensor_canonize_bond(T1, T2, absorb="right", gauges=None, **split_opts):
     """Canonize the bond between two tensors: make ``T1`` isometric by
     QR-ing it and absorbing R into ``T2`` (reference
@@ -285,7 +292,7 @@ def tensor_canonize_bond(T1, T2, absorb="right", gauges=None, **split_opts):
     t2_other = [ix for ix in T2.inds if ix not in shared]
     T2t = T2.transpose(*shared, *t2_other)
     d_other = [T2.ind_size(i) for i in t2_other]
-    new_t2 = R @ jnp.reshape(T2t.data, (R.shape[-1], -1))
+    new_t2 = _jmm(R, jnp.reshape(T2t.data, (R.shape[-1], -1)))
     T2.modify(
         data=jnp.reshape(new_t2, (new_bond_size, *d_other)),
         inds=(bix, *t2_other),
@@ -328,13 +335,13 @@ def tensor_compress_bond(
                 (-1, int(np.prod([T2.ind_size(i) for i in r2]) or 1)),
             )
         )
-        core = R1 @ L2
+        core = _jmm(R1, L2)
         U, s, VH = decomp.array_split(
             core, method="svd", absorb=absorb, max_bond=max_bond,
             cutoff=cutoff, info=info, **compress_opts,
         )
-        new_l = Q1 @ U
-        new_r = VH @ Q2
+        new_l = _jmm(Q1, U)
+        new_r = _jmm(VH, Q2)
     else:
         theta = jnp.reshape(
             tensor_contract(

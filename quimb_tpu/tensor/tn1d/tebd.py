@@ -24,7 +24,20 @@ from ...utils import continuous_progbar, progbar as Progbar
 from .core import MatrixProductState
 
 
-@functools.partial(jax.jit, static_argnames=())
+def _cplx_scalar(z):
+    """Complex python scalar -> device scalar via a split transfer
+    (direct complex host->device transfers are UNIMPLEMENTED on the
+    TPU backend)."""
+    import jax as _jax
+    import numpy as _np
+
+    from ...ops.backend import to_device
+
+    dtype = "complex128" if _jax.config.jax_enable_x64 else "complex64"
+    return to_device(_np.asarray(z, dtype=dtype))
+
+
+@jax.jit
 def _expm_herm(H, factor):
     """expm(factor * H) for hermitian H via eigh (device, tiny)."""
     w, V = jnp.linalg.eigh(H)
@@ -54,6 +67,11 @@ class LocalHam1D:
 
         # normalize keys; for cyclic chains the wrap term is stored
         # under its natural orientation (L-1, 0)
+        # all term arithmetic happens host-side in numpy: eager
+        # complex device ops are UNIMPLEMENTED on the TPU backend and
+        # would silently poison the async stream
+        from ...ops.backend import to_host
+
         self.terms = {}
         default2 = H2.get(None)
         pairs = [(i, i + 1) for i in range(L - 1)]
@@ -62,7 +80,7 @@ class LocalHam1D:
         for pair in pairs:
             h = H2.get(pair, default2)
             if h is not None:
-                self.terms[pair] = jnp.asarray(h)
+                self.terms[pair] = to_host(h)
 
         # absorb single site terms
         default1 = H1.get(None)
@@ -91,10 +109,10 @@ class LocalHam1D:
                 left_pair = (i - 1, i)
             if coeff_right and right_pair in self.terms:
                 self.terms[right_pair] = self.terms[right_pair] + \
-                    coeff_right * jnp.asarray(np.kron(h1, I))
+                    coeff_right * np.kron(h1, I)
             if coeff_left and left_pair in self.terms:
                 self.terms[left_pair] = self.terms[left_pair] + \
-                    coeff_left * jnp.asarray(np.kron(I, h1))
+                    coeff_left * np.kron(I, h1)
 
         self._gate_cache = {}
 
@@ -109,11 +127,11 @@ class LocalHam1D:
         except KeyError:
             pass
         # stored under reversed orientation: swap the two factors
-        h = self.terms[where[::-1]]
+        h = np.asarray(self.terms[where[::-1]])
         d = int(round(h.shape[0] ** 0.5))
-        return jnp.reshape(
-            jnp.transpose(
-                jnp.reshape(h, (d, d, d, d)), (1, 0, 3, 2)
+        return np.reshape(
+            np.transpose(
+                np.reshape(h, (d, d, d, d)), (1, 0, 3, 2)
             ), (d * d, d * d),
         )
 
@@ -126,8 +144,10 @@ class LocalHam1D:
         try:
             return self._gate_cache[key]
         except KeyError:
-            H = self.get_term(where)
-            U = _expm_herm(H, jnp.asarray(complex(x)))
+            from ...ops.backend import to_device
+
+            H = to_device(np.asarray(self.get_term(where)))
+            U = _expm_herm(H, _cplx_scalar(complex(x)))
             self._gate_cache[key] = U
             return U
 
@@ -187,6 +207,7 @@ class TEBD:
         self._pt = p0.copy()
         self.fused = fused
         self._vidal = None
+        self._err_pending = []
         self.L = p0.L
         if not isinstance(H, LocalHam1D):
             H = LocalHam1D(self.L, H)
@@ -198,7 +219,7 @@ class TEBD:
         self.split_opts = dict(split_opts or {})
         self.split_opts.setdefault("cutoff", 1e-10)
         self.progbar = progbar
-        self.err = 0.0
+        self._err = 0.0
         self.taus = []
         self._U_cache = {}
 
@@ -206,21 +227,28 @@ class TEBD:
     def pt(self):
         """The current state (materialized from the fused Vidal form
         if that is active)."""
+        self._flush_err()
         if self._vidal is not None:
+            from ...ops.backend import to_host
+
             Gs, ls = self._vidal
-            Bs = _vidal_to_mps_arrays(Gs, ls)
-            L = len(Bs)
+            # host round-trip: eager complex slicing/transposes are
+            # UNIMPLEMENTED on the TPU backend, so materialize the
+            # B-form stack in one jitted op and pull it over
+            Bs = to_host(_vidal_to_b_stack(Gs, ls))
+            L = Bs.shape[0]
             site_arrays = []
-            for i, a in enumerate(Bs):
+            for i in range(L):
+                a = Bs[i]
                 if i == 0:
                     # (l=pad, d, r) -> (r, p)
-                    site_arrays.append(jnp.transpose(a[0], (1, 0)))
+                    site_arrays.append(np.transpose(a[0], (1, 0)))
                 elif i == L - 1:
                     # (l, d, r=pad) -> (l, p)
                     site_arrays.append(a[:, :, 0])
                 else:
                     # (l, d, r) -> (l, r, p)
-                    site_arrays.append(jnp.transpose(a, (0, 2, 1)))
+                    site_arrays.append(np.transpose(a, (0, 2, 1)))
             psi = MatrixProductState(
                 site_arrays, shape="lrp",
                 site_ind_id=self._pt._site_ind_id,
@@ -237,6 +265,28 @@ class TEBD:
         self._pt = value
         self._vidal = None
 
+    def _flush_err(self):
+        if self._err_pending:
+            import jax as _jax
+
+            total = _jax.jit(lambda xs: jnp.sum(jnp.stack(xs)))(
+                tuple(self._err_pending)
+            )
+            self._err += float(jnp.real(total))
+            self._err_pending = []
+
+    @property
+    def err(self):
+        """Accumulated truncation error (flushes any deferred
+        device-side per-sweep sums)."""
+        self._flush_err()
+        return self._err
+
+    @err.setter
+    def err(self, value):
+        self._err = float(value)
+        self._err_pending = []
+
     def _fused_applicable(self):
         return (
             self.fused
@@ -252,32 +302,26 @@ class TEBD:
         return self._vidal
 
     def _fused_sweep(self, direction, dt_frac):
-        """One parity sweep as a single vmapped gate+split kernel."""
+        """One parity sweep as a single jitted gather -> vmapped
+        gate+split -> scatter kernel (no eager complex ops — those are
+        UNIMPLEMENTED on the TPU backend)."""
         Gs, ls = self._ensure_vidal()
         L = self.L
         parity = 0 if direction == "right" else 1
         pairs = [(i, i + 1) for i in range(parity, L - 1, 2)]
         if not pairs:
             return
-        Us = jnp.stack([
+        Us = tuple(
             self._get_gate(p, dt_frac * self._dt) for p in pairs
-        ])
+        )
         idx = jnp.asarray([p[0] for p in pairs])
-        G1s = Gs[idx]
-        G2s = Gs[idx + 1]
-        l_l = ls[idx]
-        l_c = ls[idx + 1]
-        l_r = ls[idx + 2]
-        G1n, G2n, lcn, errs = _vidal_gate_split_batch(
-            G1s, G2s, l_l, l_c, l_r, Us,
+        Gs, ls, err = _fused_parity_update(
+            Gs, ls, Us, idx,
             max_bond=int(self.split_opts["max_bond"]),
             cutoff=self.split_opts.get("cutoff", 1e-10),
         )
-        Gs = Gs.at[idx].set(G1n)
-        Gs = Gs.at[idx + 1].set(G2n)
-        ls = ls.at[idx + 1].set(lcn)
         self._vidal = (Gs, ls)
-        self.err += float(jnp.sum(errs))
+        self._err_pending.append(err)
 
     @property
     def dt(self):
@@ -298,8 +342,12 @@ class TEBD:
         try:
             return self._U_cache[key]
         except KeyError:
-            H = self.H.get_term(where)
-            U = _expm_herm(H, jnp.asarray(complex(factor)))
+            from ...ops.backend import to_device
+
+            # explicit shim transfer: jit's implicit device_put of a
+            # complex numpy argument is UNIMPLEMENTED on TPU
+            H = to_device(np.asarray(self.H.get_term(where)))
+            U = _expm_herm(H, _cplx_scalar(complex(factor)))
             self._U_cache[key] = U
             return U
 
@@ -331,7 +379,7 @@ class TEBD:
             )
             err = info_i.get("error")
             if err is not None:
-                self.err += float(err)
+                self._err += float(err)
         if self.imag:
             self._pt.normalize()
 
@@ -454,6 +502,26 @@ def _safe_inv(lam, tol=1e-12):
 
 
 @functools.partial(jax.jit, static_argnames=("max_bond",))
+def _fused_parity_update(Gs, ls, Us, idx, max_bond, cutoff):
+    """Gather the parity bonds, gate+split them batched, scatter the
+    updates back — one compiled program per parity sweep."""
+    Us = jnp.stack(Us)
+    G1s = Gs[idx]
+    G2s = Gs[idx + 1]
+    l_l = ls[idx]
+    l_c = ls[idx + 1]
+    l_r = ls[idx + 2]
+    G1n, G2n, lcn, errs = _vidal_gate_split_batch(
+        G1s, G2s, l_l, l_c, l_r, Us, max_bond=max_bond,
+        cutoff=cutoff,
+    )
+    Gs = Gs.at[idx].set(G1n)
+    Gs = Gs.at[idx + 1].set(G2n)
+    ls = ls.at[idx + 1].set(lcn)
+    return Gs, ls, jnp.sum(errs)
+
+
+@functools.partial(jax.jit, static_argnames=("max_bond",))
 def _vidal_gate_split_batch(G1s, G2s, l_l, l_c, l_r, Us, max_bond,
                             cutoff):
     """Apply two-site gates to a batch of disjoint bonds in Vidal
@@ -496,8 +564,11 @@ def _vidal_gate_split_batch(G1s, G2s, l_l, l_c, l_r, Us, max_bond,
 
 def _mps_to_vidal(psi, chi):
     """Convert an (open) MPS to zero-padded uniform Vidal form:
-    Gammas (L, chi, d, chi) and bond weights ls (L+1, chi)."""
-    from ...ops import decomp
+    Gammas (L, chi, d, chi) and bond weights ls (L+1, chi).
+
+    Host-side setup computation (one numpy SVD sweep) — complex
+    device arrays are pulled through the TPU-safe transfer shims."""
+    from ...ops.backend import to_device, to_host
 
     psi = psi.copy()
     psi.right_canonize()
@@ -506,30 +577,34 @@ def _mps_to_vidal(psi, chi):
     d = psi.phys_dim()
     for i in range(L):
         t = psi[psi.site_tag(i)]
+        # pull raw data host-side first (eager complex transposes are
+        # UNIMPLEMENTED on the TPU backend), then permute in numpy
+        a_raw = to_host(t.data)
         if i == 0:
-            a = jnp.reshape(
-                t.transpose(psi.site_ind(0), *(
-                    ix for ix in t.inds if ix != psi.site_ind(0)
-                )).data, (1, d, -1),
-            )
-            # order (l, p, r): first site l=1
-            a = jnp.transpose(a, (0, 1, 2))
+            pix = psi.site_ind(0)
+            perm = [t.inds.index(pix)] + [
+                j for j, ix in enumerate(t.inds) if ix != pix
+            ]
+            a = np.transpose(a_raw, perm).reshape(1, d, -1)
         else:
             prev = psi[psi.site_tag(i - 1)]
-            bix = tuple(ix for ix in t.inds if any(
-                ix in p.inds for p in [prev]
-            ))[0]
-            oix = [ix for ix in t.inds if ix != bix]
+            bix = next(
+                ix for ix in t.inds if ix in prev.inds
+            )
             pix = psi.site_ind(i)
-            rix = [ix for ix in oix if ix != pix]
+            rix = [ix for ix in t.inds if ix not in (bix, pix)]
             order = (bix, pix, *rix)
-            a = t.transpose(*order).data
+            perm = [t.inds.index(ix) for ix in order]
+            a = np.transpose(a_raw, perm)
             if a.ndim == 2:
                 a = a[..., None]
-        arrays.append(a)
+        arrays.append(np.asarray(a))
 
-    Gs = np.zeros((L, chi, d, chi), dtype=np.asarray(arrays[0]).dtype)
-    ls = np.zeros((L + 1, chi), dtype=float)
+    Gs = np.zeros((L, chi, d, chi), dtype=arrays[0].dtype)
+    # bond weights in the matching *real* precision — pushing f64 to
+    # an x64-disabled TPU backend can poison the stream
+    rdt = np.zeros(1, dtype=arrays[0].dtype).real.dtype
+    ls = np.zeros((L + 1, chi), dtype=rdt)
     ls[0, 0] = 1.0
     ls[L, 0] = 1.0
 
@@ -566,14 +641,15 @@ def _mps_to_vidal(psi, chi):
             nrm = np.linalg.norm(mat)
             Gs[i, :l, :, 0] = (carry[:, :, 0] / (nrm if nrm else 1.0)
                                ) * inv[:, None]
-    return jnp.asarray(Gs), jnp.asarray(ls)
+    return to_device(Gs), to_device(ls)
+
+
+@jax.jit
+def _vidal_to_b_stack(Gs, ls):
+    """Vidal form back to the stacked B-form site arrays."""
+    return Gs * ls[1:, None, None, :].astype(Gs.dtype)
 
 
 def _vidal_to_mps_arrays(Gs, ls):
     """Vidal form back to B-form (right-canonical-ish) site arrays."""
-    L = Gs.shape[0]
-    out = []
-    for i in range(L):
-        B = Gs[i] * ls[i + 1][None, None, :]
-        out.append(B)
-    return out
+    return list(_vidal_to_b_stack(Gs, ls))

@@ -15,6 +15,19 @@ from ..core import bonds, tensor_compress_bond
 from .core import TensorNetworkGenVector, edge_coloring
 
 
+def _cplx_scalar(z):
+    """Complex python scalar -> device scalar via a split transfer
+    (direct complex host->device transfers are UNIMPLEMENTED on the
+    TPU backend)."""
+    import jax as _jax
+    import numpy as _np
+
+    from ...ops.backend import to_device
+
+    dtype = "complex128" if _jax.config.jax_enable_x64 else "complex64"
+    return to_device(_np.asarray(z, dtype=dtype))
+
+
 @jax.jit
 def _expm_herm(H, factor):
     w, V = jnp.linalg.eigh(H)
@@ -74,7 +87,12 @@ class LocalHamGen:
         try:
             return self._gate_cache[key]
         except KeyError:
-            U = _expm_herm(self.get_term(where), jnp.asarray(complex(x)))
+            from ...ops.backend import to_device as _td
+
+            U = _expm_herm(
+                _td(np.asarray(self.get_term(where))),
+                _cplx_scalar(complex(x)),
+            )
             self._gate_cache[key] = U
             return U
 

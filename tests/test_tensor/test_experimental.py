@@ -193,3 +193,25 @@ class TestMeraBuilder:
             "abcd,be,aecd->", rho.conj(), Z, rho
         ).real
         assert abs(ez - ez_dense) < 1e-10
+
+
+class TestVMCExtras:
+    def test_minsr_and_hamiltonian_sampler(self):
+        import numpy as np
+
+        import quimb_tpu.tensor as qtn
+        from quimb_tpu.experimental.tnvmc import (
+            HamiltonianSampler,
+            TNVMC,
+        )
+        from quimb_tpu.operator import heisenberg_from_edges
+
+        L = 6
+        H = heisenberg_from_edges([(i, i + 1) for i in range(L - 1)])
+        psi = qtn.MPS_rand_state(L, 4, seed=0, dtype="float64")
+        sam = HamiltonianSampler.from_ham(H, L, nchains=128, seed=1)
+        vmc = TNVMC(psi, H, sampler=sam, conditioner="minsr",
+                    learning_rate=0.05, seed=0)
+        vmc.run(25, progbar=False)
+        # energy must decrease substantially under MinSR updates
+        assert vmc.energies[-1] < vmc.energies[0] - 0.5
