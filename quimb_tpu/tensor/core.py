@@ -2367,3 +2367,114 @@ def tensor_gauge_simple_bond(ta, tb, gauges, smudge=1e-12, power=1.0,
         if ix in t.inds:
             t.multiply_index_diagonal_(ix, 1 / g)
     return bond_ix
+
+
+# ---------------------------------------------------------------------------
+# compressed contraction (reference ``contract_compressed``
+# tensor_core.py:8637 / ``_contract_compressed_tid_sequence`` :8226)
+# ---------------------------------------------------------------------------
+
+def _pair_output_inds(tn, tid1, tid2):
+    """Indices the contraction of ``tid1, tid2`` must keep: anything
+    also held by other tensors or dangling on the full network."""
+    t1 = tn.tensor_map[tid1]
+    t2 = tn.tensor_map[tid2]
+    keep = []
+    for ix in dict.fromkeys((*t1.inds, *t2.inds)):
+        holders = tn.ind_map.get(ix, ())
+        n_outside = sum(1 for tid in holders if tid not in (tid1, tid2))
+        n_inside = (ix in t1.inds) + (ix in t2.inds)
+        total = len(holders)
+        # dangling on the network, held elsewhere, or a hyper index
+        # not fully consumed by this pair
+        if n_outside or total < 2 or (total - n_inside) > 0:
+            keep.append(ix)
+        elif n_inside == 1:
+            keep.append(ix)
+    return keep
+
+
+def tensor_network_contract_compressed(
+    tn, max_bond, cutoff=1e-10, output_inds=None, canonize=True,
+    final_contract=True, inplace=False, progbar=False, **kwargs,
+):
+    """Contract a TN while keeping every intermediate bond at most
+    ``max_bond`` via on-the-fly pairwise compression (reference
+    ``contract_compressed`` tensor_core.py:8637). The contraction
+    order is a leaves-first spanning-tree merge toward the most
+    central tensor of each connected component (reference uses the
+    same span machinery); after each merge the grown tensor's fat
+    bonds are compressed against their neighbours.
+
+    Returns the contracted value (scalar / tensor with
+    ``output_inds``) if ``final_contract``, else the partially
+    contracted network."""
+    from .networking import get_tree_span, subgraphs
+
+    tn = tn if inplace else tn.copy()
+    if output_inds is None:
+        output_inds = tn.outer_inds()
+
+    for comp in subgraphs(tn):
+        comp_tids = set(comp)
+        merges = [
+            (a, b) for (a, b, _) in get_tree_span(
+                _component_view(tn, comp_tids)
+            )
+        ]
+        for tid_out, tid_in in merges:
+            if tid_out not in tn.tensor_map or \
+                    tid_in not in tn.tensor_map:
+                continue
+            keep = _pair_output_inds(tn, tid_out, tid_in)
+            t1 = tn._pop_tensor(tid_out)
+            t2 = tn.tensor_map[tid_in]
+            new = tensor_contract(
+                t1, t2, output_inds=tuple(keep),
+                preserve_tensor=True,
+            )
+            t2.modify(data=new.data, inds=new.inds,
+                      tags=t2.tags | t1.tags)
+            # compress any fat bonds against neighbours
+            for ix in tuple(t2.inds):
+                holders = tuple(tn.ind_map.get(ix, ()))
+                if len(holders) == 2 and \
+                        t2.ind_size(ix) > max_bond:
+                    other = next(h for h in holders if h != tid_in)
+                    try:
+                        tensor_compress_bond(
+                            tn.tensor_map[other], t2,
+                            max_bond=max_bond, cutoff=cutoff,
+                        )
+                    except Exception:
+                        pass
+    if final_contract:
+        return tn.contract(
+            ..., output_inds=tuple(output_inds), **kwargs
+        )
+    return tn
+
+
+def _component_view(tn, comp_tids):
+    """A lightweight object exposing tensor_map/ind_map restricted to
+    one connected component (enough for the span computation)."""
+
+    class _View:
+        pass
+
+    v = _View()
+    v.tensor_map = {
+        tid: t for tid, t in tn.tensor_map.items() if tid in comp_tids
+    }
+    v.ind_map = {
+        ix: oset(t for t in tids if t in comp_tids)
+        for ix, tids in tn.ind_map.items()
+        if any(t in comp_tids for t in tids)
+    }
+    return v
+
+
+TensorNetwork.contract_compressed = tensor_network_contract_compressed
+TensorNetwork.contract_compressed_ = functools.partialmethod(
+    tensor_network_contract_compressed, inplace=True
+)

@@ -229,3 +229,28 @@ class TestTensorNetwork:
             rt((2, 4), ("x", "y"), seed=5), rt((4, 2), ("y", "z"), seed=6)
         ])
         assert tn1.geometry_hash() != tn3.geometry_hash()
+
+
+class TestContractCompressed:
+    def test_ising_2d_matches_exact(self):
+        import quimb_tpu.tensor as full
+
+        beta = 0.4
+        tn = full.TN2D_classical_ising_partition_function(5, 5, beta)
+        z_exact = float(tn.contract())
+        z_comp = float(tn.contract_compressed(max_bond=8))
+        assert abs(z_comp - z_exact) / z_exact < 1e-6
+
+    def test_peps_norm_truncating(self):
+        import quimb_tpu.tensor as full
+
+        peps = full.PEPS_rand(5, 5, 3, seed=0, dtype="float64")
+        norm = peps.make_norm()
+        z_exact = float(np.real(np.asarray(norm.contract())))
+        # heavily truncating: should still approximate well
+        z8 = float(np.real(np.asarray(
+            norm.contract_compressed(max_bond=9)
+        )))
+        assert abs(z8 - z_exact) / abs(z_exact) < 0.05
+        # and the original network is untouched
+        assert norm.num_tensors == 50
