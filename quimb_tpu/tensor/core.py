@@ -2478,3 +2478,1677 @@ TensorNetwork.contract_compressed = tensor_network_contract_compressed
 TensorNetwork.contract_compressed_ = functools.partialmethod(
     tensor_network_contract_compressed, inplace=True
 )
+
+
+# ---------------------------------------------------------------------------
+# method parity layer: reference TensorNetwork methods wired onto the
+# module-level machinery (networking / simplify / gauging / drawing)
+# ---------------------------------------------------------------------------
+
+def _tn_tags(self):
+    """Union of all tensor tags (reference ``TensorNetwork.tags``)."""
+    out = oset()
+    for t in self.tensor_map.values():
+        out |= t.tags
+    return out
+
+
+def _tn_item(self):
+    """The single scalar value of a fully-contracted network."""
+    if self.num_tensors == 1:
+        (t,) = self.tensor_map.values()
+        if t.ndim == 0:
+            return t.data.item()
+    return self.contract(output_inds=()).item()
+
+
+def _tn_iscomplex(self):
+    return "complex" in str(self.dtype)
+
+
+def _tn_dtype_name(self):
+    return str(self.dtype)
+
+
+def _tn_backend(self):
+    return "jax"
+
+
+def _tn_outer_dims_inds(self):
+    """Tuple of (dim, ind) for every outer index (reference
+    ``outer_dims_inds``)."""
+    return tuple(
+        (self.ind_size(ix), ix) for ix in self.outer_inds()
+    )
+
+
+def _tn_outer_size(self):
+    out = 1
+    for ix in self.outer_inds():
+        out *= self.ind_size(ix)
+    return out
+
+
+def _tn_get_multibonds(self):
+    """Map of ``tuple[tid] -> list[ind]`` for tensor pairs (or groups)
+    sharing more than one index (reference ``get_multibonds``)."""
+    groups = {}
+    for ix, tids in self.ind_map.items():
+        groups.setdefault(tuple(sorted(tids, key=str)), []).append(ix)
+    return {
+        tids: ixs for tids, ixs in groups.items()
+        if len(ixs) > 1 and len(tids) > 1
+    }
+
+
+def _tn_get_hyperinds(self, output_inds=()):
+    """Indices appearing on 3+ tensors (reference
+    ``get_hyperinds``)."""
+    output_inds = set(output_inds)
+    return tuple(
+        ix for ix, tids in self.ind_map.items()
+        if (len(tids) + (ix in output_inds)) > 2
+    )
+
+
+def _tn_get_symbol_map(self):
+    from ..ops.contraction import get_symbol
+
+    out = {}
+    for i, ix in enumerate(
+        dict.fromkeys(
+            ix for t in self.tensor_map.values() for ix in t.inds
+        )
+    ):
+        out[ix] = get_symbol(i)
+    return out
+
+
+def _tn_get_equation(self, output_inds=None):
+    """The einsum equation of the full contraction (reference
+    ``get_equation``)."""
+    symb = self.get_symbol_map()
+    if output_inds is None:
+        output_inds = self.outer_inds()
+    lhs = ",".join(
+        "".join(symb[ix] for ix in t.inds)
+        for t in self.tensor_map.values()
+    )
+    rhs = "".join(symb[ix] for ix in output_inds)
+    return f"{lhs}->{rhs}"
+
+
+def _tn_get_inputs_output_size_dict(self, output_inds=None):
+    eq = self.get_equation(output_inds=output_inds)
+    lhs, rhs = eq.split("->")
+    inputs = lhs.split(",")
+    symb = self.get_symbol_map()
+    sizes = {symb[ix]: self.ind_size(ix) for ix in symb}
+    return inputs, rhs, sizes
+
+
+def _tn_make_tids_consecutive(self, tid0=0):
+    """Renumber tids consecutively from ``tid0`` (reference
+    ``make_tids_consecutive``)."""
+    ts = list(self.tensor_map.values())
+    for tid in tuple(self.tensor_map):
+        self._pop_tensor(tid)
+    for i, t in enumerate(ts):
+        self.add_tensor(t, tid=tid0 + i, virtual=True)
+    return self
+
+
+def _tn_tensors_sorted(self):
+    """Tensors sorted by their sorted index names (canonical order,
+    reference ``tensors_sorted``)."""
+    return tuple(sorted(
+        self.tensor_map.values(), key=lambda t: sorted(t.inds)
+    ))
+
+
+def _tn_randomize(self, dtype=None, seed=None, inplace=False,
+                  **randn_opts):
+    """Randomize every tensor's data (reference ``randomize``
+    tensor_core.py:3595)."""
+    from ..gen.rand import randn
+
+    tn = self if inplace else self.copy()
+    for i, t in enumerate(tn.tensor_map.values()):
+        t.modify(data=randn(
+            t.shape, dtype=dtype or str(t.dtype),
+            seed=None if seed is None else seed + i, **randn_opts,
+        ))
+    return tn
+
+
+def _tn_convert_to_zero(self):
+    """Inplace: every inner dimension becomes size 1 with zero data
+    (reference ``convert_to_zero`` tensor_core.py:6081)."""
+    outer = set(self.outer_inds())
+    for t in self.tensor_map.values():
+        new_shape = tuple(
+            d if ix in outer else 1
+            for d, ix in zip(t.shape, t.inds)
+        )
+        t.modify(data=jnp.zeros(new_shape, dtype=t.dtype))
+
+
+def _tn_to_qarray(self, *inds_seq, **kwargs):
+    from ..core import qarray
+
+    return qarray(np.asarray(self.to_dense(*inds_seq, **kwargs)))
+
+
+def _tn_sum_reduce(self, ind, inplace=False):
+    """Sum over an index (contract with ones), reference
+    ``TensorNetwork.sum_reduce``."""
+    tn = self if inplace else self.copy()
+    for tid in tuple(tn.ind_map.get(ind, ())):
+        tn.tensor_map[tid].sum_reduce_(ind)
+    return tn
+
+
+def _tn_vector_reduce(self, ind, v, inplace=False):
+    """Contract a vector into index ``ind`` (reference
+    ``vector_reduce`` tensor_core.py:2896)."""
+    tn = self if inplace else self.copy()
+    (tid,) = tuple(tn.ind_map[ind])[:1]
+    t = tn.tensor_map[tid]
+    ax = t.inds.index(ind)
+    data = jnp.tensordot(
+        t.data, jnp.asarray(v, dtype=t.dtype), axes=(ax, 0)
+    )
+    t.modify(data=data, inds=tuple(
+        ix for ix in t.inds if ix != ind
+    ))
+    return tn
+
+
+def _tn_cut_between(self, tags1, tags2, left_ind, right_ind):
+    """Cut the bond between two tagged tensors into two dangling
+    indices (reference ``cut_between``)."""
+    (tid1,) = self._get_tids_from_tags(tags1, "all")
+    (tid2,) = self._get_tids_from_tags(tags2, "all")
+    t1, t2 = self.tensor_map[tid1], self.tensor_map[tid2]
+    (bond,) = bonds(t1, t2)
+    t1.reindex_({bond: left_ind})
+    t2.reindex_({bond: right_ind})
+
+
+def _tn_cut_bond(self, bond, new_left_ind=None, new_right_ind=None):
+    """Cut a named bond into two dangling indices (reference
+    ``cut_bond``)."""
+    tid1, tid2 = tuple(self.ind_map[bond])
+    if new_left_ind is None:
+        new_left_ind = rand_uuid()
+    if new_right_ind is None:
+        new_right_ind = rand_uuid()
+    self.tensor_map[tid1].reindex_({bond: new_left_ind})
+    self.tensor_map[tid2].reindex_({bond: new_right_ind})
+    return new_left_ind, new_right_ind
+
+
+def _tn_insert_gauge(self, U, where1, where2, Uinv=None, tol=1e-10):
+    """Insert ``U @ U^-1`` on the bond between two tagged tensors
+    (reference ``insert_gauge``)."""
+    (tid1,) = self._get_tids_from_tags(where1, "all")
+    (tid2,) = self._get_tids_from_tags(where2, "all")
+    t1, t2 = self.tensor_map[tid1], self.tensor_map[tid2]
+    (ix,) = bonds(t1, t2)
+    U = jnp.asarray(U)
+    if Uinv is None:
+        Uinv = jnp.linalg.inv(U)
+    ax1 = t1.inds.index(ix)
+    d1 = jnp.tensordot(t1.data, U, axes=(ax1, 1))
+    t1.modify(data=jnp.moveaxis(d1, -1, ax1))
+    ax2 = t2.inds.index(ix)
+    d2 = jnp.tensordot(t2.data, Uinv, axes=(ax2, 0))
+    t2.modify(data=jnp.moveaxis(d2, -1, ax2))
+
+
+def _tn_insert_operator(self, A, where1, where2, tags=None,
+                        inplace=False):
+    """Insert an operator tensor on the bond between two tagged
+    tensors (reference ``insert_operator``)."""
+    tn = self if inplace else self.copy()
+    (tid1,) = tn._get_tids_from_tags(where1, "all")
+    (tid2,) = tn._get_tids_from_tags(where2, "all")
+    t1, t2 = tn.tensor_map[tid1], tn.tensor_map[tid2]
+    (ix,) = bonds(t1, t2)
+    new_ix = rand_uuid()
+    t1.reindex_({ix: new_ix})
+    tn.add_tensor(
+        Tensor(jnp.asarray(A), inds=(ix, new_ix),
+               tags=tags_to_oset(tags)),
+        virtual=True,
+    )
+    return tn
+
+
+def _tn_new_bond(self, tags1, tags2, **opts):
+    """Add a size-1 bond between two tagged tensors (reference
+    ``TensorNetwork.new_bond``)."""
+    (tid1,) = self._get_tids_from_tags(tags1, "all")
+    (tid2,) = self._get_tids_from_tags(tags2, "all")
+    new_bond(self.tensor_map[tid1], self.tensor_map[tid2], **opts)
+
+
+def _tn_expand_bond_dimension(self, new_bond_dim, rand_strength=0.0,
+                              inds_to_expand=None, inplace=False):
+    """Zero/noise-pad all (or some) inner bonds up to
+    ``new_bond_dim`` (reference ``expand_bond_dimension``
+    tensor_core.py:10645)."""
+    from ..gen.rand import randn
+
+    tn = self if inplace else self.copy()
+    if inds_to_expand is None:
+        inds_to_expand = [
+            ix for ix, tids in tn.ind_map.items() if len(tids) >= 2
+        ]
+    for ix in inds_to_expand:
+        d = tn.ind_size(ix)
+        if d >= new_bond_dim:
+            continue
+        for tid in tn.ind_map[ix]:
+            t = tn.tensor_map[tid]
+            ax = t.inds.index(ix)
+            pads = [(0, 0)] * t.ndim
+            pads[ax] = (0, new_bond_dim - d)
+            data = jnp.pad(t.data, pads)
+            if rand_strength:
+                noise = randn(data.shape, dtype=str(data.dtype),
+                              scale=rand_strength)
+                mask = jnp.pad(
+                    jnp.ones(t.shape, dtype=bool), pads
+                )
+                data = jnp.where(mask, data, noise)
+            t.modify(data=data)
+    return tn
+
+
+def _tn_compute_reduced_factor(self, side, left_inds, right_inds,
+                               **split_opts):
+    """The left/right reduced (QR) factor of the network viewed as an
+    operator from ``left_inds`` to ``right_inds`` (reference
+    ``compute_reduced_factor`` tensor_core.py:2991)."""
+    check_opt("side", side, ("left", "right"))
+    t = self.contract(
+        ..., output_inds=(*left_inds, *right_inds),
+        preserve_tensor=True,
+    )
+    m = int(np.prod([t.ind_size(ix) for ix in left_inds]))
+    mat = jnp.reshape(
+        t.transpose(*left_inds, *right_inds).data, (m, -1)
+    )
+    if side == "right":
+        _, _, R = decomp.qr_stabilized(mat)
+        return R
+    Lf, _, _ = decomp.lq_stabilized(mat)
+    return Lf
+
+
+def _tn_isometrize(self, method="qr", allow_no_left_inds=False,
+                   inplace=False):
+    """Project every tensor with ``left_inds`` onto an isometry
+    (reference ``isometrize``/``unitize``)."""
+    tn = self if inplace else self.copy()
+    for t in tn.tensor_map.values():
+        if t.left_inds is None:
+            if allow_no_left_inds:
+                continue
+            raise ValueError(
+                "tensor has no left_inds; pass "
+                "allow_no_left_inds=True to skip"
+            )
+        t.isometrize_(left_inds=t.left_inds, method=method)
+    return tn
+
+
+def _tn_balance_bonds(self, inplace=False):
+    """Balance the norms across every bond (reference
+    ``balance_bonds``)."""
+    tn = self if inplace else self.copy()
+    for ix, tids in tuple(tn.ind_map.items()):
+        if len(tids) != 2:
+            continue
+        t1, t2 = (tn.tensor_map[tid] for tid in tids)
+        tensor_balance_bond(t1, t2)
+    return tn
+
+
+def _tn_make_norm(self, mangle_append="*", layer_tags=("KET", "BRA"),
+                  return_all=False):
+    """The ``<tn|tn>`` network (reference ``make_norm``)."""
+    ket = self.copy()
+    ket.add_tag(layer_tags[0])
+    bra = ket.H
+    bra.retag_({layer_tags[0]: layer_tags[1]})
+    bra.mangle_inner_(mangle_append)
+    norm = TensorNetwork((ket, bra), virtual=True)
+    if return_all:
+        return norm, ket, bra
+    return norm
+
+
+def _tn_make_overlap(self, other, layer_tags=("KET", "BRA")):
+    """The ``<other|tn>`` overlap network (reference
+    ``make_overlap``)."""
+    ket = self.copy()
+    ket.add_tag(layer_tags[0])
+    bra = other.H
+    bra.add_tag(layer_tags[1])
+    bra.mangle_inner_("*")
+    return TensorNetwork((ket, bra), virtual=True)
+
+
+def _tn_overlap(self, other, **contract_opts):
+    return self.make_overlap(other).contract(
+        output_inds=(), **contract_opts
+    )
+
+
+def _tn_gauge_all_canonize(self, max_iterations=5, inplace=False,
+                           **opts):
+    """Iterative bond canonization of every bond (reference
+    ``gauge_all_canonize`` tensor_core.py:7509)."""
+    tn = self if inplace else self.copy()
+    for _ in range(max_iterations):
+        for ix, tids in tuple(tn.ind_map.items()):
+            if len(tids) != 2:
+                continue
+            tid1, tid2 = tuple(tids)
+            tensor_canonize_bond(
+                tn.tensor_map[tid1], tn.tensor_map[tid2],
+                absorb="right",
+            )
+    return tn
+
+
+def _tn_gauge_all_simple(self, max_iterations=5, tol=0.0, smudge=1e-12,
+                         power=1.0, damping=0.0, gauges=None,
+                         inplace=False):
+    """Simple (Vidal) gauging of every bond of an arbitrary TN
+    (reference ``gauge_all_simple`` tensor_core.py:7555). Returns
+    ``(tn, gauges)``."""
+    tn = self if inplace else self.copy()
+    if gauges is None:
+        gauges = {}
+    for it in range(max_iterations):
+        max_sdiff = 0.0
+        info = {"max_sdiff": 0.0}
+        for ix, tids in tuple(tn.ind_map.items()):
+            if len(tids) != 2:
+                continue
+            tid1, tid2 = tuple(tids)
+            tensor_gauge_simple_bond(
+                tn.tensor_map[tid1], tn.tensor_map[tid2], gauges,
+                smudge=smudge, power=power, damping=damping,
+                renorm=False, info=info,
+            )
+        max_sdiff = info["max_sdiff"]
+        if tol and max_sdiff < tol:
+            break
+    return tn, gauges
+
+
+def _tn_gauge_simple_insert(self, gauges, smudge=0.0, remove=False):
+    """Absorb sqrt of each bond gauge into both its tensors
+    (reference ``gauge_simple_insert``)."""
+    for ix, s in gauges.items():
+        tids = tuple(self.ind_map.get(ix, ()))
+        if len(tids) != 2:
+            continue
+        g = jnp.sqrt(s + smudge)
+        if remove:
+            g = 1 / jnp.where(g > 0, g, 1.0)
+        for tid in tids:
+            self.tensor_map[tid].multiply_index_diagonal_(ix, g)
+    return self
+
+
+def _tn_gauge_simple_remove(self, gauges, smudge=0.0):
+    return _tn_gauge_simple_insert(self, gauges, smudge=smudge,
+                                   remove=True)
+
+
+class _GaugeSimpleTemp:
+    def __init__(self, tn, gauges, smudge=0.0):
+        self.tn, self.gauges, self.smudge = tn, gauges, smudge
+
+    def __enter__(self):
+        _tn_gauge_simple_insert(self.tn, self.gauges,
+                                smudge=self.smudge)
+        return self.tn
+
+    def __exit__(self, *exc):
+        _tn_gauge_simple_remove(self.tn, self.gauges,
+                                smudge=self.smudge)
+
+
+def _tn_gauge_simple_temp(self, gauges, smudge=0.0):
+    """Context manager: temporarily absorb simple gauges (reference
+    ``gauge_simple_temp``)."""
+    return _GaugeSimpleTemp(self, gauges, smudge=smudge)
+
+
+def _tn_gauge_all_bp(self, max_iterations=100, tol=5e-6,
+                     inplace=False, **kwargs):
+    """Gauge every bond with converged 1-norm BP message products
+    (reference ``gauge_all_belief_propagation``
+    tensor_core.py:7776)."""
+    from .belief_propagation import D1BP
+
+    tn = self if inplace else self.copy()
+    bp = D1BP(tn, max_iterations=max_iterations, tol=tol, **kwargs)
+    bp.run()
+    for ix, tids in tuple(tn.ind_map.items()):
+        if len(tids) != 2:
+            continue
+        tid1, tid2 = tuple(tids)
+        m1 = bp.messages.get((ix, tid1))
+        m2 = bp.messages.get((ix, tid2))
+        if m1 is None or m2 is None:
+            continue
+        # symmetric (value-preserving) gauge: rotate the bond basis so
+        # the two BP messages become equal — insert g, 1/g
+        smudge = 1e-12
+        g = jnp.sqrt(
+            (jnp.abs(m2) + smudge) / (jnp.abs(m1) + smudge)
+        )
+        tn.tensor_map[tid1].multiply_index_diagonal_(ix, g)
+        tn.tensor_map[tid2].multiply_index_diagonal_(ix, 1 / g)
+    return tn
+
+
+def _tn_gauge_all(self, method="canonize", **kwargs):
+    """Dispatch bond gauging (reference ``gauge_all``)."""
+    if method == "canonize":
+        return self.gauge_all_canonize(**kwargs)
+    if method == "simple":
+        return self.gauge_all_simple(**kwargs)
+    if method in ("bp", "belief_propagation"):
+        return self.gauge_all_belief_propagation(**kwargs)
+    if method == "random":
+        return self.gauge_all_random(**kwargs)
+    raise ValueError(f"unknown gauge method {method}")
+
+
+def _tn_canonize_around(self, tags, which="all", inplace=False,
+                        **opts):
+    """Tree-canonize every bond pointing toward the tagged region
+    (reference ``canonize_around`` tensor_core.py)."""
+    from .networking import get_tree_span
+
+    tn = self if inplace else self.copy()
+    tids = list(tn._get_tids_from_tags(tags, which))
+    for tid_out, tid_in, _ in get_tree_span(tn, tids=tids):
+        if tid_out in tn.tensor_map and tid_in in tn.tensor_map:
+            t1 = tn.tensor_map[tid_out]
+            t2 = tn.tensor_map[tid_in]
+            if bonds(t1, t2):
+                tensor_canonize_bond(t1, t2, absorb="right")
+    return tn
+
+
+def _tn_contract_around(self, tags, which="all", max_bond=None,
+                        cutoff=1e-10, inplace=False, **kwargs):
+    """Compress-contract everything *except* the tagged region
+    (reference ``contract_around``)."""
+    from .networking import get_tree_span
+
+    tn = self if inplace else self.copy()
+    keep = set(tn._get_tids_from_tags(tags, which))
+    merges = [
+        (a, b) for (a, b, _) in get_tree_span(tn, tids=list(keep))
+    ]
+    # the span moves outer->inner (leaves first); contract each outer
+    # tensor into its inner neighbour unless the neighbour is in the
+    # kept region, in which case just compress the connecting bond
+    for tid_out, tid_in in merges:
+        if tid_out not in tn.tensor_map or tid_in not in tn.tensor_map:
+            continue
+        if tid_in in keep:
+            if max_bond is not None:
+                t1 = tn.tensor_map[tid_out]
+                t2 = tn.tensor_map[tid_in]
+                if bonds(t1, t2):
+                    try:
+                        tensor_compress_bond(
+                            t1, t2, max_bond=max_bond, cutoff=cutoff
+                        )
+                    except Exception:
+                        pass
+            continue
+        keep_inds = _pair_output_inds(tn, tid_out, tid_in)
+        t1 = tn._pop_tensor(tid_out)
+        t2 = tn.tensor_map[tid_in]
+        new = tensor_contract(
+            t1, t2, output_inds=tuple(keep_inds),
+            preserve_tensor=True,
+        )
+        t2.modify(data=new.data, inds=new.inds,
+                  tags=t2.tags | t1.tags)
+        if max_bond is not None:
+            for ix in tuple(t2.inds):
+                holders = tuple(tn.ind_map.get(ix, ()))
+                if len(holders) == 2 and t2.ind_size(ix) > max_bond:
+                    other = next(h for h in holders if h != tid_in)
+                    try:
+                        tensor_compress_bond(
+                            tn.tensor_map[other], t2,
+                            max_bond=max_bond, cutoff=cutoff,
+                        )
+                    except Exception:
+                        pass
+    return tn
+
+
+def _tn_contract_between(self, tags1, tags2, **contract_opts):
+    """Contract the two tagged tensors into one (reference
+    ``contract_between``)."""
+    (tid1,) = self._get_tids_from_tags(tags1, "all")
+    (tid2,) = self._get_tids_from_tags(tags2, "all")
+    keep = _pair_output_inds(self, tid1, tid2)
+    t1 = self._pop_tensor(tid1)
+    t2 = self.tensor_map[tid2]
+    new = tensor_contract(
+        t1, t2, output_inds=tuple(keep), preserve_tensor=True,
+        **contract_opts,
+    )
+    t2.modify(data=new.data, inds=new.inds, tags=t2.tags | t1.tags)
+
+
+def _tn_contract_ind(self, ind, **contract_opts):
+    """Contract all tensors sharing ``ind`` (reference
+    ``contract_ind``)."""
+    tids = tuple(self.ind_map.get(ind, ()))
+    if len(tids) < 2:
+        return
+    first = tids[0]
+    for other in tids[1:]:
+        _tn_contract_between_tids(self, other, first,
+                                  **contract_opts)
+
+
+def _tn_contract_between_tids(self, tid1, tid2, **contract_opts):
+    keep = _pair_output_inds(self, tid1, tid2)
+    t1 = self._pop_tensor(tid1)
+    t2 = self.tensor_map[tid2]
+    new = tensor_contract(
+        t1, t2, output_inds=tuple(keep), preserve_tensor=True,
+        **contract_opts,
+    )
+    t2.modify(data=new.data, inds=new.inds, tags=t2.tags | t1.tags)
+
+
+def _tn_replace_with_svd(self, where, left_inds, eps=None, which="any",
+                         max_bond=None, ltags=None, rtags=None,
+                         inplace=False, **split_opts):
+    """Replace the tagged region with the two factors of its SVD
+    across (left_inds | rest) (reference ``replace_with_svd``
+    tensor_core.py:5913)."""
+    tn = self if inplace else self.copy()
+    tids = tuple(tn._get_tids_from_tags(where, which))
+    region_ts = [tn._pop_tensor(tid) for tid in tids]
+    region = tensor_contract(
+        *region_ts, preserve_tensor=True,
+        output_inds=tuple(dict.fromkeys(
+            ix for t in region_ts for ix in t.inds
+            if ix in tn.ind_map or sum(
+                ix in t2.inds for t2 in region_ts
+            ) == 1
+        )),
+    )
+    if eps is not None and max_bond is None:
+        split_opts.setdefault("cutoff", eps)
+    tl, tr = region.split(
+        left_inds=tuple(left_inds), get="tensors",
+        max_bond=max_bond, ltags=ltags, rtags=rtags, **split_opts,
+    )
+    tn.add_tensor(tl, virtual=True)
+    tn.add_tensor(tr, virtual=True)
+    return tn
+
+
+def _tn_insert_compressor_between_regions(
+    self, ltags, rtags, max_bond=None, cutoff=1e-10, insert_into=None,
+    new_ltags=None, new_rtags=None, inplace=False, **compress_opts,
+):
+    """Insert oblique projectors compressing the bonds between two
+    tagged regions (reference ``insert_compressor_between_regions``
+    — the 'full-bond' / CTMRG-projector primitive)."""
+    tn = self if inplace else self.copy()
+    ltids = tuple(tn._get_tids_from_tags(ltags, "any"))
+    rtids = tuple(tn._get_tids_from_tags(rtags, "any"))
+    # bonds between the regions
+    bix = [
+        ix for ix, tids in tn.ind_map.items()
+        if any(t in ltids for t in tids)
+        and any(t in rtids for t in tids)
+    ]
+    if not bix:
+        raise ValueError("regions share no bonds")
+    # reduced factors of each region onto the shared bonds
+    lt = tensor_contract(
+        *(tn.tensor_map[t] for t in ltids), preserve_tensor=True,
+    )
+    rt = tensor_contract(
+        *(tn.tensor_map[t] for t in rtids), preserve_tensor=True,
+    )
+    l_other = [ix for ix in lt.inds if ix not in bix]
+    r_other = [ix for ix in rt.inds if ix not in bix]
+    Rl = jnp.reshape(
+        lt.transpose(*l_other, *bix).data,
+        (int(np.prod([lt.ind_size(i) for i in l_other]) or 1), -1),
+    )
+    Rr = jnp.reshape(
+        rt.transpose(*bix, *r_other).data,
+        (int(np.prod([rt.ind_size(i) for i in bix])), -1),
+    )
+    _, _, Rl = decomp.qr_stabilized(Rl)
+    Lr, _, _ = decomp.lq_stabilized(Rr)
+    Pl, Pr = decomp.compute_oblique_projectors(
+        Rl, Lr, max_bond=max_bond, cutoff=cutoff, **compress_opts,
+    )
+    # splice the projector pair into the bonds
+    bdims = [tn.ind_size(ix) for ix in bix]
+    new_ix = rand_uuid()
+    mid_l = [rand_uuid() for _ in bix]
+    for ix, mix in zip(bix, mid_l):
+        for tid in tuple(tn.ind_map[ix]):
+            if tid in ltids:
+                tn.tensor_map[tid].reindex_({ix: mix})
+    tn.add_tensor(Tensor(
+        jnp.reshape(Pl, (*bdims, -1)), inds=(*mid_l, new_ix),
+        tags=tags_to_oset(new_ltags),
+    ), virtual=True)
+    tn.add_tensor(Tensor(
+        jnp.reshape(Pr, (-1, *bdims)), inds=(new_ix, *bix),
+        tags=tags_to_oset(new_rtags),
+    ), virtual=True)
+    return tn
+
+
+def _tn_select_local(self, tags, which="all", max_distance=1,
+                     virtual=True, **kwargs):
+    """Select the tagged tensors plus everything within
+    ``max_distance`` bonds (reference ``select_local``
+    tensor_core.py:5579)."""
+    from .networking import get_local_patch
+
+    tids = list(self._get_tids_from_tags(tags, which))
+    patch = get_local_patch(self, tids, max_distance=max_distance)
+    ts = [self.tensor_map[t] for t in patch]
+    return TensorNetwork(ts, virtual=virtual)
+
+
+def _tn_as_network(self, virtual=True):
+    return TensorNetwork(
+        self.tensor_map.values(), virtual=virtual
+    )
+
+
+@classmethod
+def _tn_from_TN(cls, tn, like=None, inplace=False, **kwargs):
+    tn = tn if inplace else tn.copy()
+    return tn.view_as_(cls, **kwargs)
+
+
+@classmethod
+def _tn_new(cls, like=None, **kwargs):
+    obj = TensorNetwork(())
+    return obj.view_as_(cls, **kwargs)
+
+
+def _tn_combine(self, other, virtual=False, check_collisions=True):
+    """Combine with another TN (reference ``combine``)."""
+    new = self.copy(virtual=virtual)
+    new.add_tensor_network(
+        other if virtual else other.copy(),
+        virtual=True, check_collisions=check_collisions,
+    )
+    return new
+
+
+def _tn_check(self):
+    """Assert internal map consistency (reference ``check``)."""
+    for tid, t in self.tensor_map.items():
+        for ix in t.inds:
+            assert tid in self.ind_map.get(ix, ()), (tid, ix)
+        for tag in t.tags:
+            assert tid in self.tag_map.get(tag, ()), (tid, tag)
+    for ix, tids in self.ind_map.items():
+        for tid in tids:
+            assert ix in self.tensor_map[tid].inds
+    return True
+
+
+# networking delegations
+def _delegate_networking(name):
+    def meth(self, *args, **kwargs):
+        from . import networking
+
+        return getattr(networking, name)(self, *args, **kwargs)
+
+    meth.__name__ = name
+    meth.__doc__ = f"Delegates to ``networking.{name}``."
+    return meth
+
+
+# simplify delegations
+def _delegate_simplify(name):
+    def meth(self, *args, inplace=False, **kwargs):
+        from . import simplify
+
+        return getattr(simplify, name)(
+            self, *args, inplace=inplace, **kwargs
+        )
+
+    meth.__name__ = name
+    meth.__doc__ = f"Delegates to ``simplify.{name}``."
+    return meth
+
+
+def _wire_parity_methods():
+    TN = TensorNetwork
+    TN.tags = property(_tn_tags)
+    TN.item = _tn_item
+    TN.iscomplex = _tn_iscomplex
+    TN.dtype_name = property(_tn_dtype_name)
+    TN.backend = property(_tn_backend)
+    TN.outer_dims_inds = _tn_outer_dims_inds
+    TN.outer_size = _tn_outer_size
+    TN.get_multibonds = _tn_get_multibonds
+    TN.get_hyperinds = _tn_get_hyperinds
+    TN.get_symbol_map = _tn_get_symbol_map
+    TN.get_equation = _tn_get_equation
+    TN.get_inputs_output_size_dict = _tn_get_inputs_output_size_dict
+    TN.make_tids_consecutive = _tn_make_tids_consecutive
+    TN.tensors_sorted = _tn_tensors_sorted
+    TN.randomize = _tn_randomize
+    TN.randomize_ = functools.partialmethod(_tn_randomize,
+                                            inplace=True)
+    TN.convert_to_zero = _tn_convert_to_zero
+    TN.to_qarray = _tn_to_qarray
+    TN.sum_reduce = _tn_sum_reduce
+    TN.sum_reduce_ = functools.partialmethod(_tn_sum_reduce,
+                                             inplace=True)
+    TN.vector_reduce = _tn_vector_reduce
+    TN.vector_reduce_ = functools.partialmethod(_tn_vector_reduce,
+                                                inplace=True)
+    TN.cut_between = _tn_cut_between
+    TN.cut_bond = _tn_cut_bond
+    TN.insert_gauge = _tn_insert_gauge
+    TN.insert_operator = _tn_insert_operator
+    TN.insert_operator_ = functools.partialmethod(
+        _tn_insert_operator, inplace=True
+    )
+    TN.new_bond = _tn_new_bond
+    TN.expand_bond_dimension = _tn_expand_bond_dimension
+    TN.expand_bond_dimension_ = functools.partialmethod(
+        _tn_expand_bond_dimension, inplace=True
+    )
+    TN.compute_reduced_factor = _tn_compute_reduced_factor
+    TN.isometrize = _tn_isometrize
+    TN.isometrize_ = functools.partialmethod(_tn_isometrize,
+                                             inplace=True)
+    TN.unitize = _tn_isometrize
+    TN.unitize_ = TN.isometrize_
+    TN.balance_bonds = _tn_balance_bonds
+    TN.balance_bonds_ = functools.partialmethod(_tn_balance_bonds,
+                                                inplace=True)
+    if not hasattr(TN, "make_norm"):
+        TN.make_norm = _tn_make_norm
+    TN.make_overlap = _tn_make_overlap
+    TN.overlap = _tn_overlap
+    TN.gauge_all_canonize = _tn_gauge_all_canonize
+    TN.gauge_all_canonize_ = functools.partialmethod(
+        _tn_gauge_all_canonize, inplace=True
+    )
+    if not hasattr(TN, "gauge_all_simple"):
+        TN.gauge_all_simple = _tn_gauge_all_simple
+        TN.gauge_all_simple_ = functools.partialmethod(
+            _tn_gauge_all_simple, inplace=True
+        )
+    TN.gauge_simple_insert = _tn_gauge_simple_insert
+    TN.gauge_simple_remove = _tn_gauge_simple_remove
+    TN.gauge_simple_temp = _tn_gauge_simple_temp
+    TN.gauge_all_belief_propagation = _tn_gauge_all_bp
+    TN.gauge_all_belief_propagation_ = functools.partialmethod(
+        _tn_gauge_all_bp, inplace=True
+    )
+    TN.gauge_all = _tn_gauge_all
+    TN.gauge_all_ = functools.partialmethod(_tn_gauge_all,
+                                            inplace=True)
+    TN.canonize_around = _tn_canonize_around
+    TN.canonize_around_ = functools.partialmethod(
+        _tn_canonize_around, inplace=True
+    )
+    TN.contract_around = _tn_contract_around
+    TN.contract_around_ = functools.partialmethod(
+        _tn_contract_around, inplace=True
+    )
+    TN.contract_between = _tn_contract_between
+    TN.contract_ind = _tn_contract_ind
+    TN._contract_between_tids = _tn_contract_between_tids
+    TN.replace_with_svd = _tn_replace_with_svd
+    TN.replace_with_svd_ = functools.partialmethod(
+        _tn_replace_with_svd, inplace=True
+    )
+    TN.insert_compressor_between_regions = \
+        _tn_insert_compressor_between_regions
+    TN.insert_compressor_between_regions_ = functools.partialmethod(
+        _tn_insert_compressor_between_regions, inplace=True
+    )
+    TN.select_local = _tn_select_local
+    TN.as_network = _tn_as_network
+    TN.from_TN = _tn_from_TN
+    TN.new = _tn_new
+    TN.combine = _tn_combine
+    TN.check = _tn_check
+    TN.isblocksparse = lambda self: False
+    TN.isfermionic = lambda self: False
+
+    for name in (
+        "istree", "isconnected", "subgraphs", "get_tree_span",
+        "gen_loops", "gen_sloops", "gen_gloops", "gen_patches",
+        "gen_paths_loops", "gen_inds_connected",
+        "gen_all_paths_between_tids", "get_path_between_tids",
+        "get_local_patch", "get_loop_union", "tids_are_connected",
+        "compute_shortest_distances", "compute_centralities",
+        "compute_hierarchical_linkage",
+        "compute_hierarchical_ordering",
+        "compute_hierarchical_grouping",
+        "compute_hierarchical_ssa_path", "connected_bipartitions",
+        "most_central_tid", "least_central_tid",
+    ):
+        if not hasattr(TN, name):
+            setattr(TN, name, _delegate_networking(name))
+
+    for name in (
+        "diagonal_reduce", "antidiag_gauge", "column_reduce",
+        "split_simplify", "pair_simplify", "loop_simplify",
+        "hyperinds_resolve",
+    ):
+        setattr(TN, name, _delegate_simplify(name))
+        setattr(TN, name + "_", functools.partialmethod(
+            _delegate_simplify(name), inplace=True
+        ))
+
+    def compress_simplify(self, inplace=False, max_bond=8, **kwargs):
+        """Simplify then cap every bond (reference
+        ``compress_simplify``)."""
+        tn = self if inplace else self.copy()
+        tn.full_simplify_(**kwargs)
+        for ix, tids in tuple(tn.ind_map.items()):
+            if len(tids) == 2 and tn.ind_size(ix) > max_bond:
+                t1, t2 = (tn.tensor_map[t] for t in tids)
+                try:
+                    tensor_compress_bond(t1, t2, max_bond=max_bond)
+                except Exception:
+                    pass
+        return tn
+
+    TN.compress_simplify = compress_simplify
+    TN.compress_simplify_ = functools.partialmethod(
+        compress_simplify, inplace=True
+    )
+
+    def draw_tree_span(self, *args, **kwargs):
+        return self.draw(*args, **kwargs)
+
+    TN.draw_tree_span = draw_tree_span
+    TN.graph_tree_span = draw_tree_span
+    TN.draw_3d = TN.draw
+    TN.draw_interactive = TN.draw
+    TN.draw_3d_interactive = TN.draw
+    TN.visualize_tensors = TN.draw
+
+
+_wire_parity_methods()
+
+
+def _tensor_flip(self, ind, inplace=False):
+    """Reverse the data along one index's axis (reference
+    ``Tensor.flip`` tensor_core.py:3622)."""
+    if ind not in self.inds:
+        raise ValueError(f"can't find index {ind}")
+    t = self if inplace else self.copy()
+    ax = t.inds.index(ind)
+    t.modify(apply=lambda x: jnp.flip(x, ax))
+    return t
+
+
+Tensor.flip = _tensor_flip
+Tensor.flip_ = functools.partialmethod(_tensor_flip, inplace=True)
+
+
+# ---------------------------------------------------------------------------
+# Tensor method parity layer
+# ---------------------------------------------------------------------------
+
+def _t_item(self):
+    return self.data.item()
+
+
+def _t_iscomplex(self):
+    return "complex" in str(self.dtype)
+
+
+def _t_astype(self, dtype, inplace=False):
+    t = self if inplace else self.copy()
+    t.modify(apply=lambda x: x.astype(np.dtype(str(dtype)).name))
+    return t
+
+
+def _t_to_qarray(self):
+    from ..core import qarray
+    from ..ops.backend import to_host
+
+    return qarray(to_host(self.data))
+
+
+def _t_as_network(self, virtual=True):
+    return TensorNetwork((self,), virtual=virtual)
+
+
+def _t_apply_to_arrays(self, fn):
+    self.modify(apply=fn)
+
+
+def _t_check(self):
+    assert len(self.inds) == ndim_of(self.data)
+    return True
+
+
+def ndim_of(x):
+    return len(jnp.shape(x))
+
+
+def _t_bonds(self, other):
+    return bonds(self, other)
+
+
+def _t_bonds_size(self, other):
+    return bonds_size(self, other)
+
+
+def _t_filter_bonds(self, other):
+    """Split this tensor's inds into (shared, unshared) with another
+    (reference ``filter_bonds``)."""
+    shared = bonds(self, other)
+    return (
+        tuple(ix for ix in self.inds if ix in shared),
+        tuple(ix for ix in self.inds if ix not in shared),
+    )
+
+
+def _t_new_bond(self, other, **opts):
+    return new_bond(self, other, **opts)
+
+
+def _t_contract(self, *others, **opts):
+    return tensor_contract(self, *others, **opts)
+
+
+def _t_direct_product(self, other, sum_inds=(), inplace=False):
+    return tensor_direct_product(
+        self, other, sum_inds=sum_inds, inplace=inplace
+    )
+
+
+def _t_negate(self, inplace=False):
+    t = self if inplace else self.copy()
+    t.modify(apply=lambda x: -x)
+    return t
+
+
+def _t_overlap(self, other, **kwargs):
+    """``<other|self>`` treating both as vectors over their (matching)
+    indices."""
+    o = other.conj().transpose_like(self) if isinstance(
+        other, Tensor
+    ) else other
+    return jnp.sum(o.data * self.data)
+
+
+def _t_distance(self, other, **kwargs):
+    d2 = (
+        jnp.sum(jnp.abs(self.data) ** 2)
+        + jnp.sum(jnp.abs(other.data) ** 2)
+        - 2 * jnp.real(_t_overlap(self, other))
+    )
+    return jnp.sqrt(jnp.clip(jnp.real(d2), 0.0, None))
+
+
+def _t_distance_normalized(self, other, **kwargs):
+    na = jnp.sqrt(jnp.sum(jnp.abs(self.data) ** 2))
+    nb = jnp.sqrt(jnp.sum(jnp.abs(other.data) ** 2))
+    a = self.copy()
+    a.modify(apply=lambda x: x / na)
+    b = other.copy()
+    b.modify(apply=lambda x: x / nb)
+    return _t_distance(a, b)
+
+
+def _t_inds_size(self, inds):
+    out = 1
+    for ix in inds:
+        out *= self.ind_size(ix)
+    return out
+
+
+def _t_idxmax(self, f=None):
+    """Coordinate map of the maximum element (reference ``idxmax``
+    tensor_core.py:3407)."""
+    data = self.data
+    if callable(f):
+        data = f(data)
+    elif isinstance(f, str):
+        data = getattr(jnp, f)(data)
+    flat = int(jnp.argmax(jnp.real(data)))
+    coo = np.unravel_index(flat, self.shape)
+    return dict(zip(self.inds, map(int, coo)))
+
+
+def _t_idxmin(self, f=None):
+    data = self.data
+    if callable(f):
+        data = f(data)
+    elif isinstance(f, str):
+        data = getattr(jnp, f)(data)
+    flat = int(jnp.argmin(jnp.real(data)))
+    coo = np.unravel_index(flat, self.shape)
+    return dict(zip(self.inds, map(int, coo)))
+
+
+def _t_singular_values(self, left_inds, method="svd"):
+    """Singular values across a bipartition (reference
+    ``singular_values``)."""
+    left_inds = asinds(left_inds)
+    right_inds = tuple(
+        ix for ix in self.inds if ix not in left_inds
+    )
+    m = self.inds_size(left_inds)
+    mat = jnp.reshape(
+        self.transpose(*left_inds, *right_inds).data, (m, -1)
+    )
+    return decomp.safe_svd(mat)[1]
+
+
+def _t_entropy(self, left_inds, method="svd"):
+    """Von Neumann entropy of the bipartition (reference
+    ``Tensor.entropy``)."""
+    s = _t_singular_values(self, left_inds, method=method)
+    p = s**2
+    p = p / jnp.sum(p)
+    p = jnp.where(p > 1e-300, p, 1.0)
+    return -jnp.sum(p * jnp.log2(p))
+
+
+def _t_rand_reduce(self, ind, dtype=None, seed=None, inplace=False):
+    """Contract a random vector into ``ind`` (reference
+    ``rand_reduce`` tensor_core.py:2926)."""
+    from ..gen.rand import randn
+
+    t = self if inplace else self.copy()
+    v = randn((t.ind_size(ind),), dtype=dtype or str(t.dtype),
+              seed=seed)
+    ax = t.inds.index(ind)
+    data = jnp.tensordot(t.data, v, axes=(ax, 0))
+    t.modify(data=data, inds=tuple(
+        ix for ix in t.inds if ix != ind
+    ))
+    return t
+
+
+def _t_collapse_repeated(self, inplace=False):
+    """Take the diagonal over any repeated indices (reference
+    ``collapse_repeated`` tensor_core.py:2950)."""
+    from ..ops.contraction import array_contract
+
+    t = self if inplace else self.copy()
+    old = t.inds
+    new = tuple(dict.fromkeys(old))
+    if len(old) == len(new):
+        return t
+    data = array_contract([t.data], [old], output=new)
+    t.modify(data=data, inds=new)
+    return t
+
+
+def _t_symmetrize(self, ind1, ind2, inplace=False):
+    """Symmetrize over a pair of same-size indices (reference
+    ``symmetrize_``)."""
+    t = self if inplace else self.copy()
+    ax1, ax2 = t.inds.index(ind1), t.inds.index(ind2)
+    t.modify(apply=lambda x: (x + jnp.swapaxes(x, ax1, ax2)) / 2)
+    return t
+
+
+def _t_new_ind_with_identity(self, name, left_inds, right_inds,
+                             axis=0):
+    """Add a new size-2 index whose value-1 slice is the identity
+    from ``left_inds`` to ``right_inds`` (reference
+    ``new_ind_with_identity`` tensor_core.py:2458). Inplace."""
+    left_inds = asinds(left_inds)
+    right_inds = asinds(right_inds)
+    d = int(np.prod([self.ind_size(ix) for ix in left_inds]))
+    ident = jnp.reshape(
+        jnp.eye(d, dtype=self.dtype),
+        tuple(self.ind_size(ix) for ix in left_inds)
+        + tuple(self.ind_size(ix) for ix in right_inds),
+    )
+    # broadcast into the full index order of self
+    order = {ix: i for i, ix in enumerate(
+        (*left_inds, *right_inds)
+    )}
+    perm = []
+    expand = []
+    for i, ix in enumerate(self.inds):
+        if ix in order:
+            perm.append(order[ix])
+        else:
+            expand.append(i)
+    identity_full = jnp.transpose(ident, tuple(
+        np.argsort([order[ix] for ix in self.inds if ix in order])
+    )) if False else None
+    # simpler: build via einsum broadcasting
+    from ..ops.contraction import array_contract
+
+    ones = [
+        jnp.ones((self.ind_size(ix),), dtype=self.dtype)
+        for ix in self.inds if ix not in order
+    ]
+    ident_t = array_contract(
+        [ident, *ones],
+        [(*left_inds, *right_inds),
+         *[(ix,) for ix in self.inds if ix not in order]],
+        output=self.inds,
+    )
+    stacked = jnp.stack([self.data, ident_t], axis=axis)
+    self.modify(
+        data=stacked,
+        inds=(*self.inds[:axis], name, *self.inds[axis:]),
+    )
+    return self
+
+
+def _t_new_ind_pair_with_identity(self, new_left_ind, new_right_ind,
+                                  d, inplace=False):
+    """Outer-product with a d-dim identity, adding the two new
+    indices at the front (reference ``new_ind_pair_with_identity``
+    tensor_core.py:2486)."""
+    t = self if inplace else self.copy()
+    ident = jnp.eye(d, dtype=t.dtype)
+    data = jnp.tensordot(ident, t.data, axes=0)
+    t.modify(data=data,
+             inds=(new_left_ind, new_right_ind, *t.inds))
+    return t
+
+
+def _t_new_ind_pair_diag(self, ind, new_left_ind, new_right_ind,
+                         inplace=False):
+    """Turn index ``ind`` into a diagonal pair of indices (reference
+    ``new_ind_pair_diag``)."""
+    from ..ops.contraction import array_contract
+
+    t = self if inplace else self.copy()
+    d = t.ind_size(ind)
+    diag3 = jnp.zeros((d, d, d), dtype=t.dtype)
+    diag3 = diag3.at[
+        jnp.arange(d), jnp.arange(d), jnp.arange(d)
+    ].set(1.0)
+    rest = tuple(ix for ix in self.inds if ix != ind)
+    new_data = array_contract(
+        [self.data, diag3],
+        [self.inds, (ind, new_left_ind, new_right_ind)],
+        output=rest + (new_left_ind, new_right_ind),
+    )
+    t.modify(data=new_data,
+             inds=rest + (new_left_ind, new_right_ind))
+    return t
+
+
+def _t_get_params(self):
+    return self.data
+
+
+def _t_set_params(self, params):
+    self.modify(data=params)
+
+
+def _wire_tensor_parity():
+    T = Tensor
+    T.item = _t_item
+    T.iscomplex = _t_iscomplex
+    T.dtype_name = property(lambda self: str(self.dtype))
+    T.backend = property(lambda self: "jax")
+    T.get_namespace = lambda self: jnp
+    T.isblocksparse = lambda self: False
+    T.isfermionic = lambda self: False
+    T.astype = _t_astype
+    T.astype_ = functools.partialmethod(_t_astype, inplace=True)
+    T.to_qarray = _t_to_qarray
+    T.as_network = _t_as_network
+    T.apply_to_arrays = _t_apply_to_arrays
+    T.check = _t_check
+    T.bonds = _t_bonds
+    T.bonds_size = _t_bonds_size
+    T.filter_bonds = _t_filter_bonds
+    T.new_bond = _t_new_bond
+    T.contract = _t_contract
+    T.direct_product = _t_direct_product
+    T.direct_product_ = functools.partialmethod(
+        _t_direct_product, inplace=True
+    )
+    T.negate = _t_negate
+    T.negate_ = functools.partialmethod(_t_negate, inplace=True)
+    T.overlap = _t_overlap
+    if not hasattr(T, "distance"):
+        T.distance = _t_distance
+    T.distance_normalized = _t_distance_normalized
+    T.inds_size = _t_inds_size
+    T.idxmax = _t_idxmax
+    T.idxmin = _t_idxmin
+    T.singular_values = _t_singular_values
+    T.entropy = _t_entropy
+    T.rand_reduce = _t_rand_reduce
+    T.rand_reduce_ = functools.partialmethod(
+        _t_rand_reduce, inplace=True
+    )
+    T.collapse_repeated = _t_collapse_repeated
+    T.collapse_repeated_ = functools.partialmethod(
+        _t_collapse_repeated, inplace=True
+    )
+    T.symmetrize = _t_symmetrize
+    T.symmetrize_ = functools.partialmethod(
+        _t_symmetrize, inplace=True
+    )
+    T.new_ind_with_identity = _t_new_ind_with_identity
+    T.new_ind_pair_with_identity = _t_new_ind_pair_with_identity
+    T.new_ind_pair_with_identity_ = functools.partialmethod(
+        _t_new_ind_pair_with_identity, inplace=True
+    )
+    T.new_ind_pair_diag = _t_new_ind_pair_diag
+    T.new_ind_pair_diag_ = functools.partialmethod(
+        _t_new_ind_pair_diag, inplace=True
+    )
+    T.get_params = _t_get_params
+    T.set_params = _t_set_params
+    T.compute_reduced_factor = _tn_compute_reduced_factor
+    T.visualize = T.draw if hasattr(T, "draw") else (
+        lambda self, **k: None
+    )
+
+
+_wire_tensor_parity()
+
+
+# remaining TensorNetwork wiring
+def _tn_get_namespace(self):
+    return jnp
+
+
+def _tn_get_tid_neighbor_map(self):
+    from .networking import tn_adjacency
+
+    return {
+        tid: oset(nbrs) for tid, nbrs in tn_adjacency(self).items()
+    }
+
+
+def _tn_compute_contracted_inds(self, *tids, output_inds=None):
+    """The indices a contraction of ``tids`` would produce (reference
+    ``compute_contracted_inds``)."""
+    if output_inds is None:
+        output_inds = set(self.outer_inds())
+    else:
+        output_inds = set(output_inds)
+    tids = set(tids)
+    keep = []
+    seen = set()
+    for tid in tids:
+        for ix in self.tensor_map[tid].inds:
+            if ix in seen:
+                continue
+            seen.add(ix)
+            holders = self.ind_map.get(ix, ())
+            outside = any(t not in tids for t in holders)
+            if outside or ix in output_inds:
+                keep.append(ix)
+    return tuple(keep)
+
+
+def _tn_select_path(self, path, virtual=True):
+    """The tensors along a :class:`NetworkPath` as a TN (reference
+    ``select_path``)."""
+    return TensorNetwork(
+        [self.tensor_map[tid] for tid in path.tids], virtual=virtual
+    )
+
+
+def _tn_split(self, left_inds, right_inds=None, **split_opts):
+    """Decompose the whole network across a bipartition of its outer
+    indices (reference ``TensorNetwork.split``
+    tensor_core.py:9796)."""
+    t = self.contract(
+        ..., output_inds=tuple(self.outer_inds()),
+        preserve_tensor=True,
+    )
+    return tensor_split(
+        t, left_inds=left_inds, right_inds=right_inds, **split_opts
+    )
+
+
+def _tn_fit_(self, tn_target, **kwargs):
+    fitted = self.fit(tn_target, **kwargs)
+    for t_self, t_fit in zip(
+        self.tensor_map.values(), fitted.tensor_map.values()
+    ):
+        t_self.modify(data=t_fit.data)
+    return self
+
+
+def _tn_gauge_local(self, tags, which="all", max_distance=1,
+                    max_iterations=1, method="canonize",
+                    inplace=False, **kwargs):
+    """Gauge only the bonds within a local patch (reference
+    ``gauge_local``)."""
+    from .networking import get_local_patch
+
+    tn = self if inplace else self.copy()
+    tids = list(tn._get_tids_from_tags(tags, which))
+    patch = set(get_local_patch(tn, tids,
+                                max_distance=max_distance))
+    for _ in range(max_iterations):
+        for ix, holders in tuple(tn.ind_map.items()):
+            hs = tuple(holders)
+            if len(hs) == 2 and all(h in patch for h in hs):
+                if method == "canonize":
+                    tensor_canonize_bond(
+                        tn.tensor_map[hs[0]], tn.tensor_map[hs[1]],
+                        absorb="right",
+                    )
+    return tn
+
+
+def _tn_compress_all_simple(self, max_bond=None, cutoff=1e-10,
+                            max_iterations=5, inplace=False,
+                            **kwargs):
+    """Compress every bond using the simple-update gauge (reference
+    ``compress_all_simple``)."""
+    tn = self if inplace else self.copy()
+    tn2, gauges = tn.gauge_all_simple(
+        max_iterations=max_iterations
+    )
+    tn2.gauge_simple_insert(gauges)
+    for ix, tids in tuple(tn2.ind_map.items()):
+        ts = tuple(tids)
+        if len(ts) == 2 and (
+            max_bond is None or tn2.ind_size(ix) > max_bond
+        ):
+            try:
+                tensor_compress_bond(
+                    tn2.tensor_map[ts[0]], tn2.tensor_map[ts[1]],
+                    max_bond=max_bond, cutoff=cutoff,
+                )
+            except Exception:
+                pass
+    if inplace:
+        for t_self, t_new in zip(
+            tn.tensor_map.values(), tn2.tensor_map.values()
+        ):
+            pass
+    return tn2
+
+
+def _tn_compress_all_tree(self, max_bond=None, cutoff=1e-10,
+                          inplace=False, **kwargs):
+    """Canonize toward the most central tensor along a spanning tree,
+    then compress back outwards (reference ``compress_all_tree``)."""
+    from .networking import get_tree_span, most_central_tid
+
+    tn = self if inplace else self.copy()
+    root = most_central_tid(tn)
+    span = get_tree_span(tn, tids=[root])
+    # canonize inwards (leaves first)
+    for tid_out, tid_in, _ in span:
+        t1, t2 = tn.tensor_map[tid_out], tn.tensor_map[tid_in]
+        if bonds(t1, t2):
+            tensor_canonize_bond(t1, t2, absorb="right")
+    # compress outwards (root first)
+    for tid_out, tid_in, _ in reversed(span):
+        t1, t2 = tn.tensor_map[tid_out], tn.tensor_map[tid_in]
+        if bonds(t1, t2):
+            try:
+                tensor_compress_bond(
+                    t2, t1, max_bond=max_bond, cutoff=cutoff
+                )
+            except Exception:
+                pass
+    return tn
+
+
+def _tn_compress_all_1d(self, max_bond=None, cutoff=1e-10,
+                        inplace=False, **kwargs):
+    """1D-chain sweep compression via the dedicated 1D machinery when
+    site structure exists, else the tree scheme (reference
+    ``compress_all_1d``)."""
+    if hasattr(self, "site_tags"):
+        from .tn1d.compress import tensor_network_1d_compress
+
+        out = tensor_network_1d_compress(
+            self, max_bond=max_bond, cutoff=cutoff, **kwargs
+        )
+        if inplace and hasattr(self, "tensor_map"):
+            return out
+        return out
+    return _tn_compress_all_tree(
+        self, max_bond=max_bond, cutoff=cutoff, inplace=inplace,
+        **kwargs,
+    )
+
+
+def _tn_contract_around_center(self, **kwargs):
+    from .networking import most_central_tid
+
+    tid = most_central_tid(self)
+    tags = tuple(self.tensor_map[tid].tags)
+    return self.contract_around(
+        tags if tags else (), which="any", **kwargs
+    )
+
+
+def _tn_contract_around_corner(self, **kwargs):
+    from .networking import compute_centralities
+
+    cents = compute_centralities(self)
+    tid = min(cents, key=cents.get)
+    tags = tuple(self.tensor_map[tid].tags)
+    return self.contract_around(
+        tags if tags else (), which="any", **kwargs
+    )
+
+
+def _tn_reduce_inds_onto_bond(self, inda, indb, tags=None,
+                              drop_tags=False, combine=True,
+                              ndim_cutoff=3):
+    """QR-reduce ``inda`` and ``indb`` onto the bond between their
+    tensors, optionally combining the reduced factors into one bond
+    tensor (reference ``reduce_inds_onto_bond``
+    tensor_core.py:7032). Inplace."""
+    (tida,) = self.ind_map[inda]
+    (tidb,) = self.ind_map[indb]
+    ta, tb = self.tensor_map[tida], self.tensor_map[tidb]
+    shared = list(bonds(ta, tb))
+    new_parts = []
+    for t, ind in ((ta, inda), (tb, indb)):
+        if t.ndim <= ndim_cutoff:
+            continue
+        keep_left = [
+            ix for ix in t.inds if ix != ind and ix not in shared
+        ]
+        q, _, r = decomp.array_split(
+            jnp.reshape(
+                t.transpose(
+                    *keep_left, ind, *shared
+                ).data,
+                (int(np.prod([t.ind_size(i) for i in keep_left])
+                     or 1), -1),
+            ),
+            method="qr", cutoff=-1.0,
+        )
+        bnd = rand_uuid()
+        ldims = [t.ind_size(i) for i in keep_left]
+        t.modify(
+            data=jnp.reshape(q, (*ldims, q.shape[-1])),
+            inds=(*keep_left, bnd),
+        )
+        rdims = [t.ind_size(i) for i in (ind, *shared)] if False \
+            else None
+        rt = Tensor(
+            jnp.reshape(r, (r.shape[0], self.ind_size(ind),
+                            *[self.ind_size(i) for i in shared])),
+            inds=(bnd, ind, *shared),
+            tags=tags_to_oset(tags),
+        )
+        new_parts.append(rt)
+        self.add_tensor(rt, virtual=True)
+    if combine and len(new_parts) == 2:
+        t1, t2 = new_parts
+        tid1 = next(
+            tid for tid, t in self.tensor_map.items() if t is t1
+        )
+        tid2 = next(
+            tid for tid, t in self.tensor_map.items() if t is t2
+        )
+        self._contract_between_tids(tid1, tid2)
+    return self
+
+
+def _tn_drape_bond_between(self, tagsa, tagsb, tags_target,
+                           inplace=False):
+    """Reroute the bond between two tensors so it passes through a
+    third (reference ``drape_bond_between``)."""
+    tn = self if inplace else self.copy()
+    (tida,) = tn._get_tids_from_tags(tagsa, "all")
+    (tidb,) = tn._get_tids_from_tags(tagsb, "all")
+    (tidt,) = tn._get_tids_from_tags(tags_target, "all")
+    ta, tb = tn.tensor_map[tida], tn.tensor_map[tidb]
+    tt = tn.tensor_map[tidt]
+    (ix,) = bonds(ta, tb)
+    d = ta.ind_size(ix)
+    mid = rand_uuid()
+    tb.reindex_({ix: mid})
+    tt.new_ind_pair_with_identity_(ix, mid, d)
+    # move the two new axes' names so they connect ta -(ix)- tt and
+    # tt -(mid)- tb: already named so by construction
+    return tn
+
+
+def _tn_gate_inds_with_tn(self, inds, gate, gate_inds_inner,
+                          gate_inds_outer, inplace=False):
+    """Gate some indices with another TN whose ``gate_inds_inner``
+    contract with them, leaving ``gate_inds_outer`` (reference
+    ``gate_inds_with_tn``)."""
+    tn = self if inplace else self.copy()
+    gate = gate.copy()
+    reindex = {}
+    for ix, gi, go in zip(inds, gate_inds_inner, gate_inds_outer):
+        mid = rand_uuid()
+        tn.reindex_({ix: mid})
+        reindex[gi] = mid
+        reindex[go] = ix
+    gate.reindex_(reindex)
+    tn.add_tensor_network(gate, virtual=True,
+                          check_collisions=False)
+    return tn
+
+
+def _wire_tn_parity2():
+    TN = TensorNetwork
+    TN.get_namespace = _tn_get_namespace
+    TN.get_tid_neighbor_map = _tn_get_tid_neighbor_map
+    TN.compute_contracted_inds = _tn_compute_contracted_inds
+    TN.select_path = _tn_select_path
+    TN.split = _tn_split
+    TN.fit_ = _tn_fit_
+    TN.gauge_local = _tn_gauge_local
+    TN.gauge_local_ = functools.partialmethod(_tn_gauge_local,
+                                              inplace=True)
+    TN.compress_all_simple = _tn_compress_all_simple
+    TN.compress_all_simple_ = functools.partialmethod(
+        _tn_compress_all_simple, inplace=True
+    )
+    TN.compress_all_tree = _tn_compress_all_tree
+    TN.compress_all_tree_ = functools.partialmethod(
+        _tn_compress_all_tree, inplace=True
+    )
+    TN.compress_all_1d = _tn_compress_all_1d
+    TN.compress_all_1d_ = functools.partialmethod(
+        _tn_compress_all_1d, inplace=True
+    )
+    TN.contract_around_center = _tn_contract_around_center
+    TN.contract_around_corner = _tn_contract_around_corner
+    TN.reduce_inds_onto_bond = _tn_reduce_inds_onto_bond
+    TN.drape_bond_between = _tn_drape_bond_between
+    TN.drape_bond_between_ = functools.partialmethod(
+        _tn_drape_bond_between, inplace=True
+    )
+    TN.gate_inds_with_tn = _tn_gate_inds_with_tn
+    TN.gate_inds_with_tn_ = functools.partialmethod(
+        _tn_gate_inds_with_tn, inplace=True
+    )
+    TN.flip = lambda self, inds, inplace=False: _tn_flip(
+        self, inds, inplace=inplace
+    )
+    TN.flip_ = functools.partialmethod(
+        lambda self, inds, inplace=False: _tn_flip(
+            self, inds, inplace=inplace
+        ), inplace=True,
+    )
+
+    def replace_section_with_svd(self, start, stop, eps=None,
+                                 **kwargs):
+        """1D form: replace the sites in ``[start, stop)`` with their
+        SVD across the section boundary (reference
+        ``replace_section_with_svd``)."""
+        tags = [self.site_tag(i) for i in range(start, stop)]
+        sec = self.select(tags, which="any")
+        outer_left = [
+            ix for ix in sec.outer_inds()
+            if any(
+                tid not in sec.tensor_map
+                for tid in self.ind_map.get(ix, ())
+            ) and min(
+                i for i in range(start, stop)
+            ) is not None
+        ]
+        # left inds: the bonds crossing the `start` boundary
+        left_tags = self.site_tag(start)
+        lt = self.select(left_tags, which="any")
+        left_inds = [
+            ix for ix in lt.all_inds()
+            if ix in sec.outer_inds()
+        ]
+        return self.replace_with_svd(
+            tags, left_inds=left_inds, eps=eps, which="any", **kwargs
+        )
+
+    TN.replace_section_with_svd = replace_section_with_svd
+
+
+def _tn_flip(self, inds, inplace=False):
+    """Flip data along the given indices everywhere they appear
+    (reference ``TensorNetwork.flip``)."""
+    tn = self if inplace else self.copy()
+    if isinstance(inds, str):
+        inds = (inds,)
+    for ix in inds:
+        for tid in tn.ind_map.get(ix, ()):
+            tn.tensor_map[tid].flip_(ix)
+    return tn
+
+
+_wire_tn_parity2()

@@ -254,3 +254,96 @@ class TestContractCompressed:
         assert abs(z8 - z_exact) / abs(z_exact) < 0.05
         # and the original network is untouched
         assert norm.num_tensors == 50
+
+
+class TestMethodParityLayer:
+    def test_reference_tn_methods_covered(self):
+        """Nearly every public reference TensorNetwork/Tensor method
+        exists here (SURVEY §2 C15/C18 parity)."""
+        import ast
+        import os
+
+        ref_path = "/root/reference/quimb/tensor/tensor_core.py"
+        if not os.path.exists(ref_path):
+            import pytest
+
+            pytest.skip("reference not mounted")
+
+        def methods_of(path, clsname):
+            out = set()
+            for node in ast.walk(ast.parse(open(path).read())):
+                if isinstance(node, ast.ClassDef) and \
+                        node.name == clsname:
+                    for n in node.body:
+                        if isinstance(n, ast.FunctionDef) and \
+                                not n.name.startswith("_"):
+                            out.add(n.name)
+            return out
+
+        for cls, ours in (
+            ("TensorNetwork", TensorNetwork),
+            ("Tensor", Tensor),
+        ):
+            missing = sorted(
+                m for m in methods_of(ref_path, cls)
+                if not hasattr(ours, m)
+            )
+            assert not missing, (cls, missing)
+
+    def test_gauge_family_value_preserving(self):
+        import quimb_tpu.tensor as full
+
+        tn = full.TN2D_rand(3, 3, 2, seed=2)
+        z = float(tn.contract())
+        for method in ("canonize", "bp", "random"):
+            tn2 = tn.gauge_all(method=method)
+            assert abs(float(tn2.contract()) - z) / abs(z) < 1e-6, \
+                method
+        tn3, gauges = tn.gauge_all_simple(max_iterations=4)
+        with tn3.gauge_simple_temp(gauges):
+            z3 = float(tn3.contract())
+        assert abs(z3 - z) / abs(z) < 1e-6
+
+    def test_contract_around_preserves_value(self):
+        import quimb_tpu.tensor as full
+
+        tn = full.TN2D_rand(4, 4, 2, seed=3)
+        z = float(tn.contract())
+        env = tn.contract_around("I1,1", max_bond=16)
+        assert any(
+            "I1,1" in t.tags for t in env.tensor_map.values()
+        )
+        assert abs(float(env.contract()) - z) / abs(z) < 1e-6
+
+    def test_tensor_extras(self):
+        import quimb_tpu.tensor as full
+
+        t = full.rand_tensor((3, 4, 5), ["a", "b", "c"], seed=0)
+        sv = np.asarray(t.singular_values(["a"]))
+        s = np.linalg.svd(
+            np.asarray(t.data).reshape(3, 20), compute_uv=False
+        )
+        assert np.allclose(sorted(sv)[::-1], s, atol=1e-10)
+        t3 = full.Tensor(
+            np.arange(9.0).reshape(3, 3), inds=("x", "x")
+        )
+        assert np.allclose(
+            np.asarray(t3.collapse_repeated().data), [0, 4, 8]
+        )
+        t6 = full.rand_tensor((4,), ["k"], seed=4)
+        x = np.asarray(t6.new_ind_pair_diag("k", "k1", "k2").data)
+        assert np.allclose(np.diag(x), np.asarray(t6.data))
+
+    def test_insert_compressor_between_regions(self):
+        import quimb_tpu.tensor as full
+
+        p = full.MPS_rand_state(6, 10, seed=10, dtype="float64")
+        v = np.asarray(p.to_dense()).ravel()
+        pc = p.insert_compressor_between_regions(
+            ("I0", "I1", "I2"), ("I3", "I4", "I5"), max_bond=6
+        )
+        vc = np.asarray(pc.to_dense()).ravel()
+        f = abs(np.vdot(vc, v)) / (
+            np.linalg.norm(vc) * np.linalg.norm(v)
+        )
+        assert f > 0.99
