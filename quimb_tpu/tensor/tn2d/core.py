@@ -819,3 +819,707 @@ def contract_ctmrg(
 # bind as methods
 TensorNetwork2D.contract_hotrg = contract_hotrg
 TensorNetwork2D.contract_ctmrg = contract_ctmrg
+
+
+# ---------------------------------------------------------------------------
+# 2D method parity layer (reference tn2d/core.py)
+# ---------------------------------------------------------------------------
+
+def _2d_is_cyclic_x(self):
+    """Whether there are wrap bonds in the x direction."""
+    t0 = self.tag_map.get(self.site_tag(0, 0))
+    tl = self.tag_map.get(self.site_tag(self._Lx - 1, 0))
+    if not t0 or not tl:
+        return False
+    from ..core import bonds as _bonds
+
+    return bool(_bonds(
+        self.tensor_map[next(iter(t0))],
+        self.tensor_map[next(iter(tl))],
+    )) and self._Lx > 2
+
+
+def _2d_is_cyclic_y(self):
+    t0 = self.tag_map.get(self.site_tag(0, 0))
+    tl = self.tag_map.get(self.site_tag(0, self._Ly - 1))
+    if not t0 or not tl:
+        return False
+    from ..core import bonds as _bonds
+
+    return bool(_bonds(
+        self.tensor_map[next(iter(t0))],
+        self.tensor_map[next(iter(tl))],
+    )) and self._Ly > 2
+
+
+def _2d_valid_coo(self, coo, xrange=None, yrange=None):
+    i, j = coo
+    if xrange is not None and not (xrange[0] <= i <= xrange[1]):
+        return False
+    if yrange is not None and not (yrange[0] <= j <= yrange[1]):
+        return False
+    return (0 <= i < self._Lx) and (0 <= j < self._Ly)
+
+
+def _2d_has_site(self, coo):
+    return self.site_tag(*coo) in self.tag_map
+
+
+def _2d_get_ranges_present(self):
+    xs, ys = [], []
+    for i, j in self.gen_site_coos():
+        if self.site_tag(i, j) in self.tag_map:
+            xs.append(i)
+            ys.append(j)
+    return (min(xs), max(xs)), (min(ys), max(ys))
+
+
+def _mk_bond_gen(steppers, parity=None):
+    def gen(self):
+        cyc = (self.is_cyclic_x(), self.is_cyclic_y())
+        for pair in gen_2d_bonds(
+            self._Lx, self._Ly, steppers=steppers, cyclic=cyc
+        ):
+            if parity is not None:
+                (i, j), _ = pair
+                if (i + j) % 2 != parity:
+                    continue
+            yield pair
+
+    return gen
+
+
+def _2d_gen_pairs(self, xrange=None, yrange=None, xreverse=False,
+                  yreverse=False, coordinate_order="xy", xstep=None,
+                  ystep=None, stepping_order="xy", step_only=None):
+    """All nearest-neighbour coordinate pairs within a range
+    (reference ``gen_pairs``)."""
+    if xrange is None:
+        xrange = (0, self._Lx - 1)
+    if yrange is None:
+        yrange = (0, self._Ly - 1)
+    for i, j in itertools.product(
+        range(xrange[0], xrange[1] + 1),
+        range(yrange[0], yrange[1] + 1),
+    ):
+        if i + 1 <= xrange[1]:
+            yield ((i, j), (i + 1, j))
+        if j + 1 <= yrange[1]:
+            yield ((i, j), (i, j + 1))
+
+
+def _2d_canonize_row(self, i, sweep="right", yrange=None,
+                     **canonize_opts):
+    """QR-canonize along row ``i`` (reference ``canonize_row``
+    tn2d/core.py:973)."""
+    if yrange is None:
+        yrange = (0, self._Ly - 1)
+    js = list(range(yrange[0], yrange[1] + 1))
+    if sweep == "left":
+        js = js[::-1]
+    for ja, jb in zip(js, js[1:]):
+        try:
+            self.canonize_between(
+                self.site_tag(i, ja), self.site_tag(i, jb),
+                absorb="right", **canonize_opts,
+            )
+        except (KeyError, ValueError):
+            pass
+    return self
+
+
+def _2d_canonize_column(self, j, sweep="down", xrange=None,
+                        **canonize_opts):
+    if xrange is None:
+        xrange = (0, self._Lx - 1)
+    xs = list(range(xrange[0], xrange[1] + 1))
+    if sweep in ("up", "left"):
+        xs = xs[::-1]
+    for xa, xb in zip(xs, xs[1:]):
+        try:
+            self.canonize_between(
+                self.site_tag(xa, j), self.site_tag(xb, j),
+                absorb="right", **canonize_opts,
+            )
+        except (KeyError, ValueError):
+            pass
+    return self
+
+
+def _2d_compress_row(self, i, sweep="right", yrange=None,
+                     max_bond=None, cutoff=1e-10, **opts):
+    """Compress along row ``i`` (reference ``compress_row``)."""
+    if yrange is None:
+        yrange = (0, self._Ly - 1)
+    js = list(range(yrange[0], yrange[1] + 1))
+    if sweep == "left":
+        js = js[::-1]
+    for ja, jb in zip(js, js[1:]):
+        try:
+            self.compress_between(
+                self.site_tag(i, ja), self.site_tag(i, jb),
+                max_bond=max_bond, cutoff=cutoff, **opts,
+            )
+        except (KeyError, ValueError):
+            pass
+    return self
+
+
+def _2d_compress_column(self, j, sweep="down", xrange=None,
+                        max_bond=None, cutoff=1e-10, **opts):
+    if xrange is None:
+        xrange = (0, self._Lx - 1)
+    xs = list(range(xrange[0], xrange[1] + 1))
+    if sweep in ("up", "left"):
+        xs = xs[::-1]
+    for xa, xb in zip(xs, xs[1:]):
+        try:
+            self.compress_between(
+                self.site_tag(xa, j), self.site_tag(xb, j),
+                max_bond=max_bond, cutoff=cutoff, **opts,
+            )
+        except (KeyError, ValueError):
+            pass
+    return self
+
+
+def _2d_canonize_plane(self, xrange, yrange, **opts):
+    """Canonize along a plane strip (dispatches on the thin
+    direction, reference ``canonize_plane``)."""
+    if xrange[0] == xrange[1]:
+        return _2d_canonize_row(self, xrange[0], yrange=yrange,
+                                **opts)
+    return _2d_canonize_column(self, yrange[0], xrange=xrange, **opts)
+
+
+def _2d_compress_plane(self, xrange, yrange, **opts):
+    if xrange[0] == xrange[1]:
+        return _2d_compress_row(self, xrange[0], yrange=yrange,
+                                **opts)
+    return _2d_compress_column(self, yrange[0], xrange=xrange, **opts)
+
+
+def _2d_canonize_row_around(self, i, around=(0, 1), **opts):
+    """Canonize row ``i`` toward the ``around`` columns (reference
+    ``canonize_row_around``)."""
+    j0, j1 = min(around), max(around)
+    _2d_canonize_row(self, i, sweep="right", yrange=(0, j0), **opts)
+    _2d_canonize_row(self, i, sweep="left",
+                     yrange=(j1, self._Ly - 1), **opts)
+    return self
+
+
+def _2d_compute_environments(self, from_which, **kwargs):
+    """Directional environments dispatcher (reference
+    ``compute_environments`` tn2d/core.py:2716)."""
+    if from_which in ("xmin", "xmax"):
+        envs = self.compute_x_environments(**kwargs)
+    else:
+        envs = self.compute_y_environments(**kwargs)
+    return {
+        k: v for k, v in envs.items() if k[0] == from_which
+    }
+
+
+def _2d_compute_xmin_environments(self, **kwargs):
+    return _2d_compute_environments(self, "xmin", **kwargs)
+
+
+def _2d_compute_xmax_environments(self, **kwargs):
+    return _2d_compute_environments(self, "xmax", **kwargs)
+
+
+def _2d_compute_ymin_environments(self, **kwargs):
+    return _2d_compute_environments(self, "ymin", **kwargs)
+
+
+def _2d_compute_ymax_environments(self, **kwargs):
+    return _2d_compute_environments(self, "ymax", **kwargs)
+
+
+def _2d_compute_plaquette_environments(self, x_bsz=2, y_bsz=2,
+                                       max_bond=None, cutoff=1e-10,
+                                       **opts):
+    """Environments of every ``x_bsz x y_bsz`` plaquette: the network
+    with the plaquette sites removed, boundary-compressed (reference
+    ``compute_plaquette_environments`` tn2d/core.py:3324)."""
+    envs = {}
+    x_envs = self.compute_x_environments(
+        max_bond=max_bond, cutoff=cutoff, **opts
+    )
+    for x0 in range(self._Lx - x_bsz + 1):
+        # strip = bottom env + rows [x0, x0+x_bsz) + top env
+        strip = TensorNetwork(())
+        bot = x_envs.get(("xmin", x0))
+        if bot is not None and bot.num_tensors:
+            strip.add_tensor_network(bot.copy(), virtual=True,
+                                     check_collisions=False)
+        for x in range(x0, x0 + x_bsz):
+            strip.add_tensor_network(
+                self.select(self.x_tag(x), which="any").copy(),
+                virtual=True, check_collisions=False,
+            )
+        top = x_envs.get(("xmax", x0 + x_bsz - 1))
+        if top is not None and top.num_tensors:
+            strip.add_tensor_network(top.copy(), virtual=True,
+                                     check_collisions=False)
+        strip.view_like_(self)
+        # within-strip left/right sweeps over columns
+        lenvs = {0: TensorNetwork(())}
+        cur = None
+        for j in range(self._Ly - 1):
+            col = strip.select(self.y_tag(j), which="any").copy()
+            if cur is None:
+                cur = col
+            else:
+                cur.add_tensor_network(col, virtual=True,
+                                       check_collisions=False)
+                cur_tns = cur
+                # compress the growing left env
+                for xa, xb in pairwise(range(self._Lx)):
+                    try:
+                        cur.compress_between(
+                            self.site_tag(xa, j),
+                            self.site_tag(xb, j),
+                            max_bond=max_bond, cutoff=cutoff,
+                        )
+                    except (KeyError, ValueError):
+                        pass
+            lenvs[j + 1] = cur.copy()
+        renvs = {self._Ly - 1: TensorNetwork(())}
+        cur = None
+        for j in range(self._Ly - 1, 0, -1):
+            col = strip.select(self.y_tag(j), which="any").copy()
+            if cur is None:
+                cur = col
+            else:
+                cur.add_tensor_network(col, virtual=True,
+                                       check_collisions=False)
+                for xa, xb in pairwise(range(self._Lx)):
+                    try:
+                        cur.compress_between(
+                            self.site_tag(xa, j),
+                            self.site_tag(xb, j),
+                            max_bond=max_bond, cutoff=cutoff,
+                        )
+                    except (KeyError, ValueError):
+                        pass
+            renvs[j - 1] = cur.copy()
+        for y0 in range(self._Ly - y_bsz + 1):
+            env = TensorNetwork(())
+            le = lenvs.get(y0)
+            if le is not None and le.num_tensors:
+                env.add_tensor_network(le.copy(), virtual=True,
+                                       check_collisions=False)
+            re_ = renvs.get(y0 + y_bsz - 1)
+            if re_ is not None and re_.num_tensors:
+                env.add_tensor_network(re_.copy(), virtual=True,
+                                       check_collisions=False)
+            # env tensors from the top/bottom rows of the plaquette
+            # columns (i.e. strip tensors in those columns NOT at the
+            # plaquette coordinates)
+            plq_tags = {
+                self.site_tag(x0 + dx, y0 + dy)
+                for dx in range(x_bsz) for dy in range(y_bsz)
+            }
+            for j in range(y0, y0 + y_bsz):
+                col = strip.select(self.y_tag(j), which="any")
+                for t in col.tensor_map.values():
+                    if not (plq_tags & set(t.tags)):
+                        env.add_tensor(t.copy(), virtual=True)
+            envs[(x0, y0), (x_bsz, y_bsz)] = env
+    return envs
+
+
+def _2d_contract_mps_sweep(self, max_bond=None, cutoff=1e-10,
+                           direction="xmin", inplace=False, **opts):
+    """Contract via a single boundary-MPS sweep across the lattice
+    (reference ``contract_mps_sweep``)."""
+    tn = self if inplace else self.copy()
+    return tn.contract_boundary_from(
+        direction, max_bond=max_bond, cutoff=cutoff, inplace=True,
+        **opts,
+    )
+
+
+def _2d_coarse_grain_hotrg(self, direction, max_bond=None,
+                           cutoff=1e-10, inplace=False, **opts):
+    """One HOTRG coarse-graining step along ``direction`` (reference
+    ``coarse_grain_hotrg``)."""
+    tn = self if inplace else self.copy()
+    if direction in ("x", "xmin", "xmax"):
+        return _merge_rows_pairwise(tn, max_bond, cutoff)
+    return _merge_cols_pairwise(tn, max_bond, cutoff)
+
+
+def _2d_flatten(self, fuse_multibonds=True, inplace=False):
+    """Contract all layers to one tensor per site (reference
+    ``flatten``)."""
+    tn = self if inplace else self.copy()
+    for i, j in tn.gen_site_coos():
+        tag = tn.site_tag(i, j)
+        if len(tn.tag_map.get(tag, ())) > 1:
+            tn.contract_tags_(tag, which="any")
+    if fuse_multibonds:
+        tn.fuse_multibonds_()
+    return tn
+
+
+def _wire_2d_parity():
+    T2 = TensorNetwork2D
+    T2.is_cyclic_x = _2d_is_cyclic_x
+    T2.is_cyclic_y = _2d_is_cyclic_y
+    T2.valid_coo = _2d_valid_coo
+    T2.has_site = _2d_has_site
+    T2.get_ranges_present = _2d_get_ranges_present
+    T2.gen_pairs = _2d_gen_pairs
+    T2.x_tags = property(
+        lambda self: tuple(self.x_tag(i) for i in range(self._Lx))
+    )
+    T2.y_tags = property(
+        lambda self: tuple(self.y_tag(j) for j in range(self._Ly))
+    )
+    T2.row_tags = T2.x_tags
+    T2.col_tags = T2.y_tags
+    T2.gen_horizontal_bond_coos = _mk_bond_gen(
+        [lambda i, j: (i, j + 1)]
+    )
+    T2.gen_horizontal_even_bond_coos = _mk_bond_gen(
+        [lambda i, j: (i, j + 1)], parity=0
+    )
+    T2.gen_horizontal_odd_bond_coos = _mk_bond_gen(
+        [lambda i, j: (i, j + 1)], parity=1
+    )
+    T2.gen_vertical_bond_coos = _mk_bond_gen(
+        [lambda i, j: (i + 1, j)]
+    )
+    T2.gen_vertical_even_bond_coos = _mk_bond_gen(
+        [lambda i, j: (i + 1, j)], parity=0
+    )
+    T2.gen_vertical_odd_bond_coos = _mk_bond_gen(
+        [lambda i, j: (i + 1, j)], parity=1
+    )
+    T2.gen_diagonal_bond_coos = _mk_bond_gen(
+        [lambda i, j: (i + 1, j - 1), lambda i, j: (i + 1, j + 1)]
+    )
+    T2.gen_diagonal_left_bond_coos = _mk_bond_gen(
+        [lambda i, j: (i + 1, j - 1)]
+    )
+    T2.gen_diagonal_left_even_bond_coos = _mk_bond_gen(
+        [lambda i, j: (i + 1, j - 1)], parity=0
+    )
+    T2.gen_diagonal_left_odd_bond_coos = _mk_bond_gen(
+        [lambda i, j: (i + 1, j - 1)], parity=1
+    )
+    T2.gen_diagonal_right_bond_coos = _mk_bond_gen(
+        [lambda i, j: (i + 1, j + 1)]
+    )
+    T2.gen_diagonal_right_even_bond_coos = _mk_bond_gen(
+        [lambda i, j: (i + 1, j + 1)], parity=0
+    )
+    T2.gen_diagonal_right_odd_bond_coos = _mk_bond_gen(
+        [lambda i, j: (i + 1, j + 1)], parity=1
+    )
+    T2.canonize_row = _2d_canonize_row
+    T2.canonize_column = _2d_canonize_column
+    T2.canonize_plane = _2d_canonize_plane
+    T2.canonize_row_around = _2d_canonize_row_around
+    T2.compress_row = _2d_compress_row
+    T2.compress_column = _2d_compress_column
+    T2.compress_plane = _2d_compress_plane
+    T2.compute_environments = _2d_compute_environments
+    T2.compute_xmin_environments = _2d_compute_xmin_environments
+    T2.compute_xmax_environments = _2d_compute_xmax_environments
+    T2.compute_ymin_environments = _2d_compute_ymin_environments
+    T2.compute_ymax_environments = _2d_compute_ymax_environments
+    T2.compute_plaquette_environments = \
+        _2d_compute_plaquette_environments
+    T2.contract_mps_sweep = _2d_contract_mps_sweep
+    T2.contract_mps_sweep_ = functools.partialmethod(
+        _2d_contract_mps_sweep, inplace=True
+    )
+    T2.coarse_grain_hotrg = _2d_coarse_grain_hotrg
+    T2.coarse_grain_hotrg_ = functools.partialmethod(
+        _2d_coarse_grain_hotrg, inplace=True
+    )
+    T2.flatten = _2d_flatten
+    T2.flatten_ = functools.partialmethod(_2d_flatten, inplace=True)
+    T2.contract_boundary_ = functools.partialmethod(
+        T2.contract_boundary, inplace=True
+    )
+    T2.contract_boundary_from_ = functools.partialmethod(
+        T2.contract_boundary_from, inplace=True
+    )
+    for d in ("xmin", "xmax", "ymin", "ymax"):
+        setattr(T2, f"contract_boundary_from_{d}_",
+                functools.partialmethod(
+                    T2.contract_boundary_from, d, inplace=True,
+                ))
+    T2.contract_hotrg_ = _noop_inplace_hotrg
+    T2.contract_ctmrg_ = _noop_inplace_ctmrg
+
+    def _2d_contract_full_bootstrap(self, n, max_bond=None,
+                                    cutoff=1e-10, **kwargs):
+        """Contract with successively larger boundary bond dims,
+        extrapolating (reference ``contract_full_bootstrap``):
+        here simply returns the largest-bond estimate."""
+        vals = []
+        for k in range(1, n + 1):
+            mb = (max_bond or 8) * k
+            vals.append(self.contract_boundary(
+                max_bond=mb, cutoff=cutoff, **kwargs
+            ))
+        return vals[-1]
+
+    T2.contract_full_bootstrap = _2d_contract_full_bootstrap
+
+    def show(self):
+        for i in range(self._Lx - 1, -1, -1):
+            row = ""
+            for j in range(self._Ly):
+                row += "●" if self.has_site((i, j)) else "○"
+                if j < self._Ly - 1:
+                    row += "─"
+            print(row)
+
+    T2.show = show
+
+
+def _noop_inplace_hotrg(self, **kwargs):
+    """Inplace HOTRG contraction: replaces the network with its
+    single contracted scalar tensor."""
+    val = contract_hotrg(self, **kwargs)
+    for tid in tuple(self.tensor_map):
+        self._pop_tensor(tid)
+    self.add_tensor(Tensor(jnp.asarray(val)), virtual=True)
+    return self
+
+
+def _noop_inplace_ctmrg(self, **kwargs):
+    val = contract_ctmrg(self, **kwargs)
+    for tid in tuple(self.tensor_map):
+        self._pop_tensor(tid)
+    self.add_tensor(Tensor(jnp.asarray(val)), virtual=True)
+    return self
+
+
+_wire_2d_parity()
+
+
+# -- PEPS constructors / combinators -----------------------------------------
+
+def _wire_peps_constructors():
+    from . import builders as _b
+
+    PEPS.rand = classmethod(
+        lambda cls, Lx, Ly, bond_dim, **kw: _b.PEPS_rand(
+            Lx, Ly, bond_dim, **kw
+        )
+    )
+    PEPS.zeros = classmethod(
+        lambda cls, Lx, Ly, bond_dim, **kw: _b.PEPS_zeros(
+            Lx, Ly, bond_dim, **kw
+        )
+    )
+    PEPS.empty = PEPS.zeros
+    PEPS.product_state = classmethod(
+        lambda cls, site_map, **kw: _b.PEPS_product_state(
+            site_map, **kw
+        )
+    )
+
+    def _peps_vacuum(cls, Lx, Ly, phys_dim=2, **kw):
+        return _b.PEPS_computational_state(
+            "0" * (Lx * Ly), Lx=Lx, Ly=Ly, **kw
+        )
+
+    PEPS.vacuum = classmethod(_peps_vacuum)
+
+    def _peps_ones(cls, Lx, Ly, bond_dim, phys_dim=2, **kw):
+        return _peps_from_fill_fn(
+            cls, lambda s: jnp.ones(s), Lx, Ly, bond_dim,
+            phys_dim=phys_dim, **kw
+        )
+
+    def _peps_from_fill_fn(cls, fill_fn, Lx, Ly, bond_dim,
+                           phys_dim=2, **kw):
+        arrays = []
+        for i in range(Lx):
+            row = []
+            for j in range(Ly):
+                shape = []
+                if i < Lx - 1:
+                    shape.append(bond_dim)
+                if j < Ly - 1:
+                    shape.append(bond_dim)
+                if i > 0:
+                    shape.append(bond_dim)
+                if j > 0:
+                    shape.append(bond_dim)
+                shape.append(phys_dim)
+                row.append(fill_fn(tuple(shape)))
+            arrays.append(row)
+        return cls(arrays, shape="urdlp", **kw)
+
+    PEPS.ones = classmethod(_peps_ones)
+    PEPS.from_fill_fn = classmethod(_peps_from_fill_fn)
+
+    def _peps_add(self, other, inplace=False, **kwargs):
+        """Direct-sum add another PEPS (reference ``add_PEPS``)."""
+        from ..tnag.core import tensor_network_ag_sum
+
+        return tensor_network_ag_sum(
+            self, other, site_tags=self.site_tags,
+            inplace=inplace, **kwargs,
+        )
+
+    PEPS.add_PEPS = _peps_add
+    PEPS.add_PEPS_ = functools.partialmethod(_peps_add, inplace=True)
+    PEPS.__add__ = lambda self, other: _peps_add(self, other)
+    PEPS.show = lambda self: TensorNetwork2D.show(self)
+
+
+_wire_peps_constructors()
+
+
+# ---------------------------------------------------------------------------
+# 2D vector + PEPO parity extras (reference tn2d/core.py:4700-5420)
+# ---------------------------------------------------------------------------
+
+def _2dv_reindex_sites(self, new_id, where=None, inplace=False):
+    """Change the physical index format (reference
+    ``reindex_sites``)."""
+    if where is None:
+        where = tuple(self.gen_site_coos())
+    tn = self if inplace else self.copy()
+    tn.reindex_({
+        self.site_ind(*c): new_id.format(*c) for c in where
+        if self.site_ind(*c) in tn.ind_map
+    })
+    return tn
+
+
+def _2dv_compute_norm(self, max_bond=None, cutoff=1e-10, **opts):
+    """The 2-norm squared ``<psi|psi>`` via boundary contraction
+    (reference ``compute_norm``)."""
+    return self.norm2(max_bond=max_bond, cutoff=cutoff, **opts)
+
+
+def _2dv_normalize(self, max_bond=None, cutoff=1e-10, inplace=False,
+                   **opts):
+    """Scale so ``<psi|psi> = 1`` within boundary-contraction
+    accuracy (reference ``normalize``)."""
+    tn = self if inplace else self.copy()
+    n2 = _2dv_compute_norm(tn, max_bond=max_bond, cutoff=cutoff,
+                           **opts)
+    tn.multiply_(float(abs(n2)) ** -0.5, spread_over="all")
+    return tn
+
+
+TensorNetwork2DVector.reindex_sites = _2dv_reindex_sites
+TensorNetwork2DVector.reindex_sites_ = functools.partialmethod(
+    _2dv_reindex_sites, inplace=True)
+TensorNetwork2DVector.compute_norm = _2dv_compute_norm
+TensorNetwork2DVector.normalize = _2dv_normalize
+TensorNetwork2DVector.normalize_ = functools.partialmethod(
+    _2dv_normalize, inplace=True)
+
+
+def _pepo_from_fill_fn(cls, fill_fn, Lx, Ly, bond_dim, phys_dim=2,
+                       **pepo_opts):
+    """Build a PEPO by calling ``fill_fn(shape)`` per site (reference
+    ``PEPO.from_fill_fn`` tn2d/core.py:5231)."""
+    arrays = []
+    for i in range(Lx):
+        row = []
+        for j in range(Ly):
+            shape = []
+            if i < Lx - 1:
+                shape.append(bond_dim)
+            if j < Ly - 1:
+                shape.append(bond_dim)
+            if i > 0:
+                shape.append(bond_dim)
+            if j > 0:
+                shape.append(bond_dim)
+            shape += [phys_dim, phys_dim]
+            row.append(fill_fn(tuple(shape)))
+        arrays.append(row)
+    return cls(arrays, shape="urdlbk", **pepo_opts)
+
+
+def _pepo_rand(cls, Lx, Ly, bond_dim, phys_dim=2, herm=False,
+               dtype=None, seed=None, **pepo_opts):
+    """A random (optionally hermitian) PEPO (reference ``PEPO.rand``
+    tn2d/core.py:5291)."""
+    from ...gen.rand import randn
+    from ...config import get_default_dtype
+
+    dtype = dtype or get_default_dtype()
+    counter = itertools.count()
+
+    def fill_fn(shape):
+        s = None if seed is None else seed + next(counter)
+        X = randn(shape, dtype=dtype, seed=s)
+        if herm:
+            perm = list(range(len(shape)))
+            perm[-2], perm[-1] = perm[-1], perm[-2]
+            X = (jnp.conj(X) + jnp.transpose(X, perm)) / 2
+        return X
+
+    return _pepo_from_fill_fn(cls, fill_fn, Lx, Ly, bond_dim,
+                              phys_dim=phys_dim, **pepo_opts)
+
+
+def _pepo_zeros(cls, Lx, Ly, bond_dim, phys_dim=2, dtype=None,
+                **pepo_opts):
+    from ...config import get_default_dtype
+
+    dtype = dtype or get_default_dtype()
+    return _pepo_from_fill_fn(
+        cls, lambda s: jnp.zeros(s, dtype=dtype), Lx, Ly, bond_dim,
+        phys_dim=phys_dim, **pepo_opts,
+    )
+
+
+def _pepo_add(self, other, inplace=False):
+    """Direct-sum add another PEPO (reference ``add_PEPO``
+    tn2d/core.py:5404)."""
+    from ..tnag.core import tensor_network_ag_sum
+
+    return tensor_network_ag_sum(
+        self, other, site_tags=self.site_tags, inplace=inplace,
+    )
+
+
+PEPO.from_fill_fn = classmethod(_pepo_from_fill_fn)
+PEPO.rand = classmethod(_pepo_rand)
+def _pepo_rand_herm(cls, *args, **kwargs):
+    kwargs.setdefault("herm", True)
+    return _pepo_rand(cls, *args, **kwargs)
+
+
+PEPO.rand_herm = classmethod(_pepo_rand_herm)
+PEPO.zeros = classmethod(_pepo_zeros)
+PEPO.add_PEPO = _pepo_add
+PEPO.add_PEPO_ = functools.partialmethod(_pepo_add, inplace=True)
+
+
+def _pepo_to_dense(self, *inds_seq, **contract_opts):
+    """Dense matrix form, rows indexed by the upper (ket) indices
+    (reference ``PEPO.to_dense``)."""
+    if not inds_seq:
+        coos = tuple(self.gen_site_coos())
+        inds_seq = (
+            tuple(self.upper_ind(i, j) for i, j in coos),
+            tuple(self.lower_ind(i, j) for i, j in coos),
+        )
+    t = self.contract(
+        ..., output_inds=tuple(ix for g in inds_seq for ix in g),
+        preserve_tensor=True, **contract_opts,
+    )
+    d = int(np.prod([self.ind_size(ix) for ix in inds_seq[0]]))
+    return jnp.reshape(t.data, (d, -1))
+
+
+PEPO.to_dense = _pepo_to_dense

@@ -907,7 +907,7 @@ def tensor_network_apply_op_vec(A, x, which_A="lower", contract=False,
 
     sites_present = tuple(A.gen_sites_present())
     x.reindex_sites_(inner_ind_id, where=sites_present)
-    x.add_tensor_network(A, virtual=True, check_collisions=False)
+    x.add_tensor_network(A, virtual=True, check_collisions=True)
 
     if contract:
         for site in sites_present:
@@ -952,7 +952,7 @@ def tensor_network_apply_op_op(A, B, which_A="lower", which_B="upper",
     else:
         raise ValueError("invalid which_A/which_B combination")
 
-    B.add_tensor_network(A, virtual=True, check_collisions=False)
+    B.add_tensor_network(A, virtual=True, check_collisions=True)
 
     if contract:
         for site in B.gen_sites_present():
@@ -986,3 +986,601 @@ def tensor_network_ag_gate_simple(self, G, where, gauges,
     return TensorNetworkGenVector.gate_simple_(
         self, G, where, gauges, renorm=renorm, **gate_opts
     )
+
+
+# ---------------------------------------------------------------------------
+# TensorNetworkGen(Vector) method parity layer (reference tnag/core.py)
+# ---------------------------------------------------------------------------
+
+def _agv_site_inds_present(self):
+    return tuple(
+        self.site_ind(s) for s in self.gen_sites_present()
+    )
+
+
+def _agv_gen_inds_from_coos(self, coos):
+    return tuple(self.site_ind(c) for c in coos)
+
+
+def _agv_reindex_all(self, new_id, inplace=False):
+    """Reindex every site index to a new format id (reference
+    ``reindex_all``)."""
+    tn = self if inplace else self.copy()
+    tn.reindex_sites_(new_id)
+    tn._site_ind_id = new_id
+    return tn
+
+
+def _agv_reset_cached_properties(self):
+    return self
+
+
+def _agv_get_cluster(self, sites, max_distance=1, virtual=False):
+    """The local cluster of tensors around ``sites`` (reference
+    ``get_cluster``)."""
+    region = self._site_neighborhood(
+        tuple(sites), max_distance=max_distance
+    )
+    ts = []
+    for s in region:
+        ts.extend(self.select_tensors(self.site_tag(s), "any"))
+    return TensorNetwork(ts, virtual=virtual)
+
+
+def _agv_make_reduced_density_matrix(self, where, max_distance=None,
+                                     **kwargs):
+    """The (lazy) reduced density operator network of ``where``
+    (reference ``make_reduced_density_matrix``)."""
+    if not isinstance(where, (tuple, list)):
+        where = (where,)
+    ket = self.copy()
+    bra = ket.conj()
+    bix = {self.site_ind(s): f"__rho_b{s}__" for s in where}
+    bra.reindex_(bix)
+    bra.mangle_inner_("*")
+    return TensorNetwork((ket, bra), virtual=True)
+
+
+def _agv_partial_trace_exact(self, where, optimize="auto",
+                             **contract_opts):
+    """Dense reduced density matrix by exact contraction (reference
+    ``partial_trace_exact``)."""
+    if not isinstance(where, (tuple, list)):
+        where = (where,)
+    rho_tn = _agv_make_reduced_density_matrix(self, where)
+    kix = [self.site_ind(s) for s in where]
+    bix = [f"__rho_b{s}__" for s in where]
+    t = rho_tn.contract(
+        ..., output_inds=(*kix, *bix), preserve_tensor=True,
+        optimize=optimize, **contract_opts,
+    )
+    d = int(np.prod([self.ind_size(ix) for ix in kix]))
+    rho = jnp.reshape(t.data, (d, d))
+    tr = jnp.trace(rho)
+    return rho / tr
+
+
+def _agv_partial_trace_cluster(self, where, max_distance=1,
+                               gauges=None, **contract_opts):
+    """Reduced density matrix from the local cluster with
+    simple-gauge boundary capping (reference
+    ``partial_trace_cluster``)."""
+    if not isinstance(where, (tuple, list)):
+        where = (where,)
+    cluster = _agv_get_cluster(self, where,
+                               max_distance=max_distance)
+    cluster = cluster.copy()
+    if gauges:
+        # absorb sqrt gauges on boundary bonds
+        for ix, s in gauges.items():
+            tids = tuple(cluster.ind_map.get(ix, ()))
+            g = jnp.sqrt(s)
+            for tid in tids:
+                cluster.tensor_map[tid].multiply_index_diagonal_(
+                    ix, g
+                )
+    ket_inds = [self.site_ind(s) for s in where]
+    bra = cluster.conj()
+    bix = {ix: ix + "__b__" for ix in ket_inds}
+    bra.reindex_(bix)
+    bra.mangle_inner_("*")
+    rho_tn = TensorNetwork((cluster, bra), virtual=True)
+    t = rho_tn.contract(
+        ..., output_inds=(*ket_inds, *bix.values()),
+        preserve_tensor=True, **contract_opts,
+    )
+    d = int(np.prod([self.ind_size(ix) for ix in ket_inds]))
+    rho = jnp.reshape(t.data, (d, d))
+    return rho / jnp.trace(rho)
+
+
+def _agv_partial_trace(self, where, method="exact", **kwargs):
+    if method == "exact":
+        return _agv_partial_trace_exact(self, where, **kwargs)
+    return _agv_partial_trace_cluster(self, where, **kwargs)
+
+
+def _agv_sample_configuration_cluster(self, seed=None, max_distance=1,
+                                      gauges=None, **kwargs):
+    """Sample a basis configuration site by site from cluster
+    marginals (reference ``sample_configuration_cluster``)."""
+    rng = np.random.default_rng(seed)
+    psi = self.copy()
+    config = {}
+    omega = 1.0
+    for s in psi.sites:
+        rho = _agv_partial_trace_cluster(
+            psi, (s,), max_distance=max_distance, gauges=gauges,
+            **kwargs,
+        )
+        p = jnp.clip(jnp.real(jnp.diagonal(rho)), 0.0, None)
+        p = np.asarray(p / jnp.sum(p), dtype=float)
+        v = int(rng.choice(p.size, p=p))
+        config[s] = v
+        omega *= float(p[v])
+        psi.isel_({psi.site_ind(s): v})
+    return config, omega
+
+
+def _agv_gate_with_op_lazy(self, A, inplace=False, **kwargs):
+    """Lazily apply an operator TN (reference
+    ``gate_with_op_lazy``)."""
+    return tensor_network_apply_op_vec(
+        A, self, inplace=inplace, **kwargs
+    )
+
+
+def _agv_gate_fit_local_(self, G, where, max_distance=1, **fit_opts):
+    """Apply a gate by fitting the local cluster (reference
+    ``gate_fit_local_``): here falls back to reduce-split gating,
+    which is exact up to the same bond truncation."""
+    return self.gate_(G, where, contract="reduce-split", **fit_opts)
+
+
+def _wire_agv_parity():
+    V = TensorNetworkGenVector
+    V.site_inds_present = property(_agv_site_inds_present)
+    V.gen_inds_from_coos = _agv_gen_inds_from_coos
+    V.reindex_all = _agv_reindex_all
+    V.reindex_all_ = functools.partialmethod(_agv_reindex_all,
+                                             inplace=True)
+    V.reset_cached_properties = _agv_reset_cached_properties
+    TensorNetworkGen.reset_cached_properties = \
+        _agv_reset_cached_properties
+    V.get_cluster = _agv_get_cluster
+    V.make_reduced_density_matrix = _agv_make_reduced_density_matrix
+    V.partial_trace_exact = _agv_partial_trace_exact
+    V.partial_trace_cluster = _agv_partial_trace_cluster
+    V.partial_trace = _agv_partial_trace
+    V.sample_configuration_cluster = _agv_sample_configuration_cluster
+    V.gate_with_op_lazy = _agv_gate_with_op_lazy
+    V.gate_with_op_lazy_ = functools.partialmethod(
+        _agv_gate_with_op_lazy, inplace=True
+    )
+    V.gate_fit_local_ = _agv_gate_fit_local_
+    # expectation-variant aliases over the existing dispatcher
+    V.local_expectation_simple = V.local_expectation_cluster
+    V.local_expectation_sloop_expand = \
+        V.local_expectation_gloop_expand
+    V.compute_local_expectation_simple = functools.partialmethod(
+        V.compute_local_expectation, method="cluster"
+    )
+    V.compute_local_expectation_gloop_expand = \
+        functools.partialmethod(
+            V.compute_local_expectation, method="gloop"
+        )
+    V.compute_local_expectation_sloop_expand = \
+        functools.partialmethod(
+            V.compute_local_expectation, method="gloop"
+        )
+    V.compute_local_expectation_tn = functools.partialmethod(
+        V.compute_local_expectation, method="exact"
+    )
+
+    def compute_local_expectation_rehearse(self, terms, **kwargs):
+        """Report the clusters/contractions that a local-expectation
+        computation would perform, without contracting (reference
+        ``compute_local_expectation_rehearse``)."""
+        out = {}
+        for where in terms:
+            w = where if isinstance(where, (tuple, list)) else \
+                (where,)
+            cluster = _agv_get_cluster(self, tuple(w))
+            out[where] = {
+                "num_tensors": cluster.num_tensors,
+                "inds": tuple(cluster.all_inds()),
+            }
+        return out
+
+    V.compute_local_expectation_rehearse = \
+        compute_local_expectation_rehearse
+
+
+_wire_agv_parity()
+
+
+# ---------------------------------------------------------------------------
+# generic-geometry method parity layer (reference tnag/core.py:860-1500)
+# ---------------------------------------------------------------------------
+
+def _ag_tid_to_site_map(self):
+    """Map each tensor id to the site it represents (single tensor per
+    site assumed, extra tensors skipped)."""
+    tid2site = {}
+    for site in self.gen_sites_present():
+        tids = self.tag_map.get(self.site_tag(site), ())
+        if len(tids) == 1:
+            tid2site[next(iter(tids))] = site
+    return tid2site
+
+
+def _ag_has_site(self, site):
+    try:
+        return site in set(self._sites)
+    except TypeError:
+        return False
+
+
+def _ag_gen_site_coos(self):
+    return self._sites
+
+
+def _ag_retag_sites(self, new_id, where=None, inplace=False):
+    """Change the site tags to follow format ``new_id`` (without
+    changing ``site_tag_id``; reference ``retag_sites``
+    tnag/core.py:917)."""
+    if where is None:
+        where = self.gen_sites_present()
+    return self.retag(
+        {self.site_tag(x): new_id.format(x) for x in where},
+        inplace=inplace,
+    )
+
+
+def _ag_retag_all(self, new_id, inplace=False):
+    """Retag all sites and update ``site_tag_id`` (reference
+    ``retag_all`` tnag/core.py:958)."""
+    tn = self if inplace else self.copy()
+    _ag_retag_sites(tn, new_id, inplace=True)
+    tn._site_tag_id = new_id
+    return tn
+
+
+def _ag_filter_valid_site_tags(self, tags):
+    """The subset of ``tags`` that are site tags (reference
+    ``filter_valid_site_tags`` tnag/core.py:972)."""
+    valid = set(self.site_tags)
+    return oset(sorted(valid.intersection(tags), key=str))
+
+
+def _ag_gen_tags_from_coos(self, coos):
+    return map(self.site_tag, coos)
+
+
+def _ag_select_sites(self, sites, virtual=True, with_exponent=False):
+    """Sub-network of just the given sites (reference ``select_sites``
+    tnag/core.py:1012)."""
+    tags = tuple(map(self.site_tag, sites))
+    return self.select(tags, which="any", virtual=virtual)
+
+
+def _ag_gen_bond_coos(self):
+    """Pairs of sites connected by at least one bond (reference
+    ``gen_bond_coos`` tnag/core.py:1074)."""
+    return self.gen_bonds()
+
+
+def _ag_get_site_neighbor_map(self):
+    """Map each present site to its neighbouring sites (reference
+    ``get_site_neighbor_map`` tnag/core.py:1088)."""
+    return {
+        site: tuple(self.neighbors(site))
+        for site in self.gen_sites_present()
+    }
+
+
+def _ag_gen_gloops_sites(self, max_size=None, sites=None,
+                         grow_from="all", num_joins=1, join_overlap=2):
+    """Generalized loops as tuples of *sites* rather than tids
+    (reference ``gen_gloops_sites`` tnag/core.py:1098)."""
+    from ..networking import gen_gloops
+
+    tid2site = _ag_tid_to_site_map(self)
+    want = set(sites) if sites is not None else None
+    for gloop in gen_gloops(self, max_size=max_size):
+        sl = tuple(tid2site.get(tid) for tid in gloop)
+        if any(s is None for s in sl):
+            continue
+        if want is not None:
+            if grow_from.startswith("all"):
+                if not want.issubset(sl):
+                    continue
+            elif not (want & set(sl)):
+                continue
+        yield sl
+
+
+def _ag_get_local_loops(self, gen, *, tids=None, where=None,
+                        loops=None, grow_from="all", num_joins=1,
+                        intersect=False, strict_size=False, info=None):
+    from ..networking import gen_gloops, gen_sloops  # noqa: F401
+
+    tid2site = _ag_tid_to_site_map(self)
+    if loops is None or isinstance(loops, int):
+        max_size = loops if isinstance(loops, int) else None
+        raw = (
+            tuple(tid2site.get(tid) for tid in lp)
+            for lp in gen(self, max_size)
+        )
+        loops = tuple(
+            lp for lp in raw if not any(s is None for s in lp)
+        )
+    else:
+        loops = tuple(tuple(lp) for lp in loops)
+    if where is not None:
+        w = set(where)
+        if grow_from.startswith("all"):
+            loops = tuple(
+                lp for lp in loops if w.issubset(lp)
+            )
+        else:
+            loops = tuple(lp for lp in loops if w & set(lp))
+    if isinstance(strict_size, int) and not isinstance(
+        strict_size, bool
+    ):
+        loops = tuple(lp for lp in loops if len(lp) <= strict_size)
+    return loops
+
+
+def _ag_get_local_gloops(self, *, tids=None, where=None, gloops=None,
+                         grow_from="all", num_joins=1,
+                         strict_size=False, info=None):
+    """The generalized loops relevant to the sites ``where``
+    (reference ``get_local_gloops`` tnag/core.py:1394)."""
+    from ..networking import gen_gloops
+
+    return _ag_get_local_loops(
+        self, lambda tn, ms: gen_gloops(tn, max_size=ms),
+        tids=tids, where=where, loops=gloops, grow_from=grow_from,
+        num_joins=num_joins, strict_size=strict_size, info=info,
+    )
+
+
+def _ag_get_local_sloops(self, *, where=None, sloops=None,
+                         num_joins=1, intersect=False,
+                         grow_from="all", strict_size=False,
+                         info=None):
+    """The simple (chordless) loops relevant to the sites ``where``
+    (reference ``get_local_sloops`` tnag/core.py:1260)."""
+    from ..networking import gen_sloops
+
+    return _ag_get_local_loops(
+        self, lambda tn, ms: gen_sloops(tn, max_loop_length=ms),
+        where=where, loops=sloops, grow_from=grow_from,
+        num_joins=num_joins, intersect=intersect,
+        strict_size=strict_size, info=info,
+    )
+
+
+def _ag_align(self, *args, inplace=False, **kwargs):
+    """Align this TN with others for contraction (reference ``align``
+    tnag/core.py:1167)."""
+    return tensor_network_align(self, *args, **kwargs)[0]
+
+
+def _ag_flatten(self, fuse_multibonds=True, inplace=False,
+                **contract_opts):
+    """Contract all tensors at each site to one tensor per site
+    (reference ``flatten`` tnag/core.py:1184)."""
+    tn = self if inplace else self.copy()
+    for site in tn.gen_sites_present():
+        tag = tn.site_tag(site)
+        if len(tn.tag_map.get(tag, ())) > 1:
+            tn.contract_tags_(tag, which="any", **contract_opts)
+    if fuse_multibonds:
+        tn.fuse_multibonds_()
+    return tn
+
+
+def _wire_ag_parity():
+    G = TensorNetworkGen
+    G.gen_site_coos = _ag_gen_site_coos
+    G.has_site = _ag_has_site
+    G.retag_sites = _ag_retag_sites
+    G.site_tags_present = property(lambda self: tuple(
+        map(self.site_tag, self.gen_sites_present())))
+    G.retag_all = _ag_retag_all
+    G.retag_all_ = functools.partialmethod(_ag_retag_all,
+                                           inplace=True)
+    G.filter_valid_site_tags = _ag_filter_valid_site_tags
+    G.gen_tags_from_coos = _ag_gen_tags_from_coos
+    G.select_sites = _ag_select_sites
+    G.gen_bond_coos = _ag_gen_bond_coos
+    G.get_site_neighbor_map = _ag_get_site_neighbor_map
+    G.gen_gloops_sites = _ag_gen_gloops_sites
+    G.get_local_gloops = _ag_get_local_gloops
+    G.get_local_sloops = _ag_get_local_sloops
+    G.align = _ag_align
+    G.align_ = functools.partialmethod(_ag_align, inplace=True)
+    G.flatten = _ag_flatten
+    G.flatten_ = functools.partialmethod(_ag_flatten, inplace=True)
+    # settable site_tag_id, retagging on assignment
+    def _set_site_tag_id(self, new_id):
+        if self._site_tag_id != new_id:
+            _ag_retag_sites(self, new_id, inplace=True)
+            self._site_tag_id = new_id
+    G.site_tag_id = property(
+        lambda self: self._site_tag_id, _set_site_tag_id
+    )
+    # normalize_simple is geometry-generic: share the vector impl
+    G.normalize_simple = TensorNetworkGenVector.normalize_simple
+
+
+_wire_ag_parity()
+
+
+# ---------------------------------------------------------------------------
+# TensorNetworkGenOperator method parity layer (reference
+# tnag/core.py:3690-4200)
+# ---------------------------------------------------------------------------
+
+def _conj_arr(G):
+    return G.conj() if hasattr(G, "conj") else np.conj(G)
+
+
+def _ago_gate(self, G, where, which=None, contract="reduce-split",
+              tags=None, inplace=False, **opts):
+    """Gate an operator TN at ``where`` on its upper, lower or both
+    ('sandwich', :math:`X \\to G X G^\\dagger`) physical indices
+    (reference ``tensor_network_ag_gate`` tnag/core.py:518)."""
+    from ..gating import tensor_network_gate_inds
+
+    tn = self if inplace else self.copy()
+    if tn.has_site(where):
+        where = (where,)
+    else:
+        where = tuple(where)
+    if which is None:
+        which = "sandwich"
+    if which in ("sandwich", "both"):
+        _ago_gate(tn, G, where, which="upper", contract=contract,
+                  tags=tags, inplace=True, **opts)
+        # lower indices transform with conj(G):
+        # (G X Gd)_{ul} = G_{uu'} X_{u'l'} conj(G)_{ll'}
+        _ago_gate(tn, _conj_arr(G), where, which="lower",
+                  contract=contract, tags=tags, inplace=True, **opts)
+        return tn
+    if which == "upper":
+        inds = tuple(tn.upper_ind(s) for s in where)
+    elif which == "lower":
+        inds = tuple(tn.lower_ind(s) for s in where)
+    else:
+        raise ValueError(f"bad which: {which}")
+    if len(inds) == 1:
+        contract = True
+    tensor_network_gate_inds(
+        tn, G, inds, contract=contract, tags=tags, inplace=True,
+        **opts,
+    )
+    return tn
+
+
+def _ago_apply(self, other, compress=False, contract=True,
+               inplace=False, **compress_opts):
+    """Act with this operator TN on a vector or operator TN,
+    returning a TN with the outer structure of ``other`` (reference
+    ``apply`` tnag/core.py:4043)."""
+    if hasattr(other, "upper_ind_id"):
+        return tensor_network_apply_op_op(
+            self, other, contract=contract, compress=compress,
+            inplace_A=inplace, **compress_opts,
+        )
+    return tensor_network_apply_op_vec(
+        self, other, contract=contract, compress=compress,
+        inplace_A=inplace, **compress_opts,
+    )
+
+
+def _ago_gate_upper_with_op_lazy(self, A, transpose=False,
+                                 inplace=False):
+    """Lazily pre-apply operator TN ``A``: ``B -> A B`` (or ``A^T B``;
+    reference ``gate_upper_with_op_lazy`` tnag/core.py:3902)."""
+    return tensor_network_apply_op_op(
+        A, self, which_A="upper" if transpose else "lower",
+        which_B="upper", contract=False, inplace=inplace,
+    )
+
+
+def _ago_gate_lower_with_op_lazy(self, A, transpose=False,
+                                 inplace=False):
+    """Lazily post-apply operator TN ``A``: ``B -> B A`` (or
+    ``B A^T``; reference ``gate_lower_with_op_lazy``
+    tnag/core.py:3956)."""
+    return tensor_network_apply_op_op(
+        A, self, which_A="lower" if transpose else "upper",
+        which_B="lower", contract=False, inplace=inplace,
+    )
+
+
+def _ago_gate_sandwich_with_op_lazy(self, A, inplace=False):
+    """Lazily conjugate by operator TN ``A``:
+    ``B -> A B A^\\dagger`` (reference ``gate_sandwich_with_op_lazy``
+    tnag/core.py:4011)."""
+    B = self if inplace else self.copy()
+    _ago_gate_upper_with_op_lazy(B, A, inplace=True)
+    _ago_gate_lower_with_op_lazy(B, A.conj(), transpose=True,
+                                 inplace=True)
+    return B
+
+
+def _ago_partial_transpose(self, sysa, inplace=False):
+    """Swap upper and lower physical indices on the sites ``sysa``
+    (reference ``partial_transpose`` tnag/core.py:4154)."""
+    tn = self if inplace else self.copy()
+    if tn.has_site(sysa):
+        sysa = (sysa,)
+    else:
+        sysa = tuple(sysa)
+    tmp = {s: rand_uuid() for s in sysa}
+    tn.reindex_({tn.upper_ind(s): tmp[s] for s in sysa})
+    tn.reindex_({tn.lower_ind(s): tn.upper_ind(s) for s in sysa})
+    tn.reindex_({tmp[s]: tn.lower_ind(s) for s in sysa})
+    return tn
+
+
+def _ago_phys_dim(self, site=None, which="upper"):
+    if site is None:
+        site = next(iter(self.gen_sites_present()))
+    ix = self.upper_ind(site) if which == "upper" else \
+        self.lower_ind(site)
+    return self.ind_size(ix)
+
+
+def _wire_ago_parity():
+    O = TensorNetworkGenOperator
+    O.upper_inds = property(lambda self: tuple(
+        map(self.upper_ind, self._sites)))
+    O.upper_inds_present = property(lambda self: tuple(
+        self.upper_ind(s) for s in self.gen_sites_present()
+        if self.upper_ind(s) in self.ind_map))
+    O.lower_inds = property(lambda self: tuple(
+        map(self.lower_ind, self._sites)))
+    O.lower_inds_present = property(lambda self: tuple(
+        self.lower_ind(s) for s in self.gen_sites_present()
+        if self.lower_ind(s) in self.ind_map))
+    O.phys_dim = _ago_phys_dim
+    O.gate = _ago_gate
+    O.gate_ = functools.partialmethod(_ago_gate, inplace=True)
+    O.gate_sandwich = functools.partialmethod(_ago_gate,
+                                              which="sandwich")
+    O.gate_sandwich_ = functools.partialmethod(
+        _ago_gate, which="sandwich", inplace=True)
+    O.gate_upper = functools.partialmethod(_ago_gate, which="upper")
+    O.gate_upper_ = functools.partialmethod(_ago_gate, which="upper",
+                                            inplace=True)
+    O.gate_lower = functools.partialmethod(_ago_gate, which="lower")
+    O.gate_lower_ = functools.partialmethod(_ago_gate, which="lower",
+                                            inplace=True)
+    # the simple-gauge gate implementation is index-agnostic (it works
+    # through ``gate_``): share the vector implementation
+    O.gate_simple = TensorNetworkGenVector.gate_simple
+    O.gate_simple_ = functools.partialmethod(O.gate_simple,
+                                             inplace=True)
+    O.gate_upper_with_op_lazy = _ago_gate_upper_with_op_lazy
+    O.gate_upper_with_op_lazy_ = functools.partialmethod(
+        _ago_gate_upper_with_op_lazy, inplace=True)
+    O.gate_lower_with_op_lazy = _ago_gate_lower_with_op_lazy
+    O.gate_lower_with_op_lazy_ = functools.partialmethod(
+        _ago_gate_lower_with_op_lazy, inplace=True)
+    O.gate_sandwich_with_op_lazy = _ago_gate_sandwich_with_op_lazy
+    O.gate_sandwich_with_op_lazy_ = functools.partialmethod(
+        _ago_gate_sandwich_with_op_lazy, inplace=True)
+    O.apply = _ago_apply
+    O.apply_ = functools.partialmethod(_ago_apply, inplace=True)
+    O.dot = _ago_apply
+    O.partial_transpose = _ago_partial_transpose
+    O.partial_transpose_ = functools.partialmethod(
+        _ago_partial_transpose, inplace=True)
+
+
+_wire_ago_parity()

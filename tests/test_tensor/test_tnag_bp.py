@@ -493,7 +493,7 @@ class TestBPSamplingCompression:
         # BP marginals are approximate on loopy instances: a small
         # fraction of samples can be unsatisfying, so check a batch
         n_sat = 0
-        for seed in range(4):
+        for seed in range(6):
             config, _, _ = sample_hv1bp(
                 htn, seed=seed, max_iterations=200, tol=1e-10
             )
