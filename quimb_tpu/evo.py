@@ -210,6 +210,10 @@ class Evolution:
 
     # -- setup ------------------------------------------------------------
 
+    #: results of the ``compute`` callback(s), if any (reference
+    #: ``Evolution.results`` evo.py:701)
+    results = None
+
     def _setup_callbacks(self, compute):
         if compute is None:
             self._computes = None

@@ -181,3 +181,92 @@ def TTN_randtree_rand(sites, max_bond, phys_dim=2, group_size=2,
     if iso:
         tn.isometrize_()
     return tn
+
+
+# ---------------------------------------------------------------------------
+# parity extras (reference merabuilder.py:80-240, 539)
+# ---------------------------------------------------------------------------
+
+def _tngi_layer_ind_id(self):
+    """The format of per-layer open index labels."""
+    return getattr(self, "_layer_ind_id", "__layer_{}__")
+
+
+def _tngi_layer_ind(self, site):
+    """The current open (top) index above ``site``."""
+    if site in self._open:
+        return self._open[site]
+    return self.layer_ind_id.format(site)
+
+
+def _tngi_layer_gate_raw(self, G, where, iso=True, new_sites=None,
+                         tags=None, all_site_tags=None):
+    """Place a raw tensor ``G`` at ``where``: dispatches on its shape
+    to unitary (ndim == 2*len(where)), isometry/tree (one new open
+    index) or cap (no new index) placement (reference
+    ``layer_gate_raw`` merabuilder.py:86)."""
+    G = np.asarray(G) if not hasattr(G, "ndim") else G
+    k = G.ndim - len(where)
+    if k == len(where):
+        return self.layer_unitary(G, tuple(where), tags=tags)
+    if k == 1:
+        new_site = None if new_sites is None else new_sites[0]
+        return self.layer_isometry(
+            G, tuple(where), new_site=new_site,
+            dim=G.shape[-1], tags=tags,
+        )
+    if k == 0:
+        return self.layer_cap(G, tuple(where), tags=tags)
+    raise ValueError(
+        f"array with {G.ndim} dims doesn't match {len(where)} sites"
+    )
+
+
+def _tngi_layer_gate_fill_fn(self, fill_fn, operation, where,
+                             max_bond, new_sites=None, tags=None,
+                             all_site_tags=None):
+    """Place a new tensor at ``where`` with data from
+    ``fill_fn(shape)`` (reference ``layer_gate_fill_fn``
+    merabuilder.py:199). ``operation`` is one of
+    {'uni', 'iso', 'tree', 'cap', 'treecap'}."""
+    dims = [self._open_dims[s] for s in where]
+    if operation == "uni":
+        shape = (*dims, *dims)
+        return self.layer_unitary(fill_fn(shape), tuple(where),
+                                  tags=tags)
+    if operation in ("iso", "tree"):
+        dim = min(max_bond, int(np.prod(dims)))
+        shape = (*dims, dim)
+        new_site = None if new_sites is None else new_sites[0]
+        return self.layer_isometry(
+            fill_fn(shape), tuple(where), new_site=new_site, dim=dim,
+            tags=tags,
+        )
+    if operation in ("cap", "treecap"):
+        return self.layer_cap(fill_fn(tuple(dims)), tuple(where),
+                              tags=tags)
+    raise ValueError(f"unknown operation {operation!r}")
+
+
+def calc_1d_unis_isos(sites, block_size=2, cyclic=True,
+                      group_from_right=False):
+    """The (unitary, isometry) site groupings of one 1D MERA layer
+    (reference ``calc_1d_unis_isos`` merabuilder.py:539)."""
+    n = len(sites)
+    unis = []
+    if n > 2:
+        for i in range(n // block_size):
+            a = (block_size * i + 1) % n
+            b = (block_size * i + 2) % n
+            if a < n and (b != 0 or cyclic):
+                unis.append((sites[a], sites[b % n]))
+    isos = []
+    for i in range(0, n - block_size + 1, block_size):
+        isos.append(tuple(sites[i:i + block_size]))
+    return unis, isos
+
+
+TensorNetworkGenIso.layer_ind_id = property(_tngi_layer_ind_id)
+TensorNetworkGenIso.layer_ind = _tngi_layer_ind
+TensorNetworkGenIso.layer_gate_raw = _tngi_layer_gate_raw
+TensorNetworkGenIso.layer_gate_fill_fn = _tngi_layer_gate_fill_fn

@@ -51,18 +51,197 @@ class HilbertSpace:
             self._sites = tuple(range(nsites))
         else:
             # reference signature: a sequence of (hashable) site labels
-            self._sites = tuple(nsites)
+            try:
+                self._sites = tuple(sorted(nsites))
+            except TypeError:
+                self._sites = tuple(sorted(nsites, key=str))
             nsites = len(self._sites)
-        self.nsites = nsites
-        self.symmetry, self.sector = parse_symmetry(
+        self._nsites = nsites
+        self._symmetry, self._sector = parse_symmetry(
             symmetry, nsites, sector
         )
         self._configs = None
         self._rank_lookup = None
+        self._site_to_reg = None
+
+    @property
+    def nsites(self):
+        return self._nsites
+
+    @property
+    def symmetry(self):
+        return self._symmetry
+
+    @property
+    def sector(self):
+        return self._sector
 
     @property
     def sites(self):
         return self._sites
+
+    @classmethod
+    def from_edges(cls, edges, order=None):
+        """Create from the unique sites in a list of edges (reference
+        ``HilbertSpace.from_edges`` hilbertspace.py:361)."""
+        sites = set()
+        for i, j in edges:
+            sites.add(i)
+            sites.add(j)
+        try:
+            sites = sorted(sites)
+        except TypeError:
+            sites = sorted(sites, key=str)
+        hs = cls(sites)
+        if order is not None:
+            hs.set_ordering(order)
+        return hs
+
+    def set_ordering(self, order):
+        """Reorder the sites (register assignment); resets caches
+        (reference ``set_ordering`` hilbertspace.py:323)."""
+        if order is None:
+            try:
+                self._sites = tuple(sorted(self._sites))
+            except TypeError:
+                self._sites = tuple(sorted(self._sites, key=str))
+        else:
+            order = tuple(order)
+            if set(order) != set(self._sites):
+                raise ValueError("order must be a permutation of sites")
+            self._sites = order
+        self._configs = None
+        self._rank_lookup = None
+        self._site_to_reg = None
+
+    # -- site/register mapping ---------------------------------------------
+
+    def _get_site_to_reg(self):
+        if self._site_to_reg is None:
+            self._site_to_reg = {
+                s: r for r, s in enumerate(self._sites)
+            }
+        return self._site_to_reg
+
+    def site_to_reg(self, site):
+        """Linear register index of ``site`` (reference
+        ``site_to_reg``)."""
+        return self._get_site_to_reg()[site]
+
+    def reg_to_site(self, reg):
+        return self._sites[reg]
+
+    def has_site(self, site):
+        return site in self._get_site_to_reg()
+
+    def site_size(self, site=None):
+        """Local dimension (always 2: qubits / spinless modes)."""
+        return 2
+
+    def get_sizes(self):
+        return (2,) * self._nsites
+
+    @property
+    def sizes(self):
+        return self.get_sizes()
+
+    def get_strides(self):
+        """Mixed-radix strides, site 0 the least significant (the bit
+        convention used throughout)."""
+        return tuple(2**r for r in range(self._nsites))
+
+    @property
+    def strides(self):
+        return self.get_strides()
+
+    def get_pascal_table(self):
+        """Cumulative binomial table used for U1 combinatorial ranking
+        (reference ``get_pascal_table`` hilbertspace.py:476)."""
+        return _binom_table(self._nsites)
+
+    def get_sector_numba(self, sector=None, symmetry=None):
+        """A vectorized predicate ``f(configs) -> bool mask`` selecting
+        the sector (the reference compiles this with numba; here it is
+        vectorized host numpy)."""
+        symmetry = symmetry if symmetry is not None else self._symmetry
+        sector = sector if sector is not None else self._sector
+        n = self._nsites
+
+        def predicate(configs):
+            configs = np.asarray(configs, dtype=np.int64)
+            pop = np.zeros_like(configs)
+            for b in range(n):
+                pop += (configs >> b) & 1
+            if symmetry is None:
+                return np.ones(configs.shape, dtype=bool)
+            if symmetry == "Z2":
+                want = {"even": 0, "odd": 1}.get(sector, sector)
+                return (pop % 2) == (want % 2)
+            if symmetry == "U1":
+                return pop == sector
+            if symmetry == "U1U1":
+                ka, kb = sector
+                na = n // 2
+                pa = np.zeros_like(configs)
+                for b in range(na):
+                    pa += (configs >> b) & 1
+                return (pa == ka) & ((pop - pa) == kb)
+            raise ValueError(symmetry)
+
+        return predicate
+
+    def get_size(self, sector=None, symmetry=None):
+        """Size of this (or another) sector of the same sites
+        (reference ``get_size`` hilbertspace.py:486)."""
+        if sector is None and symmetry is None:
+            return self.size
+        return HilbertSpace(
+            self._sites,
+            symmetry if symmetry is not None else self._symmetry,
+            sector if sector is not None else self._sector,
+        ).size
+
+    # -- config format conversions ------------------------------------------
+
+    def rank_to_flatconfig(self, rank):
+        """Sector index -> (nsites,) uint8 occupation array."""
+        c = int(self.unrank(np.asarray([rank]))[0])
+        return self.config_to_bits([c])[0].astype(np.uint8)
+
+    def flatconfig_to_rank(self, flatconfig):
+        c = int(self.bits_to_config(
+            np.asarray(flatconfig, dtype=np.int64)[None, :]
+        )[0])
+        return int(self.rank([c])[0])
+
+    def config_to_flatconfig(self, config):
+        """dict[site, int] -> (nsites,) uint8 array in register
+        order."""
+        fc = np.zeros(self._nsites, dtype=np.uint8)
+        for site, v in config.items():
+            fc[self.site_to_reg(site)] = v
+        return fc
+
+    def flatconfig_to_config(self, flatconfig):
+        return {
+            self.reg_to_site(r): int(v)
+            for r, v in enumerate(flatconfig)
+        }
+
+    def rank_to_config(self, rank):
+        return self.flatconfig_to_config(self.rank_to_flatconfig(rank))
+
+    def config_to_rank(self, config):
+        return self.flatconfig_to_rank(
+            self.config_to_flatconfig(config)
+        )
+
+    def rand_rank(self, seed=None):
+        rng = np.random.default_rng(seed)
+        return int(rng.integers(self.size))
+
+    def rand_flatconfig(self, seed=None):
+        return self.rank_to_flatconfig(self.rand_rank(seed))
 
     @property
     def size(self):
@@ -142,8 +321,9 @@ class HilbertSpace:
         return (bits << np.arange(self.nsites)).sum(axis=-1)
 
     def rand_config(self, seed=None):
-        rng = np.random.default_rng(seed)
-        return int(rng.choice(self.get_configs()))
+        """A random sector configuration as ``dict[site, int]``
+        (reference ``rand_config`` hilbertspace.py:696)."""
+        return self.flatconfig_to_config(self.rand_flatconfig(seed))
 
     def __repr__(self):
         return (

@@ -32,20 +32,78 @@ def initialize_messages(tn, dtype=None):
 
 class BeliefPropagationCommon:
     """Base: run the iteration loop with damping and convergence
-    checking."""
+    checking (reference ``BeliefPropagationCommon`` bp_common.py:16)."""
 
     def __init__(self, tn, damping=0.0, update="sequential",
+                 normalize=None, distance=None,
                  tol=5e-6, max_iterations=1000):
         self.tn = tn
         self.damping = damping
         self.update = update
+        self.normalize = normalize
+        self.distance = distance
         self.tol = tol
         self.max_iterations = max_iterations
         self.n_iter = 0
         self.converged = False
+        self.mdiffs = []
+
+    @property
+    def damping(self):
+        """Damping factor (or callable) mixing old and new messages
+        (reference bp_common.py:106)."""
+        return self._damping
+
+    @damping.setter
+    def damping(self, damping):
+        if not callable(damping) and not (0.0 <= damping < 1.0):
+            raise ValueError("damping must be in [0, 1)")
+        self._damping = damping
+
+    @property
+    def normalize(self):
+        """How messages are normalized: None (default L1), 'L2', or a
+        callable (reference bp_common.py:129)."""
+        return self._normalize_setting
+
+    @normalize.setter
+    def normalize(self, normalize):
+        self._normalize_setting = normalize
+
+    @property
+    def distance(self):
+        """How message convergence distance is measured: None (default
+        max-abs) or a callable (reference bp_common.py:180)."""
+        return self._distance_fn
+
+    @distance.setter
+    def distance(self, distance):
+        self._distance_fn = distance
+
+    @property
+    def mdiff(self):
+        """The most recent maximum message difference (reference
+        ``mdiff`` bp_common.py:403)."""
+        return self.mdiffs[-1] if self.mdiffs else float("nan")
 
     def iterate(self, tol=None):
         raise NotImplementedError
+
+    def contract(self, strip_exponent=False, **kwargs):
+        """Estimate the contraction value from the current messages
+        (reference bp_common.py:423). Implemented by each BP
+        variant."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement contract"
+        )
+
+    def plot(self, **kwargs):
+        """Plot the message-convergence history (reference
+        ``plot`` bp_common.py:384)."""
+        from ...utils_plot import plot_multi_series_zoom
+
+        return plot_multi_series_zoom({"mdiff": self.mdiffs},
+                                      **kwargs)
 
     def run(self, max_iterations=None, tol=None, progbar=False):
         max_iterations = max_iterations or self.max_iterations
@@ -53,6 +111,7 @@ class BeliefPropagationCommon:
         for _ in range(max_iterations):
             max_dm = self.iterate(tol=tol)
             self.n_iter += 1
+            self.mdiffs.append(max_dm)
             if max_dm < tol:
                 self.converged = True
                 break

@@ -361,6 +361,153 @@ class RegionGraph:
             target_pairs - source_pairs,
         )
 
+    # -- reference API parity (regions.py:66-392) ----------------------------
+
+    def reset_info(self):
+        """Recompute all counting numbers (reference ``reset_info``
+        regions.py:66 clears cached region properties)."""
+        self.compute_counts()
+
+    def get_parents(self, region):
+        """Direct (Hasse) parents of ``region`` (reference
+        regions.py:208)."""
+        return self.get_direct_parents(region)
+
+    def get_children(self, region):
+        """Direct (Hasse) children of ``region`` (reference
+        regions.py:214)."""
+        return self.get_direct_children(region)
+
+    def get_maximal_regions(self):
+        """Regions with no parents (reference regions.py:75)."""
+        return {r for r in self.counts if not self.parents[r]}
+
+    def get_minimal_regions(self):
+        """Regions with no children (reference regions.py:79)."""
+        return {r for r in self.counts if not self.children[r]}
+
+    def get_maximal_ancestors(self, region):
+        """Ancestors of ``region`` with no parents themselves
+        (reference regions.py:236)."""
+        return {
+            a for a in self.get_ancestors(frozenset(region))
+            if not self.parents[a]
+        }
+
+    def get_overlapping(self, region):
+        """All other regions intersecting ``region`` (reference
+        regions.py:83)."""
+        region = frozenset(region)
+        return {
+            other for other in self.counts
+            if other != region and (other & region)
+        }
+
+    def get_level(self, region):
+        """Distance below the nearest parentless ancestor (reference
+        regions.py:296)."""
+        region = frozenset(region)
+        if not self.parents[region]:
+            return 0
+        return min(
+            self.get_level(p) for p in self.get_parents(region)
+        ) - 1
+
+    def get_total_count(self):
+        """Sum of all counting numbers; 1 for a totally balanced
+        graph (reference regions.py:289)."""
+        self._ensure_counts()
+        return sum(self.counts.values())
+
+    def _ensure_counts(self):
+        if any(c is None for c in self.counts.values()):
+            self.compute_counts()
+
+    def remove_region(self, region):
+        """Remove ``region`` from the graph (reference
+        regions.py:155)."""
+        region = frozenset(region)
+        del self.counts[region]
+        for p in self.parents.pop(region):
+            self.children[p].discard(region)
+        for c in self.children.pop(region):
+            self.parents[c].discard(region)
+        return self
+
+    def autoprune(self):
+        """Remove all regions with counting number zero (reference
+        regions.py:186)."""
+        self._ensure_counts()
+        for r in tuple(self.counts):
+            if self.counts[r] == 0:
+                self.remove_region(r)
+        self.compute_counts()
+        return self
+
+    def autoextend(self, regions=None):
+        """Extend upwards with all pairwise unions of overlapping
+        regions (reference regions.py:192)."""
+        if regions is None:
+            regions = tuple(self.counts)
+        for r in regions:
+            r = frozenset(r)
+            for other in tuple(self.get_overlapping(r)):
+                self.add_region(r | other)
+        self.compute_counts()
+        return self
+
+    def isbalanced(self):
+        """Whether every variable has an overall count of 1 (reference
+        regions.py:349)."""
+        self._ensure_counts()
+        per_node = {}
+        for r, c in self.counts.items():
+            for node in r:
+                per_node[node] = per_node.get(node, 0) + c
+        return set(per_node.values()) <= {1}
+
+    def istotallybalanced(self):
+        """Whether the total count over regions is 1 (reference
+        regions.py:360)."""
+        return self.get_total_count() == 1
+
+    def check(self):
+        """Consistency checks on the subset lattice (reference
+        regions.py:366)."""
+        for r in self.counts:
+            for p in self.parents[r]:
+                assert r < p
+            for c in self.children[r]:
+                assert c < r
+            ps = self.get_parents(r)
+            for pa, pb in itertools.combinations(ps, 2):
+                assert not pa.issubset(pb) and not pb.issubset(pa)
+        return True
+
+    def draw(self, **kwargs):
+        """Draw the region Hasse diagram (text fallback if matplotlib
+        is unavailable; reference regions.py:392)."""
+        try:
+            import matplotlib.pyplot as plt
+
+            levels = {r: self.get_level(r) for r in self.counts}
+            fig, ax = plt.subplots()
+            xs = {}
+            for r in sorted(self.counts, key=lambda r: -len(r)):
+                lv = levels[r]
+                x = xs.get(lv, 0)
+                xs[lv] = x + 1
+                ax.scatter([x], [lv])
+                for p in self.get_parents(r):
+                    pass
+            return fig, ax
+        except Exception:
+            for r in sorted(self.counts, key=len, reverse=True):
+                print(f"  level {self.get_level(r)}: "
+                      f"{sorted(r, key=str)} "
+                      f"(count {self.counts[r]})")
+            return None
+
     def __repr__(self):
         return f"<RegionGraph(regions={len(self.counts)})>"
 

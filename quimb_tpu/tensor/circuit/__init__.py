@@ -14,6 +14,7 @@ from .gates import (
 from .mps import CircuitMPS, CircuitMPSLazy, CircuitPermMPS
 from .peps import CircuitPEPS, CircuitPEPSSimpleUpdate
 from .pepo import CircuitPEPOSimpleUpdate
+from .simple_update import CircuitSimpleUpdate
 
 __all__ = [
     "Circuit",
@@ -25,6 +26,7 @@ __all__ = [
     "CircuitPEPS",
     "CircuitPEPSSimpleUpdate",
     "CircuitPEPOSimpleUpdate",
+    "CircuitSimpleUpdate",
     "Gate",
     "ALL_GATES",
     "CONSTANT_GATES",

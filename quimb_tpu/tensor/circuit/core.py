@@ -89,8 +89,12 @@ class CircuitBase:
             psi0 = psi0.copy().astype_(self.dtype)
         self._psi = self._init_state(psi0)
         self.gate_opts = dict(gate_opts or {})
-        self.gates = []
+        self._gates = []
         self._tags = tags
+        self._storage = {}
+        self._sample_n_gates = -1
+        self._named_params = {}
+        self._named_param_exprs = {}
 
     def _init_state(self, psi0):
         return psi0
@@ -109,12 +113,12 @@ class CircuitBase:
         return self
 
     def _apply_gate(self, gate, **opts):
-        tags = [f"GATE_{len(self.gates)}"]
+        tags = [f"GATE_{len(self._gates)}"]
         if gate.round is not None:
             tags.append(f"ROUND_{gate.round}")
         if isinstance(gate.label, str):
             tags.append(gate.label)
-        self.gates.append(gate)
+        self._gates.append(gate)
         U = to_device(gate.build_array(), dtype=self.dtype)
         where = (*gate.controls, *gate.qubits)
         self._apply_array(U, where, tags=tags, **opts)
@@ -136,8 +140,18 @@ class CircuitBase:
         return self
 
     @property
+    def gates(self):
+        """The gates applied so far, as a tuple (reference
+        ``CircuitBase.gates``)."""
+        return tuple(self._gates)
+
+    @gates.setter
+    def gates(self, gates):
+        self._gates = list(gates)
+
+    @property
     def num_gates(self):
-        return len(self.gates)
+        return len(self._gates)
 
     def copy(self):
         import copy as _c
@@ -147,8 +161,207 @@ class CircuitBase:
             k: (v.copy() if hasattr(v, "copy") else v)
             for k, v in self.__dict__.items()
         }
-        new.gates = list(self.gates)
+        new._gates = list(self._gates)
         return new
+
+    # -- index/tag helpers (reference circuit/core.py:557-573) ---------------
+
+    def ket_site_ind(self, i):
+        """The site index of qubit ``i``."""
+        return f"k{i}"
+
+    def bra_site_ind(self, i):
+        """The 'bra' site index of qubit ``i`` when forming an
+        operator."""
+        return f"b{i}"
+
+    def gate_tag(self, g):
+        """The tag of gate number ``g``."""
+        return f"GATE_{g}"
+
+    def round_tag(self, r):
+        """The tag of round (layer) ``r``."""
+        return f"ROUND_{r}"
+
+    @property
+    def psi(self):
+        """The current state (subclasses return richer views)."""
+        return self._psi
+
+    def get_psi(self):
+        """A copy of the current state (reference ``get_psi``)."""
+        psi = self.psi
+        return psi.copy() if hasattr(psi, "copy") else psi
+
+    def calc_qubit_ordering(self, qubits=None, method=None):
+        """Default qubit ordering (subclasses refine with lightcone
+        information)."""
+        if qubits is None:
+            return tuple(range(self.N))
+        return tuple(sorted(qubits))
+
+    def apply_to_arrays(self, fn):
+        """Apply ``fn`` to all state arrays (reference
+        circuit/core.py:200)."""
+        if hasattr(self._psi, "apply_to_arrays"):
+            self._psi.apply_to_arrays(fn)
+        else:
+            self._psi = fn(self._psi)
+        from ...utils import tree_map
+
+        self._named_params = tree_map(fn, self._named_params)
+
+    def clear_storage(self):
+        """Clear cached marginals/samples (reference
+        circuit/core.py:1145)."""
+        self._storage.clear()
+        self._sample_n_gates = self.num_gates
+
+    def _maybe_init_storage(self):
+        if self._sample_n_gates != self.num_gates:
+            self.clear_storage()
+
+    def simulate_counts(self, C, seed=None, **to_dense_opts):
+        """Measure all qubits many times via the full wavefunction
+        (reference circuit/core.py:1157)."""
+        from ...calc import simulate_counts as _sc
+
+        return _sc(self.to_dense(**to_dense_opts), C, seed=seed)
+
+    def draw(self, **kwargs):
+        """Print a text diagram of the circuit gates (the reference
+        draws with matplotlib)."""
+        for i, g in enumerate(self._gates):
+            qubits = ",".join(map(str, (*g.controls, *g.qubits)))
+            params = ", ".join(f"{float(p):.3g}" for p in g.params) \
+                if g.params else ""
+            print(f"{i:>4} {g.label:<10} [{qubits}] {params}")
+
+    # -- named parameters (reference circuit/core.py:214-360) ----------------
+
+    @property
+    def named_params(self):
+        """Named circuit parameters and their current values."""
+        import copy as _c
+
+        return _c.copy(self._named_params)
+
+    @property
+    def named_param_names(self):
+        return tuple(self._named_params)
+
+    @property
+    def param_expressions(self):
+        """Gate parameter expressions keyed by gate index."""
+        import copy as _c
+
+        return _c.copy(self._named_param_exprs)
+
+    def register_named_params(self, named_params, gate_expressions=None):
+        """Register named circuit parameters and (optionally) the
+        expressions mapping them to gate parameters (reference
+        circuit/core.py:228)."""
+        import collections.abc
+
+        if isinstance(named_params, collections.abc.Mapping):
+            self._named_params = dict(named_params)
+        else:
+            self._named_params = {
+                name: float("nan") for name in named_params
+            }
+        self._named_param_exprs = {
+            int(i): tuple(exprs)
+            for i, exprs in (gate_expressions or {}).items()
+        }
+
+    def _eval_param_expr(self, expr):
+        if callable(expr):
+            return expr(self._named_params)
+        if isinstance(expr, str):
+            return eval(expr, {"__builtins__": {}},
+                        dict(self._named_params))
+        return expr
+
+    def get_params(self):
+        """All circuit parameters: named parameters plus directly
+        parametrized gate params (reference circuit/core.py:306)."""
+        params = dict(self._named_params)
+        managed = set(self._named_param_exprs)
+        for i, g in enumerate(self._gates):
+            if g.parametrize and i not in managed:
+                params[i] = g.params
+        return params
+
+    def set_params(self, params):
+        """Update named and/or per-gate parameters and replay the
+        circuit with the new values (reference circuit/core.py:327)."""
+        params = dict(params or {})
+        for k, v in params.items():
+            if isinstance(k, str):
+                if k not in self._named_params:
+                    raise ValueError(f"unknown named parameter {k!r}")
+                self._named_params[k] = v
+        gate_updates = {
+            k: v for k, v in params.items() if not isinstance(k, str)
+        }
+        new_gates = []
+        for i, g in enumerate(self._gates):
+            if i in self._named_param_exprs:
+                new_p = tuple(
+                    self._eval_param_expr(e)
+                    for e in self._named_param_exprs[i]
+                )
+                g = g.copy_with(params=new_p)
+            elif i in gate_updates:
+                g = g.copy_with(params=tuple(
+                    np.atleast_1d(gate_updates[i])
+                ))
+            new_gates.append(g)
+        # replay on a fresh initial state
+        fresh = type(self)(N=self.N, gate_opts=self.gate_opts,
+                           dtype=self.dtype)
+        fresh.register_named_params(
+            self._named_params, self._named_param_exprs
+        )
+        fresh.apply_gates(new_gates)
+        self.__dict__.update(fresh.__dict__)
+        return self
+
+    def update_params_from(self, other):
+        """Copy the parameters of ``other`` (a circuit with matching
+        gates) into this circuit (reference
+        ``update_params_from``)."""
+        self.set_params(other.get_params())
+        return self
+
+    def xeb(self, samples, **kwargs):
+        """Linear cross-entropy benchmark fidelity of ``samples``
+        (reference ``CircuitBase.xeb``)."""
+        p = np.abs(np.asarray(self.to_dense())) ** 2
+        p = p.ravel() / p.sum()
+        D = p.size
+        vals = []
+        for s in samples:
+            idx = int(s, 2) if isinstance(s, str) else int(s)
+            vals.append(p[idx])
+        return D * float(np.mean(vals)) - 1
+
+    @classmethod
+    def from_gates(cls, gates, N=None, progbar=False, **kwargs):
+        """Build a circuit from a sequence of gates (reference
+        circuit/core.py:519)."""
+        gates = tuple(gates)
+        if N is None:
+            N = 0
+            for g in gates:
+                if not isinstance(g, Gate):
+                    g = parse_to_gate(*g) if isinstance(
+                        g, (tuple, list)) else parse_to_gate(g)
+                N = max((N, *(q + 1 for q in g.qubits),
+                         *(c + 1 for c in g.controls)))
+        qc = cls(N, **kwargs)
+        qc.apply_gates(gates)
+        return qc
 
     # -- named gate methods ---------------------------------------------------
 
@@ -208,6 +421,13 @@ class CircuitBase:
     toffoli = _make_gate_method("TOFFOLI")
     fredkin = _make_gate_method("FREDKIN")
     su4 = _make_gate_method("SU4")
+    ccnot = _make_gate_method("CCNOT")
+    z_1_2 = _make_gate_method("Z_1_2")
+    xx_minus_yy = _make_gate_method("XX_MINUS_YY")
+    cphase = _make_gate_method("CPHASE")
+    phase = _make_gate_method("PHASE")
+    givens2 = _make_gate_method("GIVENS2")
+    iden = _make_gate_method("IDEN")
 
     del _make_gate_method
 
@@ -251,6 +471,42 @@ class CircuitBase:
         qc = cls(info["n"], **circuit_opts)
         qc.apply_gates(info["gates"])
         return qc
+
+    @classmethod
+    def from_qasm(cls, contents, **circuit_opts):
+        """Alias of ``from_openqasm2_str`` (reference
+        ``from_qasm``)."""
+        return cls.from_openqasm2_str(contents, **circuit_opts)
+
+    @classmethod
+    def from_qasm_file(cls, fname, **circuit_opts):
+        return cls.from_openqasm2_file(fname, **circuit_opts)
+
+    @classmethod
+    def _from_url(cls, url, parser, **circuit_opts):
+        from urllib.request import urlopen
+
+        with urlopen(url) as f:
+            return parser(f.read().decode(), **circuit_opts)
+
+    @classmethod
+    def from_qasm_url(cls, url, **circuit_opts):
+        return cls._from_url(url, cls.from_openqasm2_str,
+                             **circuit_opts)
+
+    @classmethod
+    def from_openqasm2_url(cls, url, **circuit_opts):
+        return cls._from_url(url, cls.from_openqasm2_str,
+                             **circuit_opts)
+
+    @classmethod
+    def from_openqasm3_url(cls, url, **circuit_opts):
+        return cls._from_url(url, cls.from_openqasm3_str,
+                             **circuit_opts)
+
+    @classmethod
+    def from_qsim_url(cls, url, **circuit_opts):
+        return cls._from_url(url, cls.from_qsim_str, **circuit_opts)
 
     @classmethod
     def from_openqasm3_file(cls, fname, **circuit_opts):
@@ -703,3 +959,329 @@ class CircuitDense(CircuitBase):
         G = to_device(G, dtype=rho.dtype)
         d = rho.shape[0]
         return jnp.trace(jnp.reshape(G, (d, d)) @ rho)
+
+
+# ---------------------------------------------------------------------------
+# Circuit parity extras (reference exact.py:207-1943)
+# ---------------------------------------------------------------------------
+
+def _circ_get_psi(self):
+    """The current wavefunction TN, squeezed (reference ``get_psi``
+    exact.py:161)."""
+    psi = self._psi.copy()
+    psi.squeeze_()
+    return psi
+
+
+def _circ_get_uni(self, transposed=False):
+    """The circuit as a unitary TN, rebuilt from the recorded gates
+    (input indices ``b{q}``, output indices ``k{q}``; reference
+    ``get_uni`` exact.py:171 — the reference strips the initial state
+    tensors instead, which our eager 1-qubit-gate contraction rules
+    out)."""
+    U = TensorNetwork([])
+    cur = {q: self.bra_site_ind(q) for q in range(self.N)}
+    for gnum, g in enumerate(self._gates):
+        qs = (*g.controls, *g.qubits)
+        nq = len(qs)
+        arr = to_device(g.build_array(), dtype=self.dtype)
+        new = {q: rand_uuid() for q in qs}
+        inds = [new[q] for q in qs] + [cur[q] for q in qs]
+        tags = (f"GATE_{gnum}",) + (
+            (g.label,) if isinstance(g.label, str) else ()
+        )
+        U.add_tensor(Tensor(
+            jnp.reshape(arr, (2,) * (2 * nq)), inds=inds, tags=tags,
+        ))
+        cur.update(new)
+    for q in range(self.N):
+        if cur[q] == self.bra_site_ind(q):
+            # untouched qubit: identity wire
+            U.add_tensor(Tensor(
+                jnp.eye(2, dtype=str(self.dtype)),
+                inds=(f"k{q}", self.bra_site_ind(q)),
+                tags=(f"I{q}",),
+            ))
+        else:
+            U.reindex_({cur[q]: f"k{q}"})
+    if transposed:
+        remap = {}
+        for q in range(self.N):
+            remap[f"k{q}"] = self.bra_site_ind(q)
+            remap[self.bra_site_ind(q)] = f"k{q}"
+        U.reindex_(remap)
+    return U
+
+
+def _circ_uni(self):
+    return self.get_uni()
+
+
+def _circ_get_psi_simplified(self, seq="ADCRS", atol=1e-12,
+                             equalize_norms=False):
+    """The wavefunction TN post local simplification (reference
+    ``get_psi_simplified`` exact.py:310)."""
+    psi = self._psi.copy()
+    out = tuple(psi.site_ind(q) for q in range(self.N))
+    psi.full_simplify_(seq=seq, atol=atol, output_inds=out)
+    return psi
+
+
+def _circ_get_rdm_lightcone_simplified(self, where, seq="ADCRS",
+                                       atol=1e-12,
+                                       equalize_norms=False):
+    """The (uncontracted) simplified density-matrix lightcone TN of
+    ``where`` (reference ``get_rdm_lightcone_simplified``
+    exact.py:356)."""
+    return self.partial_trace(
+        where, simplify_sequence=seq, simplify_atol=atol,
+        rehearse=True,
+    )["tn"]
+
+
+def _circ_get_qubit_distances(self, method=None, alpha=2):
+    """Nested dict of qubit graph distances — edge between qubits
+    sharing a gate (reference ``get_qubit_distances``
+    exact.py:998)."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for g in self._gates:
+        qs = (*g.qubits, *g.controls)
+        for a in qs:
+            for b in qs:
+                if a != b:
+                    adj[a].add(b)
+    out = {}
+    for src in range(self.N):
+        dist = {src: 0}
+        frontier = [src]
+        while frontier:
+            new = []
+            for a in frontier:
+                for b in adj[a]:
+                    if b not in dist:
+                        dist[b] = dist[a] + 1
+                        new.append(b)
+            frontier = new
+        out[src] = dist
+    return out
+
+
+def _circ_reordered_gates_dfs_clustered(self):
+    """Gates reordered by a DFS over the multi-qubit-gate graph,
+    single-qubit gates placed adjacent to their multi-qubit successors
+    (reference ``reordered_gates_dfs_clustered`` exact.py:1041)."""
+    gates = self._gates
+    # cluster single-qubit gates onto the next multi-qubit gate
+    # touching that qubit, traverse multi-qubit gates greedily by
+    # qubit adjacency
+    pending = {q: [] for q in range(self.N)}
+    multi = []
+    for i, g in enumerate(gates):
+        qs = (*g.qubits, *g.controls)
+        if len(qs) == 1:
+            pending[qs[0]].append(i)
+        else:
+            multi.append(i)
+    out = []
+    seen = set()
+
+    def emit(i):
+        g = gates[i]
+        for q in (*g.qubits, *g.controls):
+            for j in pending[q]:
+                if j not in seen and j < i:
+                    seen.add(j)
+                    out.append(gates[j])
+        seen.add(i)
+        out.append(g)
+
+    for i in multi:
+        emit(i)
+    for i, g in enumerate(gates):
+        if i not in seen:
+            out.append(g)
+            seen.add(i)
+    return tuple(out)
+
+
+def _circ_schrodinger_contract(self, *args, **contract_opts):
+    """Contract the state TN in gate-application order (reference
+    ``schrodinger_contract`` exact.py:1939)."""
+    ntensor = self._psi.num_tensors
+    path = [(0, 1)] + [
+        (0, i) for i in reversed(range(1, ntensor - 1))
+    ]
+    return self.psi.contract(*args, optimize=path, **contract_opts)
+
+
+def _circ_to_dense_tn(self, simplify_sequence="R",
+                      simplify_atol=1e-12, **kwargs):
+    """The (simplified) TN whose contraction gives the dense state
+    (reference ``to_dense_tn``)."""
+    psi = self._psi.copy()
+    out = tuple(psi.site_ind(q) for q in range(self.N))
+    psi.full_simplify_(seq=simplify_sequence, atol=simplify_atol,
+                       output_inds=out)
+    return psi
+
+
+def _circ_to_dense_rehearse(self, **kwargs):
+    tn = _circ_to_dense_tn(self, **kwargs)
+    return {"tn": tn, "tree": tn.contraction_info()}
+
+
+def _circ_partial_trace_tn(self, keep, **kwargs):
+    return self.partial_trace(keep, rehearse=True, **kwargs)["tn"]
+
+
+def _circ_partial_trace_rehearse(self, keep, **kwargs):
+    tn = _circ_partial_trace_tn(self, keep, **kwargs)
+    return {"tn": tn, "tree": tn.contraction_info()}
+
+
+def _circ_local_expectation_tn(self, G, where, **kwargs):
+    """The TN of ``<psi|G|psi>`` uncontracted (reference
+    ``local_expectation_tn``)."""
+    if isinstance(G, (tuple, list)):
+        G = G[0]
+    rho_tn = _circ_partial_trace_tn(self, where, **kwargs)
+    return rho_tn
+
+
+def _circ_local_expectation_rehearse(self, G, where, **kwargs):
+    tn = _circ_local_expectation_tn(self, G, where, **kwargs)
+    return {"tn": tn, "tree": tn.contraction_info()}
+
+
+def _circ_compute_marginal_tn(self, where, fix=None, **kwargs):
+    """The lightcone TN for a marginal computation (reference
+    ``compute_marginal_tn``)."""
+    fix = dict(fix or {})
+    cone_qubits = tuple(where) + tuple(fix)
+    psi = self.get_psi_reverse_lightcone(cone_qubits)
+    bra = psi.H
+    sel = {
+        psi.site_ind(q): int(v) for q, v in fix.items()
+        if psi.site_ind(q) in psi.ind_map
+    }
+    psi.isel_(sel)
+    bra.isel_(sel)
+    kix = [psi.site_ind(q) for q in where]
+    bix = [rand_uuid() for _ in where]
+    bra.reindex_(dict(zip(kix, bix)))
+    bra.mangle_inner_()
+    return psi & bra
+
+
+def _circ_compute_marginal_rehearse(self, where, fix=None, **kwargs):
+    tn = _circ_compute_marginal_tn(self, where, fix=fix, **kwargs)
+    return {"tn": tn, "tree": tn.contraction_info()}
+
+
+def _circ_sample_tns(self, qubits=None, order=None, group_size=10,
+                     **kwargs):
+    """The marginal TNs a ``sample`` call would contract, one per
+    qubit group (reference ``sample_tns``)."""
+    if qubits is None:
+        qubits = tuple(range(self.N))
+    if order is None:
+        order = self.calc_qubit_ordering(qubits)
+    groups = [
+        tuple(order[i:i + group_size])
+        for i in range(0, len(order), group_size)
+    ]
+    return [
+        _circ_compute_marginal_tn(self, grp, fix={}) for grp in groups
+    ]
+
+
+def _circ_sample_rehearse(self, qubits=None, order=None,
+                          group_size=10, result=None, **kwargs):
+    tns = _circ_sample_tns(self, qubits=qubits, order=order,
+                           group_size=group_size)
+    return {
+        i: {"tn": tn, "tree": tn.contraction_info()}
+        for i, tn in enumerate(tns)
+    }
+
+
+def _circ_sample_chaotic_tn(self, marginal_qubits, **kwargs):
+    """The single marginal TN of a chaotic sample (reference
+    ``sample_chaotic_tn``)."""
+    if isinstance(marginal_qubits, numbers.Integral):
+        order = self.calc_qubit_ordering()
+        marginal_qubits = order[:marginal_qubits]
+    return _circ_compute_marginal_tn(self, tuple(marginal_qubits))
+
+
+def _circ_sample_chaotic_rehearse(self, marginal_qubits, **kwargs):
+    tn = _circ_sample_chaotic_tn(self, marginal_qubits, **kwargs)
+    return {"tn": tn, "tree": tn.contraction_info()}
+
+
+def _circ_sample_gate_by_gate_tns(self, group_size=10, **kwargs):
+    """The circuit TNs of the gate-by-gate sampling scheme (reference
+    ``sample_gate_by_gate_tns``)."""
+    return [
+        c._psi.copy()
+        for c in self.get_gate_by_gate_circuits(group_size=group_size)
+    ]
+
+
+def _circ_sample_gate_by_gate_rehearse(self, group_size=10, **kwargs):
+    tns = _circ_sample_gate_by_gate_tns(self, group_size=group_size)
+    return {i: {"tn": tn} for i, tn in enumerate(tns)}
+
+
+Circuit.get_psi = _circ_get_psi
+Circuit.get_uni = _circ_get_uni
+Circuit.uni = property(_circ_uni)
+Circuit.get_psi_simplified = _circ_get_psi_simplified
+Circuit.get_rdm_lightcone_simplified = _circ_get_rdm_lightcone_simplified
+Circuit.get_qubit_distances = _circ_get_qubit_distances
+Circuit.reordered_gates_dfs_clustered = _circ_reordered_gates_dfs_clustered
+Circuit.schrodinger_contract = _circ_schrodinger_contract
+Circuit.to_dense_tn = _circ_to_dense_tn
+Circuit.to_dense_rehearse = _circ_to_dense_rehearse
+Circuit.partial_trace_tn = _circ_partial_trace_tn
+Circuit.partial_trace_rehearse = _circ_partial_trace_rehearse
+Circuit.local_expectation_tn = _circ_local_expectation_tn
+Circuit.local_expectation_rehearse = _circ_local_expectation_rehearse
+Circuit.compute_marginal_tn = _circ_compute_marginal_tn
+Circuit.compute_marginal_rehearse = _circ_compute_marginal_rehearse
+Circuit.sample_tns = _circ_sample_tns
+Circuit.sample_rehearse = _circ_sample_rehearse
+Circuit.sample_chaotic_tn = _circ_sample_chaotic_tn
+Circuit.sample_chaotic_rehearse = _circ_sample_chaotic_rehearse
+Circuit.sample_gate_by_gate_tns = _circ_sample_gate_by_gate_tns
+Circuit.sample_gate_by_gate_rehearse = _circ_sample_gate_by_gate_rehearse
+
+
+# -- CircuitDense parity (reference exact.py:2026) --------------------------
+
+def _cdense_get_psi(self):
+    """The dense state viewed as a ``Dense1D`` network (reference
+    ``CircuitDense.get_psi``)."""
+    from ..tn1d.core import Dense1D
+
+    return Dense1D(jnp.reshape(self._psi, (-1,)))
+
+
+def _cdense_get_uni(self, transposed=False):
+    raise NotImplementedError(
+        "CircuitDense contracts the state as it goes — the unitary "
+        "TN is not available"
+    )
+
+
+def _cdense_get_psi_reverse_lightcone(self, where, keep_psi0=False):
+    """Lightcones are meaningless for a dense state: the full state
+    is returned (reference ``CircuitDense``)."""
+    return self.psi
+
+
+CircuitDense.get_psi = _cdense_get_psi
+CircuitDense.get_uni = _cdense_get_uni
+CircuitDense.get_psi_reverse_lightcone = _cdense_get_psi_reverse_lightcone

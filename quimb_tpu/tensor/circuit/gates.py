@@ -84,6 +84,7 @@ register_constant_gate("X_1_2", _X_1_2, 1)
 register_constant_gate("Y_1_2", _Y_1_2, 1)
 register_constant_gate("W_1_2", _W_1_2, 1)
 register_constant_gate("HZ_1_2", _HZ_1_2, 1)
+register_constant_gate("Z_1_2", _S, 1)
 register_constant_gate("SX", _X_1_2, 1)
 register_constant_gate("SXDG", _X_1_2.conj().T, 1)
 register_constant_gate("V", _X_1_2, 1)
@@ -123,6 +124,7 @@ _CSWAP[4:, 4:] = _SWAP
 register_constant_gate("CCX", _CCX, 3)
 register_constant_gate("TOFFOLI", _CCX, 3)
 register_constant_gate("CCNOT", _CCX, 3)
+register_constant_gate("IDEN", np.eye(2, dtype=complex), 1)
 register_constant_gate("CCY", _CCY, 3)
 register_constant_gate("CCZ", _CCZ, 3)
 register_constant_gate("CSWAP", _CSWAP, 3)
@@ -220,6 +222,17 @@ def rzz_gate(theta):
     return np.diag([p, p.conjugate(), p.conjugate(), p])
 
 
+def xx_minus_yy_gate(theta, beta=0.0):
+    c, s = math.cos(theta / 2), math.sin(theta / 2)
+    eb = np.exp(1j * beta)
+    return np.array([
+        [c, 0, 0, -1j * s * eb.conjugate()],
+        [0, 1, 0, 0],
+        [0, 0, 1, 0],
+        [-1j * s * eb, 0, 0, c],
+    ])
+
+
 def xx_plus_yy_gate(theta, beta=0.0):
     c, s = math.cos(theta / 2), math.sin(theta / 2)
     eb = np.exp(1j * beta)
@@ -309,6 +322,7 @@ register_param_gate("RXX", rxx_gate, 2)
 register_param_gate("RYY", ryy_gate, 2)
 register_param_gate("RZZ", rzz_gate, 2)
 register_param_gate("XX_PLUS_YY", xx_plus_yy_gate, 2)
+register_param_gate("XX_MINUS_YY", xx_minus_yy_gate, 2)
 register_param_gate("GIVENS", givens_gate, 2)
 register_param_gate("GIVENS2", givens2_gate, 2)
 register_param_gate("FSIM", fsim_gate, 2)
@@ -399,6 +413,53 @@ class Gate:
         return Gate(
             self._label, self._params, self._qubits, self._controls,
             self._round, self._parametrize, self._tags, self._array,
+        )
+
+    @property
+    def special(self):
+        """Whether this gate requires special (non-unitary-array)
+        application (reference ``Gate.special``)."""
+        return self._label in ("SWAP",) and False
+
+    @property
+    def tag(self):
+        """A tag identifying this gate: its label plus round if any
+        (reference ``Gate.tag``)."""
+        if self._round is not None:
+            return f"ROUND_{self._round}"
+        return None
+
+    def copy_with(self, **kwargs):
+        """Copy of this gate with some attributes changed (reference
+        ``Gate.copy_with``)."""
+        return Gate(
+            kwargs.get("label", self._label),
+            kwargs.get("params", self._params),
+            kwargs.get("qubits", self._qubits),
+            kwargs.get("controls", self._controls),
+            kwargs.get("round", self._round),
+            kwargs.get("parametrize", self._parametrize),
+            kwargs.get("tags", self._tags),
+            kwargs.get("array", self._array),
+        )
+
+    def build_mpo(self, L=None, **kwargs):
+        """An MPO representation of this (possibly controlled) gate
+        (reference ``Gate.build_mpo`` gates.py:1123)."""
+        from ..tn1d.core import MatrixProductOperator
+
+        qubits = (*self._controls, *self._qubits)
+        if L is None:
+            L = max(qubits, default=0) + 1
+        U = np.asarray(self.build_array())
+        n = len(qubits)
+        # order the array axes by ascending qubit before embedding
+        order = sorted(range(n), key=lambda i: qubits[i])
+        Ut = U.reshape((2,) * (2 * n)).transpose(
+            *order, *(n + o for o in order)
+        ).reshape(2**n, 2**n)
+        return MatrixProductOperator.from_dense(
+            Ut, dims=2, sites=sorted(qubits), L=L, **kwargs
         )
 
     def __repr__(self):

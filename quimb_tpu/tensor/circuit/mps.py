@@ -358,3 +358,97 @@ class CircuitMPSLazy(CircuitMPS):
     def local_expectation(self, G, where, **kwargs):
         self.flush()
         return super().local_expectation(G, where, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# parity extras (reference mps.py:243-880)
+# ---------------------------------------------------------------------------
+
+def _cmps_compute_marginal(self, where, fix=None, **kwargs):
+    """Probability distribution p(where | fix) from the MPS state
+    (reference ``compute_marginal`` mps.py:243)."""
+    fix = dict(fix or {})
+    psi = self._psi.copy()
+    for q, v in fix.items():
+        psi.isel_({psi.site_ind(q): int(v)})
+    rho = psi.partial_trace(tuple(where))
+    p = np.clip(np.asarray(jnp.real(jnp.diag(jnp.asarray(rho)))),
+                0, None)
+    return p
+
+
+def _cmps_sample_chaotic(self, C, marginal_qubits, fix=None,
+                         seed=None, **kwargs):
+    """Sample only ``marginal_qubits`` exactly, the rest uniformly —
+    valid deep in the chaotic regime (reference ``sample_chaotic``
+    mps.py:323)."""
+    rng = np.random.default_rng(seed)
+    if isinstance(marginal_qubits, numbers.Integral):
+        marginal_qubits = tuple(range(marginal_qubits))
+    else:
+        marginal_qubits = tuple(marginal_qubits)
+    p = _cmps_compute_marginal(self, marginal_qubits, fix=fix)
+    p = p / p.sum()
+    rest = [q for q in range(self.N) if q not in marginal_qubits]
+    for _ in range(C):
+        out = ["0"] * self.N
+        sub = rng.choice(p.size, p=p)
+        bits = np.binary_repr(sub, len(marginal_qubits))
+        for q, b in zip(marginal_qubits, bits):
+            out[q] = b
+        for q in rest:
+            out[q] = str(rng.integers(2))
+        yield "".join(out)
+
+
+def _cmps_error_estimate(self):
+    """``1 - fidelity_estimate()`` (reference ``error_estimate``
+    mps.py:491)."""
+    return 1 - self.fidelity_estimate()
+
+
+def _cmps_uni(self):
+    raise NotImplementedError(
+        "CircuitMPS contracts the state as it goes — the unitary TN "
+        "is not available"
+    )
+
+
+def _cmps_schrodinger_contract(self, *args, **kwargs):
+    """The MPS state *is* the Schrödinger-contracted state: returns
+    the dense vector."""
+    return self.to_dense(**kwargs)
+
+
+CircuitMPS.compute_marginal = _cmps_compute_marginal
+CircuitMPS.sample_chaotic = _cmps_sample_chaotic
+CircuitMPS.error_estimate = _cmps_error_estimate
+CircuitMPS.uni = property(lambda self: _cmps_uni(self))
+CircuitMPS.schrodinger_contract = _cmps_schrodinger_contract
+
+# logical-order state: the reference name is ``get_psi_unordered``
+CircuitPermMPS.get_psi_unordered = \
+    lambda self: self._psi.copy()
+CircuitPermMPS.get_psi = CircuitPermMPS.get_psi_unpermuted
+
+
+def _cmpslazy_get_psi(self):
+    """Flush pending gates then return the current MPS (reference
+    ``CircuitMPSLazy.get_psi``)."""
+    self.flush()
+    return self._psi.copy()
+
+
+CircuitMPSLazy.get_psi = _cmpslazy_get_psi
+CircuitMPSLazy.max_bond = property(
+    lambda self: self.gate_opts.get("max_bond"),
+    lambda self, v: self.gate_opts.__setitem__("max_bond", v),
+)
+CircuitMPSLazy.cutoff = property(
+    lambda self: self.gate_opts.get("cutoff", 1e-10),
+    lambda self, v: self.gate_opts.__setitem__("cutoff", v),
+)
+CircuitMPSLazy.method = property(
+    lambda self: self.compress_method,
+    lambda self, v: setattr(self, "compress_method", v),
+)

@@ -41,6 +41,10 @@ class CircuitPEPOSimpleUpdate(CircuitBase):
         self.gate_opts.setdefault("max_bond", max_bond)
         self.gate_opts.setdefault("cutoff", cutoff)
         self.gates = []
+        self._storage = {}
+        self._sample_n_gates = -1
+        self._named_params = {}
+        self._named_param_exprs = {}
         self._recorded = []
         self._tags = tags
         self._N = N
@@ -158,3 +162,47 @@ class CircuitPEPOSimpleUpdate(CircuitBase):
 
 
 __all__ = ["CircuitPEPOSimpleUpdate"]
+
+
+# -- parity extras (reference pepo.py:118-360) ------------------------------
+
+def _cpepo_unsupported(self, name):
+    raise NotImplementedError(
+        f"CircuitPEPOSimpleUpdate evolves operators backwards "
+        f"(Heisenberg picture) — '{name}' has no state to act on"
+    )
+
+
+def _cpepo_get_evolved_operator_with_state(self, G, where, *,
+                                           max_bond=None, cutoff=None):
+    """The evolved operator ``U† G U`` projected onto ``|00...0>`` on
+    both sides: contracting the returned TN gives ``<0|U† G U|0>``
+    (reference ``get_evolved_operator_with_state`` pepo.py:287)."""
+    opts = {}
+    if max_bond is not None:
+        opts["max_bond"] = max_bond
+    if cutoff is not None:
+        opts["cutoff"] = cutoff
+    op = self.get_evolved_operator(G, where, **opts)
+    sel = {}
+    for s in op.sites:
+        for ix in (op.upper_ind(s), op.lower_ind(s)):
+            if ix in op.ind_map:
+                sel[ix] = 0
+    return op.isel(sel)
+
+
+CircuitPEPOSimpleUpdate.max_bond = property(
+    lambda self: self.gate_opts.get("max_bond"),
+    lambda self, v: self.gate_opts.__setitem__("max_bond", v),
+)
+CircuitPEPOSimpleUpdate.cutoff = property(
+    lambda self: self.gate_opts.get("cutoff"),
+    lambda self, v: self.gate_opts.__setitem__("cutoff", v),
+)
+CircuitPEPOSimpleUpdate.get_psi = \
+    lambda self: _cpepo_unsupported(self, "psi")
+CircuitPEPOSimpleUpdate.to_dense = \
+    lambda self, *a, **k: _cpepo_unsupported(self, "to_dense")
+CircuitPEPOSimpleUpdate.get_evolved_operator_with_state = \
+    _cpepo_get_evolved_operator_with_state

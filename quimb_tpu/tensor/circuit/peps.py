@@ -35,6 +35,10 @@ class CircuitPEPS(CircuitBase):
         self._psi = psi0.copy().astype_(self.dtype)
         self.gate_opts = gate_opts
         self.gates = []
+        self._storage = {}
+        self._sample_n_gates = -1
+        self._named_params = {}
+        self._named_param_exprs = {}
         self._tags = tags
 
     def qubit_coo(self, q):
@@ -87,4 +91,30 @@ class CircuitPEPS(CircuitBase):
         )
 
 
+CircuitPEPSSimpleUpdate = CircuitPEPS
+
+
+# -- parity extras (reference peps.py:251-330) ------------------------------
+
+def _cpeps_equilibrate(self, **gauge_opts):
+    """Re-gauge the state with the simple-update rule — the
+    represented state is unchanged, only better conditioned
+    (reference ``equilibrate`` peps.py:251)."""
+    gauge_opts.setdefault("max_iterations", 5)
+    _, gauges = self._psi.gauge_all_simple_(**gauge_opts)
+    self._psi.gauge_simple_insert(gauges)
+    return self
+
+
+def _cpeps_get_state(self, absorb_gauges=True):
+    """The current PEPS state (gauges are kept absorbed here, so this
+    is simply a copy; reference ``get_state`` peps.py:322)."""
+    return self._psi.copy()
+
+
+CircuitPEPS.equilibrate = _cpeps_equilibrate
+CircuitPEPS.get_state = _cpeps_get_state
+CircuitPEPS.get_psi = lambda self: self._psi.copy()
+
+# the reference names this class ``CircuitPEPSSimpleUpdate``
 CircuitPEPSSimpleUpdate = CircuitPEPS

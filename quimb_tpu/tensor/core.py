@@ -188,6 +188,10 @@ def tensor_split(
     mr = int(np.prod(right_dims)) if right_dims else 1
     array = jnp.reshape(TT.data, (ml, mr))
 
+    if get == "values":
+        # singular values must not be absorbed into the factors
+        absorb = None
+
     left, s, right = decomp.array_split(
         array,
         method=method,

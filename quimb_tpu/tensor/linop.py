@@ -124,6 +124,28 @@ class TNLinearOperator:
             optimize=optimize or self.optimize,
         )
 
+    toarray = to_dense
+
+    @property
+    def A(self):
+        """Dense matrix form (scipy LinearOperator convention)."""
+        return self.to_dense()
+
+    def conj(self):
+        """The complex conjugate operator (same index structure)."""
+        return TNLinearOperator(
+            self.tn.conj(), self.left_inds, self.right_inds,
+            ldims=self.ldims, rdims=self.rdims,
+            optimize=self.optimize,
+        )
+
+    def copy(self):
+        return TNLinearOperator(
+            self.tn.copy(), self.left_inds, self.right_inds,
+            ldims=self.ldims, rdims=self.rdims,
+            optimize=self.optimize,
+        )
+
     def aslinearoperator(self):
         """As a scipy LinearOperator (host interop)."""
         import scipy.sparse.linalg as spla

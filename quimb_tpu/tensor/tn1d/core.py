@@ -1901,13 +1901,74 @@ def _mpo_from_fill_fn(cls, fill_fn, L, bond_dim, phys_dim=2,
 
 
 @classmethod
-def _mpo_from_dense(cls, A, dims=2, upper_ind_id="k{}",
-                    lower_ind_id="b{}", site_tag_id="I{}",
-                    **split_opts):
+def _mpo_from_dense(cls, A, dims=2, sites=None, L=None,
+                    upper_ind_id="k{}", lower_ind_id="b{}",
+                    site_tag_id="I{}", **split_opts):
     """Decompose a dense operator into an MPO via successive SVDs
-    (reference ``MPO.from_dense``)."""
+    (reference ``MPO.from_dense``). With ``sites``/``L`` given, the
+    operator acts on just those (possibly non-adjacent) sites of an
+    ``L``-site chain — identity tensors carrying the bond are inserted
+    in between."""
     A = jnp.asarray(A)
     D = A.shape[0]
+    if sites is not None:
+        sites = sorted(sites)
+        if L is None:
+            L = max(sites) + 1
+        compact = _mpo_from_dense.__func__(
+            cls, A, dims=dims, upper_ind_id=upper_ind_id,
+            lower_ind_id=lower_ind_id, site_tag_id=site_tag_id,
+            **split_opts,
+        )
+        # re-site the compact MPO onto the sparse site positions,
+        # threading each interior bond through identity tensors
+        n = compact.L
+        tensors = []
+        for j, site in enumerate(sites):
+            t = compact[compact.site_tag(j)].copy()
+            t.reindex_({
+                compact.upper_ind(j): upper_ind_id.format(site),
+                compact.lower_ind(j): lower_ind_id.format(site),
+            })
+            t.retag_({compact.site_tag(j): site_tag_id.format(site)})
+            tensors.append((site, j, t))
+        tn = TensorNetwork([t for _, _, t in tensors])
+        d = 2 if isinstance(dims, int) else dims[0]
+        for (sa, ja, ta), (sb, jb, tb) in zip(tensors, tensors[1:]):
+            (bix,) = [ix for ix in ta.inds if ix in tb.inds]
+            Db = ta.ind_size(bix)
+            prev = bix
+            for s in range(sa + 1, sb):
+                nb = rand_uuid()
+                ident = jnp.reshape(
+                    jnp.kron(jnp.eye(Db), jnp.eye(d)).astype(
+                        ta.data.dtype
+                    ),
+                    (Db, d, Db, d),
+                ).transpose(0, 2, 1, 3)
+                tn.add_tensor(Tensor(
+                    ident,
+                    inds=(prev, nb, upper_ind_id.format(s),
+                          lower_ind_id.format(s)),
+                    tags=(site_tag_id.format(s),),
+                ))
+                prev = nb
+            if prev != bix:
+                tb.reindex_({bix: prev})
+        for s in range(L):
+            if site_tag_id.format(s) not in tn.tag_map and \
+                    s not in sites:
+                tn.add_tensor(Tensor(
+                    jnp.eye(d, dtype=A.dtype),
+                    inds=(upper_ind_id.format(s),
+                          lower_ind_id.format(s)),
+                    tags=(site_tag_id.format(s),),
+                ))
+        tn.view_as_(
+            cls, L=L, upper_ind_id=upper_ind_id,
+            lower_ind_id=lower_ind_id, site_tag_id=site_tag_id,
+        )
+        return tn
     if isinstance(dims, int):
         L = int(round(np.log(D) / np.log(dims)))
         dims = (dims,) * L

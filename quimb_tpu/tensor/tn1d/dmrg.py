@@ -1049,3 +1049,144 @@ class DMRGX(DMRG):
         # simple strategy: right-canonize then sweep right again
         self._right_canonize_all()
         return self._sweep_right(max_bond, cutoff, verbosity)
+
+
+# ---------------------------------------------------------------------------
+# DMRG / MovingEnvironment parity extras (reference dmrg.py:278-991)
+# ---------------------------------------------------------------------------
+
+def _me_site_tag(self, i):
+    return self.tn.site_tag(i % self.L)
+
+
+def _me_init_segment(self, begin, start, stop):
+    """(Re)initialize the environments so sweeping can start from the
+    ``begin`` side of ``range(start, stop)`` (reference
+    ``init_segment`` dmrg.py:281 — open boundaries only here, so the
+    full set of environments is rebuilt)."""
+    self.begin = begin
+    self.init_environments()
+    return self
+
+
+def _me_init_non_segment(self, start, stop):
+    """Prepare the environment outside ``range(start, stop)``
+    (reference ``init_non_segment`` dmrg.py:324). With open boundaries
+    there is nothing to compress — dummy end pieces are implicit."""
+    return self
+
+
+MovingEnvironment.site_tag = _me_site_tag
+MovingEnvironment.init_segment = _me_init_segment
+MovingEnvironment.init_non_segment = _me_init_non_segment
+
+
+def _dmrg_sweep_right(self, canonize=True, verbosity=0, **update_opts):
+    """One left-to-right sweep (reference ``sweep_right``
+    dmrg.py:983)."""
+    return self.sweep(
+        "R", max_bond=next(self._bond_dims),
+        cutoff=next(self._cutoffs), canonize=canonize,
+        verbosity=verbosity,
+    )
+
+
+def _dmrg_sweep_left(self, canonize=True, verbosity=0, **update_opts):
+    """One right-to-left sweep (reference ``sweep_left``
+    dmrg.py:991)."""
+    return self.sweep(
+        "L", max_bond=next(self._bond_dims),
+        cutoff=next(self._cutoffs), canonize=canonize,
+        verbosity=verbosity,
+    )
+
+
+def _dmrg_form_local_ops(self, i):
+    """The dense effective Hamiltonian of the ``bsz``-site block at
+    ``i`` (reference ``form_local_ops`` dmrg.py:681) — a diagnostic
+    built from the current uniform arrays with the same jitted
+    environment kernels the sweeps use."""
+    L = self.L
+    lenv = jnp.ones((1, 1, 1), dtype=self._A[0].dtype)
+    for j in range(i):
+        lenv = _env_step_right(lenv, jnp.conj(self._A[j]),
+                               self._W[j], self._A[j])
+    renv = jnp.ones((1, 1, 1), dtype=self._A[0].dtype)
+    for j in range(L - 1, i + self.bsz - 1, -1):
+        renv = _env_step_left(renv, jnp.conj(self._A[j]),
+                              self._W[j], self._A[j])
+    if self.bsz == 2:
+        W12 = _fuse_w12(self._W[i], self._W[i + 1])
+        dl = self._A[i].shape[0]
+        dr = self._A[i + 1].shape[2]
+        d = self.phys_dim
+        dim = dl * d * d * dr
+
+        def mv(x):
+            th = jnp.reshape(x, (dl, d, d, dr))
+            return jnp.reshape(
+                _heff_matvec_2site(lenv, W12, renv, th), (dim,)
+            )
+    else:
+        dl = self._A[i].shape[0]
+        dr = self._A[i].shape[2]
+        d = self.phys_dim
+        dim = dl * d * dr
+
+        def mv(x):
+            th = jnp.reshape(x, (dl, d, dr))
+            return jnp.reshape(
+                _heff_matvec_1site(lenv, self._W[i], renv, th), (dim,)
+            )
+    Heff = jax.vmap(mv, in_axes=1, out_axes=1)(
+        jnp.eye(dim, dtype=self._A[0].dtype)
+    )
+    return Heff
+
+
+def _dmrg_print_energy_info(self, Heff=None, loc_gs=None):
+    """Print diagnostic energies (reference ``print_energy_info``
+    dmrg.py:647)."""
+    sweep_num = len(self.energies) + 1
+    psi = self.state
+    full_en = complex(
+        (psi.H @ (self.ham.apply(psi))) / (psi.H @ psi)
+    ).real
+    if Heff is not None and loc_gs is not None:
+        v = jnp.reshape(jnp.asarray(loc_gs), (-1,))
+        site_en = complex(jnp.vdot(v, Heff @ v)).real
+    else:
+        site_en = "N/A"
+    print(f"Sweep {sweep_num} -- fullE={full_en} siteE={site_en}")
+
+
+def _dmrg_print_norm_info(self, i=None):
+    """Print diagnostic norms (reference ``print_norm_info``
+    dmrg.py:662)."""
+    sweep_num = len(self.energies) + 1
+    psi = self.state
+    full_n = complex(psi.H @ psi).real
+    if i is None:
+        site_norm = [
+            float(jnp.real(jnp.vdot(a, a))) for a in self._A
+        ]
+    else:
+        site_norm = float(jnp.real(jnp.vdot(self._A[i], self._A[i])))
+    print(f"Sweep {sweep_num} -- fullN={full_n} siteN={site_norm}")
+
+
+def _dmrg_post_check(self, i, Neff, loc_gs, loc_en, loc_gs_old):
+    """Sanity checks after a local solve (reference ``post_check``
+    dmrg.py:734). Open-boundary sweeps keep exact orthogonality, so
+    only the cyclic pseudo-orthogonal corrections of the reference are
+    relevant — and cyclic Hamiltonians are converted to exact OBC form
+    up front here, making this a pass-through."""
+    return loc_en, loc_gs
+
+
+DMRG.sweep_right = _dmrg_sweep_right
+DMRG.sweep_left = _dmrg_sweep_left
+DMRG.form_local_ops = _dmrg_form_local_ops
+DMRG.print_energy_info = _dmrg_print_energy_info
+DMRG.print_norm_info = _dmrg_print_norm_info
+DMRG.post_check = _dmrg_post_check

@@ -142,3 +142,35 @@ def _rand_vec(n, rng=None):
     rng = rng or _RNG
     v = rng.standard_normal(n)
     return jnp.asarray(v / np.linalg.norm(v))
+
+
+# ---------------------------------------------------------------------------
+# parity extras (reference experimental/merabuilder/merabuilder.py:648,803)
+# ---------------------------------------------------------------------------
+
+def _mera_num_layers(self):
+    """The number of coarse-graining layers: log2(L)."""
+    return round(math.log2(self._L))
+
+
+def _mera_from_fill_fn(cls, fill_fn, L, D=None, phys_dim=2,
+                       block_size=2, cyclic=True, uni_fill_fn=None,
+                       iso_fill_fn=None, cap_fill_fn=None, **kwargs):
+    """Create a MERA with tensors generated by ``fill_fn(shape)``
+    (reference ``MERA.from_fill_fn`` merabuilder.py:648; here bond
+    dimension follows ``phys_dim``)."""
+    d = phys_dim
+    nlayers = round(math.log2(L))
+    ufn = uni_fill_fn or fill_fn
+    ifn = iso_fill_fn or fill_fn
+    uni, iso = [], []
+    n = L
+    for _ in range(nlayers):
+        uni.append([ufn((d * d, d * d)) for _ in range(n // 2)])
+        iso.append([ifn((d * d, d)) for _ in range(n // 2)])
+        n //= 2
+    return cls(L, uni=uni, iso=iso, phys_dim=phys_dim, **kwargs)
+
+
+MERA.num_layers = property(_mera_num_layers)
+MERA.from_fill_fn = classmethod(_mera_from_fill_fn)

@@ -653,3 +653,8 @@ def _vidal_to_b_stack(Gs, ls):
 def _vidal_to_mps_arrays(Gs, ls):
     """Vidal form back to B-form (right-canonical-ish) site arrays."""
     return list(_vidal_to_b_stack(Gs, ls))
+
+
+# tolerance for considering the target time reached (reference
+# ``TEBD.TARGET_TOL`` tn1d/tebd.py:481)
+TEBD.TARGET_TOL = 1e-13

@@ -1,6 +1,7 @@
 """2D tensor networks: PEPS/PEPO, boundary contraction, TEBD2D."""
 
 from .core import (
+    Rotator2D,
     PEPO,
     PEPS,
     TensorNetwork2D,
@@ -19,6 +20,7 @@ from .builders import (
 from .tebd import TEBD2D, FullUpdate, LocalHam2D, SimpleUpdate, ham_2d_heis, ham_2d_ising, ham_2d_j1j2
 
 __all__ = [
+    "Rotator2D",
     "PEPO",
     "PEPS",
     "TensorNetwork2D",

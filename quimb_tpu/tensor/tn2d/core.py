@@ -1523,3 +1523,62 @@ def _pepo_to_dense(self, *inds_seq, **contract_opts):
 
 
 PEPO.to_dense = _pepo_to_dense
+
+
+class Rotator2D:
+    """Rotate 2D coordinates so directional algorithms are written
+    once (reference ``Rotator2D`` tn2d/core.py:204)."""
+
+    def __init__(self, tn, xrange, yrange, from_which, stepsize=1):
+        check_opt("from_which", from_which,
+                  {"xmin", "xmax", "ymin", "ymax"})
+        if xrange is None:
+            xrange = (0, tn.Lx - 1)
+        if yrange is None:
+            yrange = (0, tn.Ly - 1)
+        self.tn = tn
+        self.xrange = xrange
+        self.yrange = yrange
+        self.from_which = from_which
+        self.plane = from_which[0]
+        if self.plane == "x":
+            self.imin, self.imax = sorted(xrange)
+            self.jmin, self.jmax = sorted(yrange)
+            self.x_tag = tn.x_tag
+            self.y_tag = tn.y_tag
+            self.site_tag = tn.site_tag
+            self._cyc_x = tn.is_cyclic_x
+            self._cyc_y = tn.is_cyclic_y
+        else:
+            self.imin, self.imax = sorted(yrange)
+            self.jmin, self.jmax = sorted(xrange)
+            self.y_tag = tn.x_tag
+            self.x_tag = tn.y_tag
+            self.site_tag = lambda i, j: tn.site_tag(j, i)
+            self._cyc_x = tn.is_cyclic_y
+            self._cyc_y = tn.is_cyclic_x
+        if "min" in from_which:
+            self.sweep = range(self.imin, self.imax + 1, +stepsize)
+            self.istep = +stepsize
+        else:
+            self.sweep = range(self.imax, self.imin - 1, -stepsize)
+            self.istep = -stepsize
+
+    @functools.cached_property
+    def sweep_other(self):
+        return range(self.jmin, self.jmax + 1)
+
+    @functools.cached_property
+    def cyclic_x(self):
+        return self._cyc_x()
+
+    @functools.cached_property
+    def cyclic_y(self):
+        return self._cyc_y()
+
+    def get_jnext(self, j):
+        if j == self.jmax:
+            if self.cyclic_y:
+                return self.jmin
+            return None
+        return j + 1

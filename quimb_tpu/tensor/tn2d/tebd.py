@@ -589,3 +589,70 @@ class FullUpdate(TEBD2D):
         for live, fit in ((psi[ta], fit_a), (psi[tb], fit_b)):
             fit_t = fit.transpose(*live.inds)
             live.modify(data=fit_t.data)
+
+
+# ---------------------------------------------------------------------------
+# parity extras (reference tn2d/tebd.py:93-1260)
+# ---------------------------------------------------------------------------
+
+def _lh2d_nsites(self):
+    return self.Lx * self.Ly
+
+
+def _lh2d_build_pepo_propagator_trotterized(self, x, ordering="sort",
+                                            contract_sites=True,
+                                            **split_opts):
+    """PEPO of ``expm(H x)`` via first-order trotterization (reference
+    ``build_pepo_propagator_trotterized`` tn2d/tebd.py:97 — delegates
+    to the compressed propagator builder)."""
+    return self.build_pepo_propagator(x, **split_opts)
+
+
+def _lh2d_draw(self, **kwargs):
+    """Print (or plot, if matplotlib is available) the interaction
+    graph of this Hamiltonian (reference ``draw`` tn2d/tebd.py:213)."""
+    try:
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        for (a, b) in self.terms:
+            (xa, ya), (xb, yb) = a, b
+            ax.plot([ya, yb], [-xa, -xb], "-o", color="tab:blue")
+        ax.set_title(repr(self))
+        return fig, ax
+    except Exception:
+        for where in self.terms:
+            print(f"  {where[0]} -- {where[1]}")
+        return None
+
+
+LocalHam2D.nsites = property(_lh2d_nsites)
+LocalHam2D.build_pepo_propagator_trotterized = \
+    _lh2d_build_pepo_propagator_trotterized
+LocalHam2D.draw = _lh2d_draw
+LocalHam2D.graph = _lh2d_draw
+
+
+def _fu_set_state(self, psi):
+    """Replace the evolving state (reference ``set_state``
+    tn2d/tebd.py:1153)."""
+    self.state = psi.copy()
+    return self
+
+
+def _fu_presweep(self, i=None):
+    """Hook run before each sweep (reference ``presweep``
+    tn2d/tebd.py:1243). Our implementation recomputes plaquette
+    environments inside each gate so there is no cached state to
+    prepare."""
+    return self
+
+
+FullUpdate.compute_envs_every = 1
+FullUpdate.fit_strategy = property(
+    lambda self: "als",
+    lambda self, v: (_ for _ in ()).throw(ValueError(v))
+    if v != "als" else None,
+)
+FullUpdate.set_state = _fu_set_state
+FullUpdate.presweep = _fu_presweep

@@ -173,3 +173,6 @@ class SimpleUpdate3D:
                             ix, sq
                         )
         return psi
+
+
+LocalHam3D.nsites = property(lambda self: self.Lx * self.Ly * self.Lz)

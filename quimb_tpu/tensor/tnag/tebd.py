@@ -303,3 +303,99 @@ class SimpleUpdateGen(TEBDGen):
         return float(np.real(psi.compute_local_expectation(
             self.ham.terms, method=method, **opts,
         )))
+
+
+# ---------------------------------------------------------------------------
+# LocalHamGen parity extras (reference tnag/tebd.py:273-360)
+# ---------------------------------------------------------------------------
+
+def _lhg_nsites(self):
+    return len(self.sites)
+
+
+def _lhg_get_gate(self, where):
+    """The local term for pair ``where`` (reference ``get_gate``
+    tnag/tebd.py:273)."""
+    return self.get_term(where)
+
+
+def _lhg_apply_to_arrays(self, fn):
+    """Apply ``fn`` to every term array (reference
+    ``apply_to_arrays`` tnag/tebd.py:283)."""
+    for k in tuple(self.terms):
+        self.terms[k] = fn(self.terms[k])
+    self._gate_cache.clear()
+    return self
+
+
+def _lhg_get_auto_ordering(self, order="sort", **kwargs):
+    """An ordering of the terms grouped greedily into commuting
+    (non-overlapping) sets (reference ``get_auto_ordering``
+    tnag/tebd.py:291)."""
+    import random as _random
+
+    if order is None:
+        pairs = list(self.terms)
+    elif order == "sort":
+        try:
+            pairs = sorted(self.terms)
+        except TypeError:
+            pairs = sorted(self.terms, key=str)
+    elif order == "random":
+        pairs = list(self.terms)
+        _random.shuffle(pairs)
+    elif order == "random-ungrouped":
+        pairs = list(self.terms)
+        _random.shuffle(pairs)
+        return pairs
+    else:
+        colors = edge_coloring(list(self.terms))
+        out = []
+        for grp in colors:
+            out.extend(grp)
+        return out
+    # greedily group into non-overlapping sets
+    remaining = dict.fromkeys(pairs)
+    ordering = []
+    while remaining:
+        cover = set()
+        for pair in tuple(remaining):
+            a, b = pair
+            if a not in cover and b not in cover:
+                ordering.append(pair)
+                del remaining[pair]
+                cover.add(a)
+                cover.add(b)
+    return ordering
+
+
+def _lhg_draw(self, **kwargs):
+    """Print (or plot) the interaction graph (reference ``draw``
+    tnag/tebd.py)."""
+    try:
+        import matplotlib.pyplot as plt
+        import math as _math
+
+        sites = self.sites
+        pos = {
+            s: (_math.cos(2 * _math.pi * i / len(sites)),
+                _math.sin(2 * _math.pi * i / len(sites)))
+            for i, s in enumerate(sites)
+        }
+        fig, ax = plt.subplots()
+        for (a, b) in self.terms:
+            ax.plot([pos[a][0], pos[b][0]], [pos[a][1], pos[b][1]],
+                    "-o", color="tab:blue")
+        return fig, ax
+    except Exception:
+        for a, b in self.terms:
+            print(f"  {a} -- {b}")
+        return None
+
+
+LocalHamGen.nsites = property(_lhg_nsites)
+LocalHamGen.get_gate = _lhg_get_gate
+LocalHamGen.apply_to_arrays = _lhg_apply_to_arrays
+LocalHamGen.get_auto_ordering = _lhg_get_auto_ordering
+LocalHamGen.draw = _lhg_draw
+LocalHamGen.graph = _lhg_draw

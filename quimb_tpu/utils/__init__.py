@@ -505,3 +505,240 @@ __all__ = [
     "tree_unflatten", "RollingMeanVar", "Timer",
     "default_to_neutral_style",
 ]
+
+
+# --------------------------------------------------------------------------
+# misc parity helpers (reference utils.py:78-960)
+# --------------------------------------------------------------------------
+
+def find_library(x):
+    """Whether library ``x`` is importable (reference utils.py:78)."""
+    from importlib.util import find_spec
+
+    return find_spec(x) is not None
+
+
+def raise_cant_find_library_function(x, extra_msg=None):
+    """A stand-in function that raises on call, flagging the missing
+    optional dependency ``x`` only at use time (reference
+    utils.py:95)."""
+
+    def function_that_will_raise(*_, **__):
+        error_msg = f"The library {x} is not installed. "
+        if extra_msg is not None:
+            error_msg += extra_msg
+        raise ImportError(error_msg)
+
+    return function_that_will_raise
+
+
+def print_multi_line(*lines, max_width=None):
+    """Print multiple lines aligned side by side, wrapping jointly at
+    ``max_width`` columns (reference utils.py:219)."""
+    if max_width is None:
+        import shutil
+
+        max_width, _ = shutil.get_terminal_size()
+    max_line_length = max(map(len, lines))
+    if max_line_length <= max_width:
+        for ln in lines:
+            print(ln)
+        return
+    max_width -= 10  # for ellipses and pad
+    n_lines = len(lines)
+    n_blocks = (max_line_length - 1) // max_width + 1
+    for i in range(n_blocks):
+        for j, l in enumerate(lines):
+            pre = "..." if i != 0 else "   "
+            post = "..." if i != n_blocks - 1 else "   "
+            print(pre, l[i * max_width:(i + 1) * max_width], post)
+        if i != n_blocks - 1:
+            print(("." * 10).center(max_width + 10))
+
+
+class Verbosify:
+    """Wrap a function to print before and after each call (reference
+    utils.py:326)."""
+
+    def __init__(self, fn, highlight=None, mpi=False):
+        self.fn = fn
+        self.highlight = highlight
+        self.mpi = mpi
+
+    def __call__(self, *args, **kwargs):
+        if self.highlight is None:
+            print(f"{self.fn.__name__}(...)")
+        else:
+            print(
+                f"{self.fn.__name__}(..., "
+                f"{self.highlight}={kwargs.get(self.highlight)})"
+            )
+        return self.fn(*args, **kwargs)
+
+
+class RollingDiffMean:
+    """Absolute rolling mean of diffs between values, for convergence
+    assessment (reference utils.py:512)."""
+
+    def __init__(self, size=16):
+        self.size = size
+        self.diffs = []
+        self.last_y = None
+        self.dxsum = 0.0
+
+    def update(self, y):
+        import math as _math
+
+        y = float(y)
+        if not _math.isfinite(y):
+            return
+        if self.last_y is not None:
+            dy = y - self.last_y
+            self.diffs.append(dy)
+            self.dxsum += dy / self.size
+        if len(self.diffs) > self.size:
+            dy = self.diffs.pop(0)
+            self.dxsum -= dy / self.size
+        self.last_y = y
+
+    def absmeandiff(self):
+        if len(self.diffs) < self.size:
+            return float("inf")
+        return abs(self.dxsum)
+
+
+class ExponentialGeometricRollingDiffMean:
+    """Exponentially-weighted geometric rolling mean of absolute diffs
+    (reference utils.py:545)."""
+
+    def __init__(self, factor=1 / 3, initial=1.0):
+        self.y_prev = None
+        self.x_prev = None
+        self.dy = None
+        self.value = initial
+        self.factor = factor
+
+    def update(self, y, x=None):
+        if self.y_prev is not None:
+            self.dy = abs(y - self.y_prev)
+            if (x is not None) and (self.x_prev is not None):
+                self.dy /= abs(x - self.x_prev)
+            self.value = (
+                self.value ** (1 - self.factor)
+                * self.dy ** self.factor
+            )
+        self.y_prev = y
+        self.x_prev = x
+
+
+def gen_bipartitions(it):
+    """All unique bipartitions of ``it`` (reference utils.py:571)."""
+    it = list(it)
+    n = len(it)
+    if n:
+        for i in range(1, 2 ** (n - 1)):
+            bits = f"{i:0>{n}b}"
+            l, r = [], []
+            for b, x in zip(bits, it):
+                (l if b == "0" else r).append(x)
+            yield l, r
+
+
+def gen_bipartitions_balanced_first(it):
+    """All unique bipartitions, most balanced first (reference
+    utils.py:585)."""
+    import itertools as _it
+
+    first, *rem = it
+    m = len(rem)
+    sizes = sorted(range(m), key=lambda k: abs((k + 1) - (m - k)))
+    for k in sizes:
+        for ladd in _it.combinations(rem, k):
+            left = (first, *ladd)
+            right = tuple(x for x in rem if x not in left)
+            yield left, right
+
+
+def tree_iter(tree, is_leaf=is_not_container):
+    """Iterate over all leaves of ``tree`` (reference utils.py:701)."""
+    if is_leaf(tree):
+        yield tree
+    elif isinstance(tree, (list, tuple)):
+        for x in tree:
+            yield from tree_iter(x, is_leaf)
+    elif isinstance(tree, dict):
+        for v in tree.values():
+            yield from tree_iter(v, is_leaf)
+    else:
+        yield tree
+
+
+class _Leaf:
+    """Singleton placeholder marking leaf positions in reference trees
+    (reference utils.py:770)."""
+
+    __slots__ = ()
+
+    def __repr__(self):
+        return "Leaf"
+
+
+Leaf = _Leaf()
+
+
+def is_leaf_object(x):
+    return x is Leaf
+
+
+def autocorrect_kwargs(func=None, valid_kwargs=None):
+    """Decorator that raises with close-match suggestions on wrong
+    keyword arguments (reference utils.py:896)."""
+    import functools as _ft
+
+    if func is None:
+        return _ft.partial(autocorrect_kwargs,
+                           valid_kwargs=valid_kwargs)
+    if valid_kwargs is None:
+        import inspect
+
+        valid = set(inspect.signature(func).parameters)
+    else:
+        valid = set(valid_kwargs)
+
+    @_ft.wraps(func)
+    def wrapped(*args, **kwargs):
+        wrong = {kw for kw in kwargs if kw not in valid}
+        if wrong:
+            import difflib
+
+            sugg = ", ".join(
+                str(difflib.get_close_matches(o, valid, n=3))
+                for o in wrong
+            )
+            raise ValueError(
+                f"Option(s) {wrong} not valid.\n Did you mean: "
+                f"{sugg}?"
+            )
+        return func(*args, **kwargs)
+
+    return wrapped
+
+
+def hash_kwargs_to_int(**kwargs):
+    """Deterministic 32-bit hash of keyword arguments (reference
+    utils.py:942)."""
+    import hashlib
+
+    s = str(sorted(kwargs.items()))
+    return int(hashlib.md5(s.encode()).hexdigest(), 16) % (2**32 - 1)
+
+
+_TREE_CONTAINER_TYPES = []
+
+
+def tree_register_container(cls, mapper, iterator, applier):
+    """Register a custom container type for the tree utilities
+    (reference utils.py:617). Registered types are treated as
+    containers by ``is_not_container``; the mapper/iterator/applier
+    hooks are stored for advanced use."""
+    _TREE_CONTAINER_TYPES.append((cls, mapper, iterator, applier))

@@ -175,3 +175,114 @@ class TestPEPOBuilder:
         assert P.max_bond() == 5
         He = np.asarray(ham_heis_2D(3, 3))
         assert np.abs(self._pepo_to_dense(P, 3, 3) - He).max() < 1e-10
+
+
+class TestBuilderExtras:
+    def test_fsm_mpo_optimal_bonds(self):
+        edges = [(i, i + 1) for i in range(5)]
+        H = heisenberg_from_edges(edges)
+        mpo = H.build_mpo()
+        # greedy state machine reaches the optimal bond dimension 5
+        assert max(mpo.bond_size(i, i + 1) for i in range(5)) == 5
+        Hd = np.asarray(qu.ham_heis(6)).real
+        assert np.allclose(
+            np.asarray(mpo.to_dense()).real, Hd, atol=1e-10
+        )
+
+    def test_fsm_mpo_random_couplings(self):
+        rng = np.random.default_rng(0)
+        B = SparseOperatorBuilder(hilbert_space=HilbertSpace(5))
+        for _ in range(12):
+            k = int(rng.integers(1, 4))
+            sites = sorted(rng.choice(5, size=k, replace=False))
+            ops = tuple(
+                (str(rng.choice(["x", "z", "n"])), int(s))
+                for s in sites
+            )
+            B += (float(rng.normal()),) + ops
+        Hm = B.build_sparse_matrix().toarray().real
+        M = np.asarray(B.build_mpo().to_dense()).real
+        P = np.zeros((32, 32))
+        for i in range(32):
+            P[int(format(i, "05b")[::-1], 2), i] = 1
+        assert np.abs(P @ Hm @ P.T - M).max() < 1e-8
+
+    def test_toggles_and_raw_terms(self):
+        B = SparseOperatorBuilder()
+        B += 0.5, ("+", 0), ("-", 1)
+        B += 0.5, ("+", 1), ("-", 0)
+        assert len(B.terms_raw) == 2
+        m0 = B.build_sparse_matrix().toarray()
+        B.jordan_wigner_transform()
+        B.jordan_wigner_transform(False)
+        assert np.allclose(B.build_sparse_matrix().toarray(), m0)
+        B.pauli_decompose(True)
+        assert np.allclose(
+            B.build_sparse_matrix().toarray(), m0, atol=1e-12
+        )
+        B.pauli_decompose(False)
+
+    def test_coupling_and_exact_eval(self):
+        B = SparseOperatorBuilder()
+        B += 0.5, ("+", 0), ("-", 1)
+        B += 0.5, ("+", 1), ("-", 0)
+        cfgs, coeffs = B.flatconfig_coupling(
+            np.array([1, 0], dtype=np.uint8)
+        )
+        assert cfgs.tolist() == [[0, 1]]
+        assert coeffs[0] == pytest.approx(0.5)
+
+        def amp(fc):
+            return 1 / np.sqrt(2) if fc.sum() == 1 else 0.0
+
+        assert B.evaluate_exact_flatconfigs(amp) == pytest.approx(0.5)
+
+    def test_local_terms_and_ikron(self):
+        edges = [(i, i + 1) for i in range(3)]
+        H = heisenberg_from_edges(edges)
+        lt = H.build_local_terms()
+        assert all(v.shape == (4, 4) for v in lt.values())
+        Hd = np.asarray(qu.ham_heis(4)).real
+        assert np.allclose(
+            np.asarray(H.build_matrix_ikron()).real, Hd, atol=1e-10
+        )
+
+    def test_show_and_state_machine(self, capsys):
+        edges = [(0, 1)]
+        H = heisenberg_from_edges(edges)
+        H.show()
+        out = capsys.readouterr().out
+        assert "SparseOperatorBuilder" in out
+        transitions, nstates = H.build_state_machine_greedy()
+        assert nstates[0] == 2 and nstates[-1] == 2
+
+
+class TestHilbertSpaceExtras:
+    def test_flatconfig_roundtrips(self):
+        hs = HilbertSpace(6, "U1", 3)
+        for r in (0, 7, hs.size - 1):
+            fc = hs.rank_to_flatconfig(r)
+            assert fc.sum() == 3
+            assert hs.flatconfig_to_rank(fc) == r
+            cfg = hs.rank_to_config(r)
+            assert hs.config_to_rank(cfg) == r
+
+    def test_site_registry(self):
+        hs = HilbertSpace(["a", "b", "c"])
+        assert hs.site_to_reg("b") == 1
+        assert hs.reg_to_site(2) == "c"
+        assert hs.has_site("a") and not hs.has_site("z")
+        assert hs.sizes == (2, 2, 2)
+        assert hs.strides == (1, 2, 4)
+        hs.set_ordering(("c", "a", "b"))
+        assert hs.site_to_reg("c") == 0
+
+    def test_from_edges_and_sector_predicate(self):
+        hs = HilbertSpace.from_edges([(0, 1), (1, 2)])
+        assert hs.nsites == 3
+        hs2 = HilbertSpace(6, "U1", 3)
+        pred = hs2.get_sector_numba()
+        assert pred(hs2.get_configs()).all()
+        assert hs2.get_size(sector=2) == 15
+        cfg = hs2.rand_config(seed=0)
+        assert sum(cfg.values()) == 3
