@@ -291,45 +291,112 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 class NetworkPatch:
-    """A patch of tensors and indices — the (tids, inds) pair
-    (reference ``NetworkPatch`` networking.py:13)."""
+    """A hashable region of a network: some tensor ids plus some indices
+    (fills the role of reference ``NetworkPatch`` networking.py:13).
 
-    __slots__ = ("_tids", "_inds", "_key")
+    Stored as one flat deduplicated element tuple (tids first, then
+    inds) with a split point — identity/hashing is by the unordered
+    element set, while iteration order stays deterministic (first-seen).
+    """
+
+    __slots__ = ("_elems", "_split", "_key")
 
     def __init__(self, tids, inds):
-        self._tids = oset(tids)
-        self._inds = oset(inds)
-        self._key = None
+        utids = tuple(dict.fromkeys(tids))
+        self._elems = utids + tuple(dict.fromkeys(inds))
+        self._split = len(utids)
+        self._key = frozenset(self._elems)
 
     @classmethod
     def from_sequence(cls, it):
-        tids, inds = [], []
-        for x in it:
-            (tids if isinstance(x, int) else inds).append(x)
-        return cls(tids, inds)
+        xs = tuple(it)
+        return cls(
+            (x for x in xs if isinstance(x, int)),
+            (x for x in xs if not isinstance(x, int)),
+        )
 
     @property
     def tids(self):
-        return self._tids
+        return oset(self._elems[:self._split])
 
     @property
     def inds(self):
-        return self._inds
-
-    def __iter__(self):
-        return itertools.chain(self._tids, self._inds)
+        return oset(self._elems[self._split:])
 
     @property
     def key(self):
-        if self._key is None:
-            self._key = frozenset(self)
         return self._key
 
     def merge(self, other):
         return NetworkPatch(
-            itertools.chain(self._tids, other._tids),
-            itertools.chain(self._inds, other._inds),
+            self._elems[:self._split] + other._elems[:other._split],
+            self._elems[self._split:] + other._elems[other._split:],
         )
+
+    def __iter__(self):
+        return iter(self._elems)
+
+    def __contains__(self, x):
+        return x in self._key
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        if isinstance(other, NetworkPatch):
+            return self._key == other._key
+        return NotImplemented
+
+    def __repr__(self):
+        s = self._split
+        return (
+            f"{type(self).__name__}"
+            f"({self._elems[:s]}, {self._elems[s:]})"
+        )
+
+
+class NetworkPath(NetworkPatch):
+    """A walk through a TN — n+1 tensor ids joined by n bond indices
+    (fills the role of reference ``NetworkPath`` networking.py:72).
+    Unlike a patch, order is structural, so tids/inds are plain tuples
+    and extension is O(1) amortized.
+    """
+
+    __slots__ = ("_t", "_i", "_lazykey")
+
+    def __init__(self, tids, inds=()):
+        self._t = tuple(tids)
+        self._i = tuple(inds)
+        if len(self._t) - len(self._i) != 1:
+            raise ValueError("tids should be one longer than inds")
+        self._lazykey = None
+
+    @property
+    def tids(self):
+        return self._t
+
+    @property
+    def inds(self):
+        return self._i
+
+    @property
+    def key(self):
+        if self._lazykey is None:
+            self._lazykey = frozenset(self._t + self._i)
+        return self._lazykey
+
+    def merge(self, other):
+        return NetworkPatch(self._t + other.tids,
+                            self._i + other.inds)
+
+    def __len__(self):
+        return len(self._i)
+
+    def __iter__(self):
+        # interleaved: t0, i0, t1, i1, ..., tn
+        for pair in zip(self._t, self._i):
+            yield from pair
+        yield self._t[-1]
 
     def __contains__(self, x):
         return x in self.key
@@ -338,46 +405,20 @@ class NetworkPatch:
         return hash(self.key)
 
     def __eq__(self, other):
-        if not isinstance(other, NetworkPatch):
-            return NotImplemented
-        return self.key == other.key
-
-    def __repr__(self):
-        return (
-            f"{self.__class__.__name__}"
-            f"({tuple(self._tids)}, {tuple(self._inds)})"
-        )
-
-
-class NetworkPath(NetworkPatch):
-    """A path through a TN: alternating tids and the inds between them
-    (reference ``NetworkPath`` networking.py:72)."""
-
-    __slots__ = NetworkPatch.__slots__
-
-    def __init__(self, tids, inds=()):
-        self._tids = tuple(tids)
-        self._inds = tuple(inds)
-        if len(self._tids) != len(self._inds) + 1:
-            raise ValueError("tids should be one longer than inds")
-        self._key = None
-
-    def __len__(self):
-        return len(self._inds)
-
-    def __iter__(self):
-        for tid, ind in zip(self._tids, self._inds):
-            yield tid
-            yield ind
-        yield self._tids[-1]
+        if isinstance(other, NetworkPatch):
+            return self.key == other.key
+        return NotImplemented
 
     def extend(self, ind, tid):
         new = NetworkPath.__new__(NetworkPath)
-        new._tids = self._tids + (tid,)
-        new._inds = self._inds + (ind,)
-        new._key = None if self._key is None else \
-            self._key | {tid, ind}
+        new._t = self._t + (tid,)
+        new._i = self._i + (ind,)
+        k = self._lazykey
+        new._lazykey = None if k is None else k | {tid, ind}
         return new
+
+    def __repr__(self):
+        return f"{type(self).__name__}({self._t}, {self._i})"
 
 
 def get_path_between_tids(tn, tida, tidb):

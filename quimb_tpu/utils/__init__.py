@@ -6,6 +6,8 @@ LRU :489, save/load :312, tree utils :617-890) with a pure-python,
 dependency-light implementation (no cytoolz / joblib).
 """
 
+import collections
+import collections.abc
 import functools
 import itertools
 import math
@@ -27,39 +29,72 @@ def check_opt(name, value, valid):
 # --------------------------------------------------------------------------
 
 
-class oset:
-    """An ordered set: insertion-ordered, hashable-element container with
-    fast membership and set-like operations. Built on a dict (python dicts
-    preserve insertion order)."""
+def _as_keyview(obj):
+    """View any iterable / oset as something supporting fast ``in`` and
+    iteration — osets expose their backing dict, other iterables are
+    materialized into one."""
+    backing = getattr(obj, "_d", None)
+    return backing if backing is not None else dict.fromkeys(obj)
+
+
+class oset(collections.abc.MutableSet):
+    """Insertion-ordered set used as the core index/tag container.
+
+    Fills the role of reference ``quimb/utils.py:351`` but is built as a
+    ``collections.abc.MutableSet``: the ABC supplies the full comparison
+    / algebra protocol from three primitives, while the bulk set
+    operations below are written as single dict-comprehension merges for
+    speed (they are on the TN bookkeeping hot path).
+    """
 
     __slots__ = ("_d",)
 
     def __init__(self, it=()):
         self._d = dict.fromkeys(it)
 
-    @classmethod
-    def _from_dict(cls, d):
-        obj = object.__new__(cls)
-        obj._d = d
-        return obj
+    # -- the three MutableSet primitives + constructor hook --
 
-    @classmethod
-    def from_dict(cls, d):
-        return cls._from_dict(d)
+    def __contains__(self, x):
+        return x in self._d
 
-    def copy(self):
-        return oset._from_dict(self._d.copy())
+    def __iter__(self):
+        yield from self._d
 
-    def __deepcopy__(self, memo):
-        new = oset._from_dict(self._d.copy())
-        memo[id(self)] = new
-        return new
+    def __len__(self):
+        return len(self._d)
 
     def add(self, k):
         self._d[k] = None
 
     def discard(self, k):
         self._d.pop(k, None)
+
+    @classmethod
+    def _from_iterable(cls, it):
+        return cls(it)
+
+    # -- construction / copying --
+
+    @classmethod
+    def _from_dict(cls, d):
+        self = cls.__new__(cls)
+        self._d = d
+        return self
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls._from_dict(d.copy())
+
+    def copy(self):
+        return type(self)._from_dict(dict(self._d))
+
+    __copy__ = copy
+
+    def __deepcopy__(self, memo):
+        memo[id(self)] = new = self.copy()
+        return new
+
+    # -- bulk operations: each is one dict-comprehension / merge --
 
     def remove(self, k):
         del self._d[k]
@@ -68,103 +103,83 @@ class oset:
         self._d.clear()
 
     def update(self, *others):
+        d = self._d
         for o in others:
-            if isinstance(o, oset):
-                self._d.update(o._d)
-            else:
-                self._d.update(dict.fromkeys(o))
+            d.update(_as_keyview(o))
 
     def union(self, *others):
-        u = self.copy()
-        u.update(*others)
-        return u
-
-    def intersection_update(self, *others):
-        if len(others) == 1:
-            other = others[0]
-        else:
-            other = oset.union(*others)
-        difference = set(self._d).difference(other)
-        for d in difference:
-            del self._d[d]
-
-    def intersection(self, *others):
-        n_others = len(others)
-        if n_others == 0:
-            return self.copy()
-        if n_others == 1:
-            other = others[0]
-        else:
-            other = oset.union(*others)
-        return oset._from_dict(
-            {k: None for k in self._d if k in other}
-        )
-
-    def difference_update(self, *others):
-        for o in others:
-            for k in o:
-                self._d.pop(k, None)
-
-    def difference(self, *others):
         new = self.copy()
-        new.difference_update(*others)
+        new.update(*others)
         return new
 
+    def intersection(self, *others):
+        if not others:
+            return self.copy()
+        views = [_as_keyview(o) for o in others]
+        kept = {
+            k: None for k in self._d
+            if all(k in v for v in views)
+        }
+        return type(self)._from_dict(kept)
+
+    def intersection_update(self, *others):
+        if others:
+            self._d = self.intersection(*others)._d
+
+    def difference(self, *others):
+        views = [_as_keyview(o) for o in others]
+        kept = {
+            k: None for k in self._d
+            if not any(k in v for v in views)
+        }
+        return type(self)._from_dict(kept)
+
+    def difference_update(self, *others):
+        self._d = self.difference(*others)._d
+
     def symmetric_difference(self, other):
-        return oset(
-            itertools.chain(
-                (k for k in self._d if k not in other),
-                (k for k in other if k not in self._d),
-            )
-        )
+        return self ^ type(self)(other)
+
+    # -- ordered-container extras --
 
     def popleft(self):
-        k = next(iter(self._d))
+        it = iter(self._d)
+        k = next(it)
         del self._d[k]
         return k
 
     def popright(self):
-        return self._d.popitem()[0]
+        k, _ = self._d.popitem()
+        return k
 
     pop = popright
 
-    def __eq__(self, other):
-        if isinstance(other, oset):
-            return self._d == other._d
-        return NotImplemented
+    # -- fast-path operators (the ABC mixins are element-wise) --
 
     def __or__(self, other):
         return self.union(other)
 
-    def __ior__(self, other):
-        self.update(other)
-        return self
-
     def __and__(self, other):
         return self.intersection(other)
-
-    def __iand__(self, other):
-        self.intersection_update(other)
-        return self
 
     def __sub__(self, other):
         return self.difference(other)
 
-    def __isub__(self, other):
-        self.difference_update(other)
-        return self
+    def __eq__(self, other):
+        if isinstance(other, oset):
+            return self._d.keys() == other._d.keys()
+        return super().__eq__(other)
 
-    def __len__(self):
-        return len(self._d)
-
-    def __iter__(self):
-        return iter(self._d)
-
-    def __contains__(self, x):
-        return x in self._d
+    __hash__ = None
 
     def __repr__(self):
         return f"oset({list(self._d)})"
+
+    def __getstate__(self):
+        return tuple(self._d)
+
+    def __setstate__(self, keys):
+        self._d = dict.fromkeys(keys)
 
 
 # --------------------------------------------------------------------------
@@ -172,35 +187,46 @@ class oset:
 # --------------------------------------------------------------------------
 
 
-class LRU(dict):
-    """Least-recently-used capped dict (reference quimb/utils.py:489)."""
+class LRU(collections.abc.MutableMapping):
+    """Size-capped mapping with least-recently-used eviction (role of
+    reference quimb/utils.py:489). Recency is tracked by re-inserting
+    touched keys at the back of a plain (insertion-ordered) dict; the
+    front entry is therefore always the eviction candidate.
+    """
+
+    __slots__ = ("_store", "maxsize")
 
     def __init__(self, maxsize, *args, **kwds):
         self.maxsize = maxsize
-        super().__init__(*args, **kwds)
+        self._store = {}
+        self.update(*args, **kwds)
 
     def __getitem__(self, key):
-        value = super().__getitem__(key)
-        self.move_to_end(key)
+        # pop + reinsert moves key to the most-recent slot
+        self._store[key] = value = self._store.pop(key)
         return value
 
-    def move_to_end(self, key):
-        value = super().pop(key)
-        super().__setitem__(key, value)
-
     def __setitem__(self, key, value):
-        if key in self:
-            self.move_to_end(key)
-        super().__setitem__(key, value)
-        if len(self) > self.maxsize:
-            oldest = next(iter(self))
-            del self[oldest]
+        store = self._store
+        store.pop(key, None)
+        store[key] = value
+        while len(store) > self.maxsize:
+            del store[next(iter(store))]
 
-    def get(self, key, default=None):
-        try:
-            return self[key]
-        except KeyError:
-            return default
+    def __delitem__(self, key):
+        del self._store[key]
+
+    def __iter__(self):
+        return iter(self._store)
+
+    def __len__(self):
+        return len(self._store)
+
+    def __contains__(self, key):
+        return key in self._store
+
+    def __repr__(self):
+        return f"LRU(maxsize={self.maxsize}, size={len(self._store)})"
 
 
 # --------------------------------------------------------------------------
@@ -577,58 +603,58 @@ class Verbosify:
 
 
 class RollingDiffMean:
-    """Absolute rolling mean of diffs between values, for convergence
-    assessment (reference utils.py:512)."""
+    """Absolute rolling mean of successive diffs, for convergence
+    assessment (role of reference utils.py:512). Keeps the last
+    ``size + 1`` finite values in a bounded deque; the windowed mean of
+    consecutive diffs telescopes to ``(y[-1] - y[0]) / size`` so no
+    running sum needs maintaining.
+    """
 
     def __init__(self, size=16):
         self.size = size
-        self.diffs = []
-        self.last_y = None
-        self.dxsum = 0.0
+        self._ys = collections.deque(maxlen=size + 1)
 
     def update(self, y):
-        import math as _math
-
         y = float(y)
-        if not _math.isfinite(y):
-            return
-        if self.last_y is not None:
-            dy = y - self.last_y
-            self.diffs.append(dy)
-            self.dxsum += dy / self.size
-        if len(self.diffs) > self.size:
-            dy = self.diffs.pop(0)
-            self.dxsum -= dy / self.size
-        self.last_y = y
+        if math.isfinite(y):
+            self._ys.append(y)
 
     def absmeandiff(self):
-        if len(self.diffs) < self.size:
-            return float("inf")
-        return abs(self.dxsum)
+        ys = self._ys
+        if len(ys) <= self.size:
+            return math.inf
+        return abs(ys[-1] - ys[0]) / self.size
 
 
 class ExponentialGeometricRollingDiffMean:
     """Exponentially-weighted geometric rolling mean of absolute diffs
-    (reference utils.py:545)."""
+    (role of reference utils.py:545), maintained in log space: the
+    geometric update ``v <- v**(1-f) * dy**f`` is an arithmetic moving
+    average of ``log(dy)``.
+    """
 
     def __init__(self, factor=1 / 3, initial=1.0):
-        self.y_prev = None
-        self.x_prev = None
-        self.dy = None
-        self.value = initial
         self.factor = factor
+        self._logv = math.log(initial)
+        self._prev = None  # (y, x) at last update
+        self.dy = None
+
+    @property
+    def value(self):
+        return math.exp(self._logv)
 
     def update(self, y, x=None):
-        if self.y_prev is not None:
-            self.dy = abs(y - self.y_prev)
-            if (x is not None) and (self.x_prev is not None):
-                self.dy /= abs(x - self.x_prev)
-            self.value = (
-                self.value ** (1 - self.factor)
-                * self.dy ** self.factor
-            )
-        self.y_prev = y
-        self.x_prev = x
+        if self._prev is not None:
+            py, px = self._prev
+            dy = abs(y - py)
+            if (x is not None) and (px is not None):
+                dy /= abs(x - px)
+            self.dy = dy
+            f = self.factor
+            # log(0) -> float-min-exp so a zero diff saturates, not errors
+            logdy = math.log(dy) if dy > 0.0 else -745.0
+            self._logv = (1.0 - f) * self._logv + f * logdy
+        self._prev = (y, x)
 
 
 def gen_bipartitions(it):
