@@ -122,11 +122,28 @@ def main():
 
     H = qtn.MPO_ham_heis(L)
     H.astype_(dtype)
-    p0 = qtn.MPS_rand_state(L, CHI, seed=42, dtype=dtype)
+    p0 = qtn.MPS_rand_state(L, min(32, CHI), seed=42, dtype=dtype)
     dmrg = qtn.DMRG2(H, bond_dims=CHI, cutoffs=0.0, p0=p0)
 
-    # warmup sweep: grows bonds to chi and compiles all shape signatures
-    dmrg.sweep("R", max_bond=CHI, cutoff=0.0)
+    # warmup sweeps: anneal the bond dimension up to chi (DMRG
+    # converges far faster grown from small chi than started at a
+    # random full-chi state), compile all shape signatures, and
+    # converge so the timed sweeps measure the steady state and their
+    # energy can be physics-checked.
+    if os.environ.get("BENCH_WARMUP"):
+        schedule = [CHI] * int(os.environ["BENCH_WARMUP"])
+    else:
+        schedule = []
+        b = 64
+        while b < CHI:
+            schedule.append(b)
+            b *= 2
+        # the first sweep at chi only reaches chi/2-sized thetas'
+        # rank cap; one more fills the bonds, one settles
+        schedule += [CHI] * (3 if on_tpu else 2)
+    for mb in schedule:
+        en = dmrg.sweep("R", max_bond=mb, cutoff=0.0)
+        dmrg.energies.append(en)
     jax.block_until_ready(dmrg._A[0])
 
     # flop count per sweep from the actual bond dimensions
@@ -146,11 +163,24 @@ def main():
 
     t0 = time.perf_counter()
     for _ in range(NSWEEP):
-        dmrg.sweep("R", max_bond=CHI, cutoff=0.0, canonize=True)
+        en = dmrg.sweep("R", max_bond=CHI, cutoff=0.0, canonize=True)
+        dmrg.energies.append(en)
     jax.block_until_ready(dmrg._A[0])
     dt = (time.perf_counter() - t0) / NSWEEP
 
     tflops = total_flops / dt / 1e12
+
+    # physics validation: the timed sweeps must actually converge to
+    # the true groundstate. E_REF measured once by converged f64 CPU
+    # DMRG2 (chi=64, tol=1e-10) on this config — see
+    # docs/performance.md.
+    E_REF = {128: -56.535467821834}.get(L)
+    energy_ok = None
+    if E_REF is not None and dmrg.energies:
+        rel = abs(dmrg.energies[-1] - E_REF) / abs(E_REF)
+        # f32 on TPU: ~1e-6 relative is the dtype floor; f64 on CPU
+        # should be much tighter but sweeps are capped for time
+        energy_ok = bool(rel < (2e-5 if dtype == "float32" else 1e-6))
 
     # CPU baseline: the identical sweep (same code, same flop model)
     # measured on this container's CPU via BENCH_FORCE_CPU=1 — the
@@ -170,6 +200,8 @@ def main():
         "vs_baseline": round(tflops / CPU_BASELINE_TFLOPS, 3),
         "sweep_seconds": round(dt, 3),
         "energy": dmrg.energies[-1] if dmrg.energies else None,
+        "energy_ref": E_REF,
+        "energy_ok": energy_ok,
         "device": str((jax.config.jax_default_device or jax.devices()[0])),
     }
     if os.environ.get("BENCH_TPU_UNAVAILABLE"):

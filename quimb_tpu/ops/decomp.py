@@ -927,6 +927,56 @@ def compute_oblique_projectors(
     return Pl, Pr
 
 
+def similarity_compress(X, max_bond, renorm=False, method="eigh"):
+    """Find ``(Cl, Cr)`` compressing a square bond-environment operator
+    ``X`` to ``max_bond`` via a similarity transform: ``Cr @ X @ Cl``
+    acts on the compressed bond, with ``Cl @ Cr`` the (possibly
+    oblique) projector to insert into the network (reference
+    ``similarity_compress`` decomp.py:2836; methods eigh/svd/biorthog).
+    """
+    X = jnp.asarray(X)
+    if X.shape[-1] <= max_bond:
+        d = X.shape[-1]
+        eye = jnp.eye(d, dtype=X.dtype)
+        return eye, eye
+    if method == "eigh":
+        H = (X + dag(X)) / 2
+        el, ev = safe_eigh(H)
+        sel = jnp.argsort(-jnp.abs(el))[:max_bond]
+        Cl = ev[:, sel]
+        Cr = dag(Cl)
+    elif method == "svd":
+        U, _, _ = safe_svd(X)
+        Cl = U[:, :max_bond]
+        Cr = dag(Cl)
+    elif method == "biorthog":
+        # oblique variant: use both left and right leading invariant
+        # subspaces of X (general eig is host-only)
+        import numpy as np
+        import scipy.linalg as sla
+
+        Xh = np.asarray(X)
+        el, vl, vr = sla.eig(Xh, left=True, right=True)
+        sel = np.argsort(-np.abs(el))[:max_bond]
+        Cl_ = vr[:, sel]
+        Cr_ = vl[:, sel].conj().T
+        # bi-orthonormalize: Cr @ Cl = I
+        M = Cr_ @ Cl_
+        Cr_ = np.linalg.solve(M, Cr_)
+        if np.iscomplexobj(Xh) or np.abs(np.imag(Cl_)).max() > 1e-12:
+            Cl, Cr = jnp.asarray(Cl_), jnp.asarray(Cr_)
+        else:
+            Cl = jnp.asarray(np.real(Cl_))
+            Cr = jnp.asarray(np.real(Cr_))
+    else:
+        raise ValueError(f"unknown similarity_compress method {method}")
+    if renorm:
+        tr_old = jnp.trace(X)
+        tr_new = jnp.trace(Cr @ (X @ Cl))
+        Cl = Cl * (tr_old / tr_new)
+    return Cl, Cr
+
+
 def estimate_rank(x, eps=1e-10, k_start=16, k_max=None, q=2):
     """Estimate the numerical rank of ``x`` at relative singular-value
     threshold ``eps`` by adaptive randomized range sketching (reference

@@ -304,6 +304,14 @@ class CircuitBase:
         gate_updates = {
             k: v for k, v in params.items() if not isinstance(k, str)
         }
+        managed_overrides = set(gate_updates) & set(
+            self._named_param_exprs
+        )
+        if managed_overrides:
+            raise ValueError(
+                "Gates driven by named parameter expressions cannot be "
+                f"overridden directly: {sorted(managed_overrides)}"
+            )
         new_gates = []
         for i, g in enumerate(self._gates):
             if i in self._named_param_exprs:
@@ -465,11 +473,24 @@ class CircuitBase:
 
     @classmethod
     def from_openqasm3_str(cls, contents, **circuit_opts):
+        """Build from an OpenQASM 3 string; symbolic ``input``
+        declarations become named circuit parameters bindable via
+        :meth:`set_params` (reference circuit/core.py:438)."""
         from .qasm import parse_openqasm3_str
 
         info = parse_openqasm3_str(contents)
         qc = cls(info["n"], **circuit_opts)
         qc.apply_gates(info["gates"])
+        if info.get("symbols") or info.get("expressions"):
+            qc.register_named_params(
+                {
+                    name: (
+                        float("nan") if isinstance(value, str) else value
+                    )
+                    for name, value in info["symbols"].items()
+                },
+                info["expressions"],
+            )
         return qc
 
     @classmethod

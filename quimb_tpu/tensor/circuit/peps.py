@@ -101,7 +101,8 @@ def _cpeps_equilibrate(self, **gauge_opts):
     represented state is unchanged, only better conditioned
     (reference ``equilibrate`` peps.py:251)."""
     gauge_opts.setdefault("max_iterations", 5)
-    _, gauges = self._psi.gauge_all_simple_(**gauge_opts)
+    gauges = {}
+    self._psi.gauge_all_simple_(gauges=gauges, **gauge_opts)
     self._psi.gauge_simple_insert(gauges)
     return self
 

@@ -2872,10 +2872,18 @@ def _tn_gauge_all_simple(self, max_iterations=5, tol=0.0, smudge=1e-12,
                          power=1.0, damping=0.0, gauges=None,
                          inplace=False):
     """Simple (Vidal) gauging of every bond of an arbitrary TN
-    (reference ``gauge_all_simple`` tensor_core.py:7555). Returns
-    ``(tn, gauges)``."""
+    (reference ``gauge_all_simple`` tensor_core.py:7555).
+
+    If ``gauges`` is supplied (a dict, possibly empty), it is updated
+    in place with the bond gauges, which are left *stripped out* of the
+    network (Vidal form) — the caller owns reinsertion. If not
+    supplied, the gauges are reabsorbed symmetrically at the end so the
+    network's value is preserved, matching the reference. Returns
+    ``tn``.
+    """
     tn = self if inplace else self.copy()
-    if gauges is None:
+    gauges_supplied = gauges is not None
+    if not gauges_supplied:
         gauges = {}
     for it in range(max_iterations):
         max_sdiff = 0.0
@@ -2897,7 +2905,11 @@ def _tn_gauge_all_simple(self, max_iterations=5, tol=0.0, smudge=1e-12,
         max_sdiff = info["max_sdiff"]
         if tol and max_sdiff < tol:
             break
-    return tn, gauges
+    if not gauges_supplied:
+        # reabsorb sqrt of each gauge into both tensors so the
+        # network's value is unchanged (reference behavior)
+        _tn_gauge_simple_insert(tn, gauges)
+    return tn
 
 
 def _tn_gauge_simple_insert(self, gauges, smudge=0.0, remove=False):
@@ -3125,8 +3137,16 @@ def _tn_insert_compressor_between_regions(
 ):
     """Insert oblique projectors compressing the bonds between two
     tagged regions (reference ``insert_compressor_between_regions``
-    — the 'full-bond' / CTMRG-projector primitive)."""
-    tn = self if inplace else self.copy()
+    tensor_core.py:9924 — the 'full-bond' / CTMRG-projector
+    primitive). The projectors are *computed* from ``self``; when
+    ``insert_into`` is given they are spliced into that network
+    instead (so a frozen copy can supply the environments while the
+    evolving network receives the compressors, as in CTMRG)."""
+    if insert_into is not None:
+        target = insert_into
+    else:
+        target = self if inplace else self.copy()
+    tn = self
     ltids = tuple(tn._get_tids_from_tags(ltags, "any"))
     rtids = tuple(tn._get_tids_from_tags(rtags, "any"))
     # bonds between the regions
@@ -3159,23 +3179,27 @@ def _tn_insert_compressor_between_regions(
     Pl, Pr = decomp.compute_oblique_projectors(
         Rl, Lr, max_bond=max_bond, cutoff=cutoff, **compress_opts,
     )
-    # splice the projector pair into the bonds
+    # splice the projector pair into the bonds of the target network
     bdims = [tn.ind_size(ix) for ix in bix]
     new_ix = rand_uuid()
     mid_l = [rand_uuid() for _ in bix]
+    t_ltids = (
+        ltids if target is tn
+        else tuple(target._get_tids_from_tags(ltags, "any"))
+    )
     for ix, mix in zip(bix, mid_l):
-        for tid in tuple(tn.ind_map[ix]):
-            if tid in ltids:
-                tn.tensor_map[tid].reindex_({ix: mix})
-    tn.add_tensor(Tensor(
+        for tid in tuple(target.ind_map[ix]):
+            if tid in t_ltids:
+                target.tensor_map[tid].reindex_({ix: mix})
+    target.add_tensor(Tensor(
         jnp.reshape(Pl, (*bdims, -1)), inds=(*mid_l, new_ix),
         tags=tags_to_oset(new_ltags),
     ), virtual=True)
-    tn.add_tensor(Tensor(
+    target.add_tensor(Tensor(
         jnp.reshape(Pr, (-1, *bdims)), inds=(new_ix, *bix),
         tags=tags_to_oset(new_rtags),
     ), virtual=True)
-    return tn
+    return target
 
 
 def _tn_select_local(self, tags, which="all", max_distance=1,
@@ -3888,8 +3912,9 @@ def _tn_compress_all_simple(self, max_bond=None, cutoff=1e-10,
     """Compress every bond using the simple-update gauge (reference
     ``compress_all_simple``)."""
     tn = self if inplace else self.copy()
-    tn2, gauges = tn.gauge_all_simple(
-        max_iterations=max_iterations
+    gauges = {}
+    tn2 = tn.gauge_all_simple(
+        max_iterations=max_iterations, gauges=gauges
     )
     tn2.gauge_simple_insert(gauges)
     for ix, tids in tuple(tn2.ind_map.items()):

@@ -6,321 +6,670 @@ density-matrix :382, zip-up :667 (+oversample :910), fit :2240,
 src :1273; MPO x MPS wrappers ``mps_gate_with_mpo_*`` :2956-3215,
 ``enforce_1d_like`` :37).
 
-All methods lower to the S0 kernels; the density-matrix and zip-up
-methods never form the fat chi*w bond explicitly where avoidable.
+Structure preservation: apart from the ``direct`` method (whose
+definition is to materialize each fat site column then canonize +
+truncate), no method here contracts a site column into a single fat
+tensor. For an MPO (bond ``w``) applied to an MPS (bond ``chi``):
+
+- ``zipup`` carries a ``(chi_new, chi, w)`` tensor down the chain and
+  takes SVDs of ``(chi_new * d, chi * w)`` rectangles — peak
+  intermediate O(chi^2 w d), never O((chi w)^2).
+- ``src`` sketches left environments with a batch of random product
+  states — peak O(B chi w) with sketch size B = max_bond.
+- ``fit`` sweeps ALS updates with single-layer environments of size
+  O(chi_new chi w).
+- ``dm`` uses the squared (norm) picture: its environments are
+  O(chi^2 w^2) (as in the reference), but all decompositions are eighs
+  of (chi_new d)-sized density matrices — no LAPACK op ever sees the
+  fat chi*w bond as a matrix dimension.
+- ``projector`` inserts oblique projectors computed from neighbouring
+  bond environments (reference ``mps_gate_with_mpo_projector``
+  tn1d/compress.py:3215 + ``compute_oblique_projectors``
+  decomp.py:3100).
 """
 
-import functools
+import collections
 
 import jax.numpy as jnp
-import numpy as np
 
 from ...ops import decomp
-from ...utils import check_opt
-from ..core import Tensor, TensorNetwork, bonds, rand_uuid, tensor_contract
-from .core import MatrixProductOperator, MatrixProductState
+from ...utils import check_opt, ensure_dict
+from ..core import (
+    Tensor,
+    TensorNetwork,
+    bonds,
+    rand_uuid,
+    tensor_contract,
+)
+from .core import MatrixProductOperator, MatrixProductState  # noqa: F401
 
 
 def enforce_1d_like(tn, site_tags=None, fix_bonds=True, inplace=False):
-    """Check/coerce ``tn`` into a 1D-like form: tensors groupable into
-    an ordered chain of site columns with bonds only between
-    neighbouring columns (reference ``enforce_1d_like``
-    tn1d/compress.py:37)."""
+    """Check that ``tn`` is 1D-like: every tensor has exactly one of
+    ``site_tags``, there are no hyper indices, and bonds connect only
+    the same or neighbouring site columns — long-range bonds are
+    optionally fixed by inserting identity strings (reference
+    ``enforce_1d_like`` tn1d/compress.py:37). Does NOT contract the
+    columns."""
     tn = tn if inplace else tn.copy()
     if site_tags is None:
         site_tags = tn.site_tags
-    for i, tag in enumerate(site_tags):
-        if tag not in tn.tag_map:
-            raise ValueError(f"missing site tag {tag}")
-    # contract multi-tensor columns into single site tensors
-    for tag in site_tags:
-        if len(tn.tag_map[tag]) > 1:
-            tn.contract_tags_(tag, which="any")
-    # fuse multiple bonds between neighbouring sites
-    for taga, tagb in zip(site_tags, site_tags[1:]):
-        (ta,) = tn.select_tensors(taga, "any")
-        (tb,) = tn.select_tensors(tagb, "any")
-        shared = list(bonds(ta, tb))
-        if len(shared) > 1:
-            fused = rand_uuid()
-            ta.fuse_({fused: shared})
-            tb.fuse_({fused: shared})
+
+    site_of_tag = {tag: i for i, tag in enumerate(site_tags)}
+    site_of_tid = {}
+
+    def which_site(tid):
+        try:
+            return site_of_tid[tid]
+        except KeyError:
+            pass
+        t = tn.tensor_map[tid]
+        found = [site_of_tag[tag] for tag in t.tags if tag in site_of_tag]
+        if len(found) != 1:
+            raise ValueError(
+                f"tensor {t} should have exactly one site tag, has "
+                f"{len(found)}"
+            )
+        site_of_tid[tid] = found[0]
+        return found[0]
+
+    for ix in list(tn.ind_map):
+        # re-look-up: the fix-up below mutates the ind map
+        tids = tuple(tn.ind_map.get(ix, ()))
+        if len(tids) <= 1:
+            continue  # outer (or already rewired) index
+        if len(tids) > 2:
+            raise ValueError(
+                f"TN has a hyper index {ix}, cannot treat as 1D-like."
+            )
+        tida, tidb = tids
+        sa, sb = which_site(tida), which_site(tidb)
+        if sa > sb:
+            sa, sb = sb, sa
+            tida, tidb = tidb, tida
+        if sb - sa > 1:
+            if not fix_bonds:
+                raise ValueError(
+                    f"bond {ix} connects non-neighbouring sites "
+                    f"{sa} and {sb} and fix_bonds=False"
+                )
+            # thread an identity string through the intermediate sites
+            d = tn.tensor_map[tida].ind_size(ix)
+            eye = jnp.eye(d, dtype=tn.tensor_map[tida].dtype)
+            ixl = ix
+            for i in range(sa + 1, sb):
+                ixr = rand_uuid()
+                tn.add_tensor(
+                    Tensor(eye, inds=(ixl, ixr), tags=site_tags[i])
+                )
+                ixl = ixr
+            tn.tensor_map[tidb].reindex_({ix: ixl})
+
     return tn
 
 
-def _fat_mps_site_arrays(tn, site_tags, site_inds):
-    """Uniform (l, p, r) arrays of a 1D-like TN after column fusion."""
+# ---------------------------------------------------------------------------
+# column bookkeeping
+# ---------------------------------------------------------------------------
+
+
+def _site_groups(tn, site_tags):
+    """The tensors of each site column, in order (no contraction)."""
+    return [list(tn.select_tensors(tag, "any")) for tag in site_tags]
+
+
+def _site_outer_inds(tn, site_tags):
+    """The outer (physical/output) indices belonging to each column."""
+    outer = set(tn.outer_inds())
     out = []
-    L = len(site_tags)
-    ts = [next(iter(tn.select_tensors(tag, "any")))
-          for tag in site_tags]
-    for i, t in enumerate(ts):
-        lb = list(bonds(ts[i - 1], t)) if i > 0 else []
-        rb = list(bonds(t, ts[i + 1])) if i < L - 1 else []
-        arr = t.transpose(*lb, site_inds[i], *rb).data
-        dl = arr.shape[0] if lb else 1
-        dr = arr.shape[-1] if rb else 1
-        out.append(jnp.reshape(arr, (dl, -1, dr)))
+    for tag in site_tags:
+        sub = set()
+        for t in tn.select_tensors(tag, "any"):
+            sub.update(ix for ix in t.inds if ix in outer)
+        out.append(tuple(sub))
     return out
 
 
-def _arrays_to_mps_like(arrays, like):
-    site_arrays = []
-    L = len(arrays)
-    for i, a in enumerate(arrays):
-        if i == 0:
-            site_arrays.append(jnp.transpose(a[0], (1, 0)))
-        elif i == L - 1:
-            site_arrays.append(a[..., 0])
+def _form_final_tn(
+    tn, ts, site_tags, normalize=False, sweep_reverse=False,
+    inplace=False,
+):
+    """Assemble the per-site tensor sequence ``ts`` into the result,
+    honoring ``inplace`` (reference
+    ``_form_final_tn_from_tensor_sequence`` tn1d/compress.py:299)."""
+    if sweep_reverse:
+        ts = list(reversed(ts))
+        site_tags = tuple(reversed(site_tags))
+
+    for tag, t in zip(site_tags, ts):
+        t.drop_tags()
+        t.add_tag(tag)
+
+    if normalize:
+        # the sweep leaves the canonical center at ts[0]
+        t0 = ts[0]
+        t0.modify(data=t0.data / jnp.linalg.norm(
+            jnp.reshape(t0.data, (-1,))
+        ))
+
+    if inplace:
+        for tid in tuple(tn.tensor_map):
+            tn._pop_tensor(tid)
+        for t in ts:
+            tn.add_tensor(t)
+        return tn
+
+    new = TensorNetwork(ts, virtual=True)
+    # carry over 1D structure info if available
+    if hasattr(tn, "_site_tag_id"):
+        new.view_like_(tn)
+    return new
+
+
+def _left_right_bonds(groups, i):
+    """Bonds between column i-1 / i and i / i+1 as ordered tuples."""
+    lb, rb = [], []
+    if i > 0:
+        left_inds = {ix for t in groups[i - 1] for ix in t.inds}
+        lb = [ix for t in groups[i] for ix in t.inds if ix in left_inds]
+    if i < len(groups) - 1:
+        right_inds = {ix for t in groups[i + 1] for ix in t.inds}
+        rb = [ix for t in groups[i] for ix in t.inds if ix in right_inds]
+    return tuple(dict.fromkeys(lb)), tuple(dict.fromkeys(rb))
+
+
+# ---------------------------------------------------------------------------
+# direct
+# ---------------------------------------------------------------------------
+
+
+def _compress_direct_tn(
+    tn, site_tags, site_inds, max_bond, cutoff, cutoff_mode="rsum2",
+    **kwargs,
+):
+    """The 'direct' method (reference tn1d/compress.py:138): contract
+    each site column into one (fat) tensor, right-canonize, then
+    truncate left-to-right. O((chi w)^3) QR/SVDs by definition."""
+    groups = _site_groups(tn, site_tags)
+    L = len(groups)
+
+    # materialize the fat site tensors
+    ts = []
+    for i in range(L):
+        if len(groups[i]) == 1:
+            ts.append(groups[i][0].copy())
         else:
-            site_arrays.append(jnp.transpose(a, (0, 2, 1)))
-    return MatrixProductState(
-        site_arrays, shape="lrp",
-        site_ind_id=like if isinstance(like, str) else like._site_ind_id,
-        site_tag_id="I{}" if isinstance(like, str)
-        else like._site_tag_id,
+            ts.append(tensor_contract(
+                *groups[i], preserve_tensor=True, drop_tags=True,
+            ))
+
+    # right-canonize: LQ sweeps from the right
+    for i in range(L - 1, 0, -1):
+        shared = tuple(bonds(ts[i - 1], ts[i]))
+        Lf, Q = ts[i].split(
+            left_inds=shared, method="lq", get="tensors", cutoff=-1.0,
+        )
+        ts[i] = Q
+        ts[i - 1] = tensor_contract(
+            ts[i - 1], Lf, preserve_tensor=True, drop_tags=True,
+        )
+
+    # left-to-right truncation sweep
+    for i in range(L - 1):
+        shared = tuple(bonds(ts[i], ts[i + 1]))
+        U, sVH = ts[i].split(
+            left_inds=None, right_inds=shared, method="svd",
+            absorb="right", max_bond=max_bond, cutoff=cutoff,
+            cutoff_mode=cutoff_mode, get="tensors",
+        )
+        ts[i] = U
+        ts[i + 1] = tensor_contract(
+            sVH, ts[i + 1], preserve_tensor=True, drop_tags=True,
+        )
+    return ts
+
+
+# ---------------------------------------------------------------------------
+# density matrix
+# ---------------------------------------------------------------------------
+
+
+def _compress_dm_tn(
+    tn, site_tags, site_inds, max_bond, cutoff, cutoff_mode="rsum1",
+    **kwargs,
+):
+    """Density-matrix compression in the squared picture (reference
+    tn1d/compress.py:382, tensornetwork.org denmat_mpo_mps): build
+    double-layer left environments column by column, then sweep
+    right-to-left eigendecomposing the local reduced density matrix.
+    No fat site tensor is ever formed; decompositions are eighs of
+    (chi_new * d)-sized matrices."""
+    L = len(site_tags)
+    ket = tn
+    groups = _site_groups(ket, site_tags)
+    kinds = site_inds
+
+    # conjugate layer: bond (inner) indices mangled, site indices kept
+    # so that contracting ket column x bra column forms the *norm*
+    bra = ket.conj()
+    inner_map = {ix: rand_uuid() for ix in ket.inner_inds()}
+    bra.reindex_(inner_map)
+    bgroups_closed = _site_groups(bra, site_tags)
+
+    # per-column bra tensors with the site indices opened (primed) —
+    # used when forming the reduced density matrices
+    binds = []
+    bgroups = []
+    for i in range(L):
+        col_map = {kix: rand_uuid() for kix in kinds[i]}
+        binds.append(tuple(col_map[k] for k in kinds[i]))
+        bgroups.append(
+            [t.reindex(col_map) for t in bgroups_closed[i]]
+        )
+
+    # left (norm) environments: LE[i] spans columns < i of <psi|psi>
+    left_envs = {}
+    left_envs[1] = tensor_contract(
+        *groups[0], *bgroups_closed[0],
+        preserve_tensor=True, drop_tags=True,
     )
+    for i in range(2, L):
+        left_envs[i] = tensor_contract(
+            left_envs[i - 1], *groups[i - 1], *bgroups_closed[i - 1],
+            preserve_tensor=True, drop_tags=True,
+        )
+
+    new_kbond = collections.defaultdict(rand_uuid)
+    new_bbond = collections.defaultdict(rand_uuid)
+    Us = [None] * L
+    re_ket = None
+    re_bra = None
+
+    for i in range(L - 1, 0, -1):
+        rho_tensors = [left_envs[i], *groups[i], *bgroups[i]]
+        left_inds = list(kinds[i])
+        right_inds = list(binds[i])
+        if re_ket is not None:
+            rho_tensors.extend((re_ket, re_bra))
+            left_inds.append(new_kbond[i + 1])
+            right_inds.append(new_bbond[i + 1])
+
+        rho = tensor_contract(
+            *rho_tensors, preserve_tensor=True, drop_tags=True,
+            output_inds=(*left_inds, *right_inds),
+        )
+        U, s, UH = rho.split(
+            left_inds=left_inds, right_inds=right_inds, method="eigh",
+            positive=1, absorb=None, max_bond=max_bond, cutoff=cutoff,
+            cutoff_mode=cutoff_mode, get="tensors",
+        )
+        (bix,) = s.inds
+        U.reindex_({bix: new_kbond[i]})
+        UH.reindex_({bix: new_bbond[i]})
+        Us[i] = U
+
+        # absorb the new isometries into the running right environments
+        rkt = [*groups[i], U.conj()]
+        rbt = [*bgroups[i], UH.conj()]
+        if re_ket is not None:
+            rkt.append(re_ket)
+            rbt.append(re_bra)
+        re_ket = tensor_contract(
+            *rkt, preserve_tensor=True, drop_tags=True,
+        )
+        re_bra = tensor_contract(
+            *rbt, preserve_tensor=True, drop_tags=True,
+        )
+
+    Us[0] = tensor_contract(
+        *groups[0], re_ket, preserve_tensor=True, drop_tags=True,
+    )
+    # rename new bonds: U_i has ind new_kbond[i] on its left and
+    # new_kbond[i+1]... the bond between Us[i] and Us[i+1] is
+    # new_kbond[i+1], already consistent.
+    return Us
+
+
+# ---------------------------------------------------------------------------
+# zip-up
+# ---------------------------------------------------------------------------
+
+
+def _compress_zipup_tn(
+    tn, site_tags, site_inds, max_bond, cutoff, cutoff_mode="rsum2",
+    canonize=True, oversample=False, **kwargs,
+):
+    """Zip-up compression (reference tn1d/compress.py:667,
+    arXiv:1002.1305): pseudo-canonicalize toward the last site, then
+    sweep right-to-left carrying the U*s factor through each column.
+    Peak intermediate O(chi_new * chi * w * d)."""
+    L = len(site_tags)
+    if canonize:
+        tn = tn.canonize_around(site_tags[-1])
+    groups = _site_groups(tn, site_tags)
+
+    factor = 2 if oversample else 1
+    mb = None if max_bond is None else max_bond * factor
+
+    ts = [None] * L
+    Us = None
+    bix = None
+    for i in range(L - 1, 0, -1):
+        if Us is None:
+            C = tensor_contract(
+                *groups[i], preserve_tensor=True, drop_tags=True,
+            )
+        else:
+            C = tensor_contract(
+                Us, *groups[i], preserve_tensor=True, drop_tags=True,
+            )
+        right_inds = list(site_inds[i])
+        if bix is not None:
+            right_inds.append(bix)
+        bix = rand_uuid()
+        Us, VH = C.split(
+            left_inds=None, right_inds=right_inds, bond_ind=bix,
+            method="svd", absorb="left", max_bond=mb, cutoff=cutoff,
+            cutoff_mode=cutoff_mode, get="tensors",
+        )  # 2 tensors: U*s and VH
+        Us.drop_tags()
+        ts[i] = VH
+    ts[0] = tensor_contract(
+        Us, *groups[0], preserve_tensor=True, drop_tags=True,
+    )
+    if oversample and max_bond is not None:
+        ts = _direct_resweep(ts, max_bond, cutoff)
+    return ts
+
+
+def _direct_resweep(ts, max_bond, cutoff):
+    """Truncate an existing chain of site tensors down to ``max_bond``
+    with canonical sweeps (used by the -oversample variants)."""
+    L = len(ts)
+    ts = list(ts)
+    for i in range(L - 1, 0, -1):
+        shared = tuple(bonds(ts[i - 1], ts[i]))
+        Lf, Q = ts[i].split(
+            left_inds=shared, method="lq", get="tensors", cutoff=-1.0,
+        )
+        ts[i] = Q
+        ts[i - 1] = tensor_contract(
+            ts[i - 1], Lf, preserve_tensor=True, drop_tags=True,
+        )
+    for i in range(L - 1):
+        shared = tuple(bonds(ts[i], ts[i + 1]))
+        U, sVH = ts[i].split(
+            left_inds=None, right_inds=shared, method="svd",
+            absorb="right", max_bond=max_bond, cutoff=cutoff,
+            get="tensors",
+        )
+        ts[i] = U
+        ts[i + 1] = tensor_contract(
+            sVH, ts[i + 1], preserve_tensor=True, drop_tags=True,
+        )
+    return ts
+
+
+# ---------------------------------------------------------------------------
+# src (successive randomized compression)
+# ---------------------------------------------------------------------------
+
+
+def _compress_src_tn(
+    tn, site_tags, site_inds, max_bond, cutoff=0.0, seed=None,
+    noise_dist="normal", **kwargs,
+):
+    """Successive randomized compression (reference
+    tn1d/compress.py:1273, arXiv:2504.06475): sketch left environments
+    with ``max_bond`` random product states sharing one hyper batch
+    index, then sweep right-to-left forming isometries by skinny QR.
+    Peak intermediate O(B * chi * w); no SVD of any fat object."""
+    from ...gen.rand import randn
+
+    L = len(site_tags)
+    groups = _site_groups(tn, site_tags)
+    if L == 1:
+        return [tensor_contract(*groups[0], preserve_tensor=True,
+                                drop_tags=True)]
+    dtype = groups[0][0].dtype
+    B = max_bond
+    bix = rand_uuid()  # shared batch index
+
+    # random product sketches, one per column
+    ws = []
+    for i in range(L):
+        shp = [B] + [tn.ind_size(ix) for ix in site_inds[i]]
+        arr = randn(tuple(shp), dtype=str(dtype), dist=noise_dist,
+                    seed=None if seed is None else seed + i)
+        ws.append(Tensor(arr, inds=(bix, *site_inds[i])))
+
+    # left sketched environments LE[i]: columns < i hit by sketches.
+    # `bix` is a shared (hyper) batch index so the output indices must
+    # be given explicitly to keep it open.
+    LEs = [None] * L
+    rb0 = _left_right_bonds(groups, 0)[1]
+    le = tensor_contract(
+        *groups[0], ws[0], preserve_tensor=True, drop_tags=True,
+        output_inds=(bix, *rb0),
+    )
+    LEs[1] = le
+    for i in range(1, L - 1):
+        rb = _left_right_bonds(groups, i)[1]
+        le = tensor_contract(
+            le, *groups[i], ws[i], preserve_tensor=True,
+            drop_tags=True, output_inds=(bix, *rb),
+        )
+        LEs[i + 1] = le
+
+    new = [None] * L
+    re = None  # maps old right bonds -> new bond
+    for i in range(L - 1, 0, -1):
+        tens = [LEs[i], *groups[i]]
+        if re is not None:
+            tens.append(re)
+        t = tensor_contract(
+            *tens, preserve_tensor=True, drop_tags=True,
+        )
+        # QR: left = (site inds + new right bond), right = batch
+        left_inds = [ix for ix in t.inds if ix != bix]
+        Q, _R = t.split(
+            left_inds=left_inds, right_inds=(bix,), method="qr",
+            cutoff=-1.0, get="tensors",
+        )
+        new[i] = Q
+        # build the projection tensor: old column absorbed with Q^dag
+        rt = [*groups[i], Q.conj()]
+        if re is not None:
+            rt.append(re)
+        re = tensor_contract(
+            *rt, preserve_tensor=True, drop_tags=True,
+        )
+    new[0] = tensor_contract(
+        *groups[0], re, preserve_tensor=True, drop_tags=True,
+    )
+    if cutoff and cutoff > 0:
+        new = _direct_resweep(new, max_bond, cutoff)
+    return new
+
+
+# ---------------------------------------------------------------------------
+# fit (ALS)
+# ---------------------------------------------------------------------------
+
+
+def _compress_fit_tn(
+    tn, site_tags, site_inds, max_bond, cutoff, max_iterations=2,
+    guess="zipup", **kwargs,
+):
+    """1-site ALS fitting against the *uncontracted* target network
+    (reference tn1d/compress.py:2240). Environments are single-layer
+    <guess|target> objects of size O(chi_new * chi * w)."""
+    L = len(site_tags)
+    groups = _site_groups(tn, site_tags)
+
+    # initial guess from a cheap structure-preserving pass
+    if guess == "zipup":
+        ts = _compress_zipup_tn(
+            tn, site_tags, site_inds, max_bond, cutoff,
+        )
+    else:
+        ts = _compress_direct_tn(
+            tn, site_tags, site_inds, max_bond, cutoff,
+        )
+
+    for _ in range(max_iterations):
+        # right environments of <guess|target>
+        envs = [None] * (L + 1)
+        for i in range(L - 1, 0, -1):
+            tens = [ts[i].conj(), *groups[i]]
+            if envs[i + 1] is not None:
+                tens.append(envs[i + 1])
+            envs[i] = tensor_contract(
+                *tens, preserve_tensor=True, drop_tags=True,
+            )
+        lenv = None
+        for i in range(L):
+            tens = list(groups[i])
+            if lenv is not None:
+                tens.append(lenv)
+            if i < L - 1:
+                tens.append(envs[i + 1])
+            B = tensor_contract(
+                *tens, preserve_tensor=True, drop_tags=True,
+                output_inds=tuple(ts[i].inds),
+            )
+            if i < L - 1:
+                # orthogonalize the updated site, keeping the bond
+                # *name* to site i+1 stable (the next site's optimal
+                # tensor is recomputed from environments, so the R
+                # factor is dropped, not absorbed)
+                (shared,) = bonds(ts[i], ts[i + 1])
+                Q, _R = B.split(
+                    left_inds=None, right_inds=(shared,), method="qr",
+                    cutoff=-1.0, get="tensors",
+                )
+                # the fresh qr bond takes over the old bond name
+                newbix = next(
+                    ix for ix in Q.inds
+                    if ix not in set(B.inds) - {shared}
+                )
+                Q.reindex_({newbix: shared})
+                ts[i] = Q
+            else:
+                ts[i] = B
+            # left env update
+            tens = [ts[i].conj(), *groups[i]]
+            if lenv is not None:
+                tens.append(lenv)
+            lenv = tensor_contract(
+                *tens, preserve_tensor=True, drop_tags=True,
+            )
+    return ts
+
+
+# ---------------------------------------------------------------------------
+# projector
+# ---------------------------------------------------------------------------
+
+
+def _compress_projector_tn(
+    tn, site_tags, site_inds, max_bond, cutoff, canonize=True,
+    **kwargs,
+):
+    """Local oblique-projector compression in the style of CTMRG/HOTRG
+    (reference ``mps_gate_with_mpo_projector`` tn1d/compress.py:3215):
+    insert compressors between each pair of neighbouring columns
+    computed from just the 4 (2x2) surrounding tensors, then contract
+    each column. Fully local — never forms global environments."""
+    tn = tn.copy()
+    if canonize:
+        tn.gauge_all_simple_(max_iterations=6, tol=1e-9)
+
+    tn_calc = tn.copy()
+    L = len(site_tags)
+    for i in range(L - 1):
+        tn_calc.insert_compressor_between_regions_(
+            (site_tags[i],), (site_tags[i + 1],),
+            new_ltags=(site_tags[i],), new_rtags=(site_tags[i + 1],),
+            max_bond=max_bond, cutoff=cutoff, insert_into=tn,
+        )
+
+    ts = []
+    for i in range(L):
+        ts.append(tensor_contract(
+            *tn.select_tensors(site_tags[i], "any"),
+            preserve_tensor=True, drop_tags=True,
+        ))
+    # final canonical resweep for gauge + exact-degree truncation
+    return _direct_resweep(ts, max_bond, cutoff)
+
+
+# ---------------------------------------------------------------------------
+# dispatcher
+# ---------------------------------------------------------------------------
+
+_COMPRESS_METHODS = {
+    "direct": _compress_direct_tn,
+    "dm": _compress_dm_tn,
+    "zipup": _compress_zipup_tn,
+    "zipup-oversample": lambda *a, **k: _compress_zipup_tn(
+        *a, oversample=True, **k
+    ),
+    "fit": _compress_fit_tn,
+    "fit-zipup": _compress_fit_tn,
+    "src": _compress_src_tn,
+    "src-oversample": None,  # handled in dispatcher
+    "projector": _compress_projector_tn,
+}
 
 
 def tensor_network_1d_compress(
     tn, max_bond=None, cutoff=1e-10, method="dm", site_tags=None,
-    site_inds=None, normalize=False, inplace=False, **kwargs,
+    site_inds=None, normalize=False, sweep_reverse=False,
+    inplace=False, **kwargs,
 ):
-    """Compress a 1D-like TN into an MPS/chain with bounded bond
-    dimension (reference dispatcher tn1d/compress.py:2815)."""
-    check_opt("method", method,
-              ("direct", "dm", "zipup", "zipup-oversample", "fit",
-               "src", "src-oversample", "projector"))
+    """Compress a 1D-like TN to one tensor per site with bounded bond
+    dimension (reference dispatcher tn1d/compress.py:2815), without
+    pre-contracting site columns (except for ``method='direct'``)."""
+    check_opt("method", method, tuple(_COMPRESS_METHODS))
+
     if site_tags is None:
-        site_tags = tn.site_tags
+        site_tags = tuple(tn.site_tags)
+    else:
+        site_tags = tuple(site_tags)
+    if sweep_reverse:
+        site_tags = tuple(reversed(site_tags))
+
+    tn1d = enforce_1d_like(tn, site_tags=site_tags, inplace=inplace)
+
     if site_inds is None:
-        site_inds = tn.site_inds
+        site_inds = _site_outer_inds(tn1d, site_tags)
+    else:
+        site_inds = [
+            (si,) if isinstance(si, str) else tuple(si)
+            for si in site_inds
+        ]
 
-    flat = enforce_1d_like(tn, site_tags=site_tags)
-    arrays = _fat_mps_site_arrays(flat, site_tags, site_inds)
-
-    if method in ("direct", "projector"):
-        out = _compress_direct(arrays, max_bond, cutoff)
-    elif method == "dm":
-        out = _compress_dm(arrays, max_bond, cutoff)
-    elif method == "src":
-        out = _compress_src(arrays, max_bond,
-                            seed=kwargs.get("seed"))
-    elif method == "src-oversample":
-        # sketch at a larger bond, then truncate down directly
-        # (reference 'src first' tn1d/compress.py:1454)
-        over = kwargs.get(
-            "max_bond_oversample", max(max_bond + 8, 2 * max_bond)
+    if method == "src-oversample":
+        over = kwargs.pop(
+            "max_bond_oversample",
+            None if max_bond is None else max(max_bond + 8, 2 * max_bond),
         )
-        out = _compress_src(arrays, over, seed=kwargs.get("seed"))
-        out = _compress_direct(out, max_bond, cutoff)
-    elif method in ("zipup", "zipup-oversample"):
-        oversample = method != "zipup"
-        out = _compress_zipup(arrays, max_bond, cutoff,
-                              oversample=oversample)
-    elif method == "fit":
-        out = _compress_direct(arrays, max_bond, cutoff)
-        # refine with ALS sweeps against the original
-        out = _fit_sweeps(out, arrays, max_bond,
-                          kwargs.get("max_iterations", 2))
-    mps = _arrays_to_mps_like(
-        out, tn if hasattr(tn, "_site_ind_id") else "k{}"
+        ts = _compress_src_tn(
+            tn1d, site_tags, site_inds, over, **kwargs,
+        )
+        ts = _direct_resweep(ts, max_bond, cutoff)
+    else:
+        fn = _COMPRESS_METHODS[method]
+        ts = fn(
+            tn1d, site_tags, site_inds, max_bond=max_bond,
+            cutoff=cutoff, **kwargs,
+        )
+
+    return _form_final_tn(
+        tn if inplace else tn1d, ts, site_tags, normalize=normalize,
+        sweep_reverse=sweep_reverse, inplace=inplace,
     )
-    if normalize:
-        mps.normalize()
-    return mps
-
-
-def _compress_direct(arrays, max_bond, cutoff):
-    """Right-canonize then left-sweep truncated SVD (reference 'direct'
-    tn1d/compress.py:138)."""
-    L = len(arrays)
-    arrays = list(arrays)
-    # right canonize (LQ sweep, renormalizing the carried factor)
-    for i in range(L - 1, 0, -1):
-        l, p, r = arrays[i].shape
-        Lf, _, Q = decomp.lq_stabilized(
-            jnp.reshape(arrays[i], (l, p * r))
-        )
-        arrays[i] = jnp.reshape(Q, (Q.shape[0], p, r))
-        nxt = jnp.einsum("apk,kc->apc", arrays[i - 1], Lf)
-        arrays[i - 1] = nxt
-    # left to right truncated sweep
-    for i in range(L - 1):
-        l, p, r = arrays[i].shape
-        U, _, sVH = decomp.array_split(
-            jnp.reshape(arrays[i], (l * p, r)), method="svd",
-            absorb="right", max_bond=max_bond, cutoff=cutoff,
-        )
-        chi = U.shape[-1]
-        arrays[i] = jnp.reshape(U, (l, p, chi))
-        arrays[i + 1] = jnp.einsum(
-            "ck,kpr->cpr", sVH, arrays[i + 1]
-        )
-    return arrays
-
-
-def _compress_dm(arrays, max_bond, cutoff):
-    """Density-matrix compression (reference 'dm'
-    tn1d/compress.py:382): build left reduced density matrices from
-    transfer environments and eigendecompose for the new isometries —
-    fully stable, one pass, no initial canonical form needed."""
-    L = len(arrays)
-    # right environments E_i = contraction of sites > i of <psi|psi>
-    envs = [None] * (L + 1)
-    dtype = arrays[0].dtype
-    envs[L] = jnp.ones((1, 1), dtype=dtype)
-    for i in range(L - 1, -1, -1):
-        A = arrays[i]
-        T = jnp.einsum("apr,rs->aps", A, envs[i + 1])
-        e = jnp.einsum("aps,bps->ab", T, jnp.conj(A))
-        nrm = jnp.linalg.norm(jnp.reshape(e, (-1,)))
-        envs[i] = e / jnp.where(nrm > 0, nrm, 1.0)
-
-    new = []
-    left = jnp.ones((1, 1), dtype=dtype)  # maps old-left -> new-left
-    for i in range(L):
-        A = arrays[i]
-        # effective site tensor with compressed left bond
-        Aeff = jnp.einsum("ka,apr->kpr", left, A)
-        k, p, r = Aeff.shape
-        if i == L - 1:
-            new.append(Aeff)
-            break
-        # density matrix on (new-left x phys) space
-        T = jnp.einsum("kpr,rs->kps", Aeff, envs[i + 1])
-        rho = jnp.einsum("kps,lqs->kplq", T, jnp.conj(Aeff))
-        rho_m = jnp.reshape(rho, (k * p, k * p))
-        rho_m = (rho_m + jnp.conj(rho_m.T)) / 2
-        U, s, VH = decomp.eigh_truncated(
-            rho_m, max_bond=-1 if max_bond is None else max_bond,
-            cutoff=cutoff, cutoff_mode=2, absorb=None, positive=1,
-        )
-        chi = U.shape[-1]
-        iso = jnp.reshape(U, (k, p, chi))  # isometry (new site tensor)
-        new.append(iso)
-        # update left map: project old into new basis
-        left = jnp.einsum("kpc,kpr->cr", jnp.conj(iso), Aeff)
-    return new
-
-
-def _compress_src(arrays, max_bond, noise_dist="normal", seed=None):
-    """'Successive Randomized Compression' (reference 'src'
-    tn1d/compress.py:1273, arXiv:2504.06475): sketch the left
-    environments with a batch of ``max_bond`` random product states
-    (one hyper batch index), then sweep right-to-left forming
-    projectors by QR of the (batch x site x right-env) tensor. No SVD
-    of fat bonds is ever taken — every step is an einsum + a skinny
-    QR, ideal for the MXU."""
-    from ...gen.rand import randn
-
-    L = len(arrays)
-    if L == 1:
-        return list(arrays)
-    dtype = arrays[0].dtype
-    B = max_bond
-
-    # random product-state sketches w_i[B, p_i]
-    ws = [
-        randn((B, a.shape[1]), dtype=str(dtype), dist=noise_dist,
-              seed=None if seed is None else seed + i)
-        for i, a in enumerate(arrays)
-    ]
-
-    # left sketched environments LE_i[b, l_i]
-    LEs = [None] * L
-    le = jnp.einsum("lpr,bp->br", arrays[0], ws[0])
-    LEs[1] = le
-    for i in range(1, L - 1):
-        le = jnp.einsum("bl,lpr,bp->br", le, arrays[i], ws[i])
-        LEs[i + 1] = le
-
-    # right-to-left sweep of projectors
-    new = [None] * L
-    re = jnp.ones((1, 1), dtype=dtype)  # (r_old, chi_new)
-    for i in range(L - 1, 0, -1):
-        t = jnp.einsum("bl,lpr,rk->bpk", LEs[i], arrays[i], re)
-        b, p, k = t.shape
-        # QR with (p, k) left, batch right -> left isometry Q
-        Q, _, _ = decomp.array_split(
-            jnp.reshape(jnp.transpose(t, (1, 2, 0)), (p * k, b)),
-            method="qr", cutoff=-1.0,
-        )
-        chi = Q.shape[-1]
-        U = jnp.transpose(jnp.reshape(Q, (p, k, chi)), (2, 0, 1))
-        new[i] = U  # (chi, p, k) = (l_new, p, r_new)
-        re = jnp.einsum("lpr,rk,cpk->lc", arrays[i], re, jnp.conj(U))
-
-    new[0] = jnp.einsum("lpr,rk->lpk", arrays[0], re)
-    return new
-
-
-def _compress_zipup(arrays, max_bond, cutoff, oversample=False):
-    """Zip-up compression (reference 'zipup' tn1d/compress.py:667):
-    single left-to-right truncated-SVD zip, optionally with bond
-    oversampling then a final direct pass."""
-    L = len(arrays)
-    factor = 2 if oversample else 1
-    mb = None if max_bond is None else max_bond * factor
-    arrays = list(arrays)
-    carried = None
-    out = []
-    for i in range(L):
-        A = arrays[i]
-        if carried is not None:
-            A = jnp.einsum("ka,apr->kpr", carried, A)
-        if i == L - 1:
-            out.append(A)
-            break
-        k, p, r = A.shape
-        U, _, sVH = decomp.array_split(
-            jnp.reshape(A, (k * p, r)), method="svd", absorb="right",
-            max_bond=mb, cutoff=cutoff,
-        )
-        chi = U.shape[-1]
-        out.append(jnp.reshape(U, (k, p, chi)))
-        carried = sVH
-    if oversample and max_bond is not None:
-        out = _compress_direct(out, max_bond, cutoff)
-    return out
-
-
-def _fit_sweeps(arrays, target_arrays, max_bond, max_iterations=2):
-    """1-site ALS refinement of ``arrays`` against ``target_arrays``
-    (reference 'fit' tn1d/compress.py:2240)."""
-    L = len(arrays)
-    arrays = list(arrays)
-    dtype = arrays[0].dtype
-    for _ in range(max_iterations):
-        # right environments of <guess|target>
-        envs = [None] * (L + 1)
-        envs[L] = jnp.ones((1, 1), dtype=dtype)
-        for i in range(L - 1, 0, -1):
-            G, T = arrays[i], target_arrays[i]
-            tmp = jnp.einsum("apr,rs->aps", T, envs[i + 1])
-            envs[i] = jnp.einsum("aps,bps->ab", tmp,
-                                 jnp.conj(G))
-        lenv = jnp.ones((1, 1), dtype=dtype)
-        for i in range(L):
-            T = target_arrays[i]
-            # new site = lenv . T . renv  (optimal given isometric env)
-            B = jnp.einsum("ka,apr->kpr", lenv, T)
-            B = jnp.einsum("kpr,rs->kps", B, envs[i + 1]) \
-                if i < L - 1 else B
-            if i < L - 1:
-                k, p, s = B.shape
-                Q, _, R = decomp.qr_stabilized(
-                    jnp.reshape(B, (k * p, s))
-                )
-                arrays[i] = jnp.reshape(Q, (k, p, Q.shape[-1]))
-            else:
-                arrays[i] = B
-            # update left env of <guess|target>
-            lenv = jnp.einsum(
-                "kpc,ka,apr->cr", jnp.conj(arrays[i]), lenv,
-                target_arrays[i],
-            )
-    return arrays
 
 
 # ---------------------------------------------------------------------------
@@ -353,15 +702,47 @@ def mps_gate_with_mpo_direct(mps, mpo, max_bond=None, cutoff=1e-10,
     return out
 
 
+def _chain_to_mps(ts, mps, mpo):
+    """Convert an ordered chain of site tensors (one per site, outer
+    ind = mpo upper ind) into a MatrixProductState like ``mps``."""
+    L = mps.L
+    arrays = []
+    for i, t in enumerate(ts):
+        pix = mpo.upper_ind(i)
+        lb = tuple(bonds(ts[i - 1], t)) if i > 0 else ()
+        rb = tuple(bonds(t, ts[i + 1])) if i < L - 1 else ()
+        order = (*lb, *rb, pix)
+        arrays.append(t.transpose(*order).data)
+    out = MatrixProductState(
+        arrays, shape="lrp",
+        site_ind_id=mps._site_ind_id, site_tag_id=mps._site_tag_id,
+    )
+    return out
+
+
 def _apply_via(method):
     def fn(mps, mpo, max_bond=None, cutoff=1e-10, **kwargs):
         tn = _lazy_mpo_mps_tn(mpo, mps)
         site_tags = tuple(mps.site_tag(i) for i in range(mps.L))
-        site_inds = tuple(mpo.upper_ind(i) for i in range(mps.L))
-        out = tensor_network_1d_compress(
-            tn, max_bond=max_bond, cutoff=cutoff, method=method,
-            site_tags=site_tags, site_inds=site_inds, **kwargs,
-        )
+        site_inds = [(mpo.upper_ind(i),) for i in range(mps.L)]
+
+        tn1d = enforce_1d_like(tn, site_tags=site_tags)
+        if method == "src-oversample":
+            over = kwargs.pop(
+                "max_bond_oversample",
+                None if max_bond is None
+                else max(max_bond + 8, 2 * max_bond),
+            )
+            ts = _compress_src_tn(
+                tn1d, site_tags, site_inds, over, **kwargs,
+            )
+            ts = _direct_resweep(ts, max_bond, cutoff)
+        else:
+            ts = _COMPRESS_METHODS[method](
+                tn1d, site_tags, site_inds, max_bond=max_bond,
+                cutoff=cutoff, **kwargs,
+            )
+        out = _chain_to_mps(ts, mps, mpo)
         out.reindex_sites_(mps._site_ind_id)
         return out
 
@@ -374,6 +755,7 @@ mps_gate_with_mpo_zipup_oversample = _apply_via("zipup-oversample")
 mps_gate_with_mpo_fit = _apply_via("fit")
 mps_gate_with_mpo_src = _apply_via("src")
 mps_gate_with_mpo_src_oversample = _apply_via("src-oversample")
+mps_gate_with_mpo_projector = _apply_via("projector")
 
 _APPLY_METHODS = {
     "direct": mps_gate_with_mpo_direct,
@@ -383,6 +765,7 @@ _APPLY_METHODS = {
     "fit": mps_gate_with_mpo_fit,
     "src": mps_gate_with_mpo_src,
     "src-oversample": mps_gate_with_mpo_src_oversample,
+    "projector": mps_gate_with_mpo_projector,
 }
 
 

@@ -795,6 +795,7 @@ class DMRG:
                     Abulk = Abulk.at[o + n].set(Alast)
                     self._set_bulk_stack(a, b, Abulk)
                     self._A[i + n] = Alast
+                    self._last_bulk_ens = ens
                     energies.append(ens[-1])
                     i += n
                     self._materialize_list()

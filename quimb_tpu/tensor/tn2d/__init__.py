@@ -17,9 +17,11 @@ from .builders import (
     PEPS_rand,
     PEPS_zeros,
 )
+from .compress import tensor_network_2d_compress
 from .tebd import TEBD2D, FullUpdate, LocalHam2D, SimpleUpdate, ham_2d_heis, ham_2d_ising, ham_2d_j1j2
 
 __all__ = [
+    "tensor_network_2d_compress",
     "Rotator2D",
     "PEPO",
     "PEPS",

@@ -225,25 +225,286 @@ class TensorNetwork2D(TensorNetwork):
             self.equalize_norms_()
         return self
 
+    def _boundary_step(self, xrange, yrange, from_which, max_bond=None,
+                       cutoff=1e-10, mode="mps", **opts):
+        """One inward absorb-and-compress step with any ``mode`` (the
+        shared dispatch for sweeps and environment builders)."""
+        if mode == "mps":
+            return self._contract_boundary_single(
+                xrange, yrange, from_which, max_bond=max_bond,
+                cutoff=cutoff, **opts,
+            )
+        if mode == "projector2d":
+            return self._contract_boundary_single_projector(
+                xrange, yrange, from_which, max_bond=max_bond,
+                cutoff=cutoff, **opts,
+            )
+        return self._contract_boundary_single_via_1d(
+            xrange, yrange, from_which, max_bond=max_bond,
+            cutoff=cutoff, method=mode, **opts,
+        )
+
+    def _contract_boundary_single_via_1d(
+        self, xrange, yrange, from_which, max_bond=None, cutoff=1e-10,
+        method="dm", canonize=True, **compress_opts,
+    ):
+        """Absorb one row into the boundary by 1D-compressing the
+        two-row strip with ``method`` — never forming fat site columns
+        for the structure-preserving methods (reference
+        ``_contract_boundary_core_via_1d`` tn2d/core.py:1273)."""
+        from ..tn1d.compress import tensor_network_1d_compress
+
+        r = Rotator2D(self, xrange, yrange, from_which)
+        i = r.sweep[0]
+        inext = i + r.istep
+
+        st_tmps = [f"__ST{j}__" for j in r.sweep_other]
+        tagged = []
+        for j, st in zip(r.sweep_other, st_tmps):
+            for tag in (r.site_tag(i, j), r.site_tag(inext, j)):
+                for tid in tuple(self.tag_map.get(tag, ())):
+                    t = self.tensor_map[tid]
+                    if st not in t.tags:
+                        t.add_tag(st)
+                        tagged.append((t, st))
+
+        # split the strip off, 1D-compress it in place, recombine
+        strip = self.partition(st_tmps, which="any", inplace=True)[1]
+        tensor_network_1d_compress(
+            strip, max_bond=max_bond, cutoff=cutoff, method=method,
+            site_tags=st_tmps, inplace=True, **compress_opts,
+        )
+        self.add_tensor_network(strip, virtual=True)
+
+        # the compressed strip becomes row ``inext``
+        for j, st in zip(r.sweep_other, st_tmps):
+            for tid in tuple(self.tag_map.get(st, ())):
+                t = self.tensor_map[tid]
+                t.drop_tags((st, r.site_tag(i, j), r.x_tag(i)))
+                t.add_tag((r.site_tag(inext, j), r.x_tag(inext),
+                           r.y_tag(j)))
+        for t, st in tagged:
+            if st in t.tags:
+                t.drop_tags(st)
+        return self
+
+    def _contract_boundary_single_projector(
+        self, xrange, yrange, from_which, max_bond=None, cutoff=1e-10,
+        lazy=False, canonize=False, optimize="auto",
+        **compress_opts,
+    ):
+        """Absorb one row into the boundary by inserting oblique
+        projectors computed from the frozen two-row region, then
+        contracting each site pair — multilayer networks supported
+        naturally (reference ``_contract_boundary_projector``
+        tn2d/core.py:1659)."""
+        r = Rotator2D(self, xrange, yrange, from_which)
+        i = r.sweep[0]
+        inext = i + r.istep
+
+        # all projectors are computed from the same frozen copy while
+        # being spliced into self
+        tn_calc = self.copy()
+        for j in r.sweep_other:
+            jnext = r.get_jnext(j)
+            if jnext is None:
+                continue
+            ltags = (r.site_tag(i, j), r.site_tag(inext, j))
+            rtags = (r.site_tag(i, jnext), r.site_tag(inext, jnext))
+            tn_calc.insert_compressor_between_regions(
+                ltags, rtags, new_ltags=ltags, new_rtags=rtags,
+                insert_into=self, max_bond=max_bond, cutoff=cutoff,
+                **compress_opts,
+            )
+
+        if not lazy:
+            for j in r.sweep_other:
+                self.contract_tags_(
+                    (r.site_tag(i, j), r.site_tag(inext, j)),
+                    which="any",
+                )
+        # the merged tensors become row ``inext``
+        for j in r.sweep_other:
+            tag0 = r.site_tag(i, j)
+            for tid in tuple(self.tag_map.get(tag0, ())):
+                t = self.tensor_map[tid]
+                t.drop_tags((tag0, r.x_tag(i)))
+                t.add_tag((r.site_tag(inext, j), r.x_tag(inext),
+                           r.y_tag(j)))
+        return self
+
+    def _contract_boundary_full_bond(
+        self, xrange, yrange, from_which, max_bond, cutoff=0.0,
+        method="eigh", renorm=False, optimize="auto",
+        opposite_envs=None, canonize_opts=None,
+        contract_boundary_opts=None,
+    ):
+        """Contract the boundary compressing each new bond against the
+        *full* environment of the rest of the network, obtained from a
+        lazily-computed opposite-direction boundary contraction
+        (reference ``_contract_boundary_full_bond``
+        tn2d/core.py:1486)."""
+        from ...ops import decomp
+        from ..core import rand_uuid
+
+        contract_boundary_opts = dict(contract_boundary_opts or {})
+        contract_boundary_opts.setdefault("max_bond", max_bond)
+        contract_boundary_opts.setdefault("cutoff", cutoff)
+
+        r = Rotator2D(self, xrange, yrange, from_which)
+        jmin, jmax, istep = r.jmin, r.jmax, r.istep
+
+        # which opposite environments we need, and how to compute them
+        if r.plane == "x":
+            env_location = "xmax" if from_which == "xmin" else "xmin"
+            env_fn = functools.partial(
+                self.compute_x_environments, **contract_boundary_opts
+            )
+        else:
+            env_location = "ymax" if from_which == "ymin" else "ymin"
+            env_fn = functools.partial(
+                self.compute_y_environments, **contract_boundary_opts
+            )
+
+        if opposite_envs is None:
+            opposite_envs = {}
+
+        for i in r.sweep[:-1]:
+            inext = i + istep
+            # absorb row i into row inext, column by column, exactly
+            for j in r.sweep_other:
+                self.contract_tags_(
+                    (r.site_tag(i, j), r.site_tag(inext, j)),
+                    which="any",
+                )
+            for j in r.sweep_other:
+                tag0 = r.site_tag(i, j)
+                for tid in tuple(self.tag_map.get(tag0, ())):
+                    t = self.tensor_map[tid]
+                    t.drop_tags((tag0, r.x_tag(i)))
+                    t.add_tag((r.site_tag(inext, j), r.x_tag(inext),
+                               r.y_tag(j)))
+
+            # condition the new boundary row
+            row = self.select(r.x_tag(inext), which="any")
+            try:
+                row.canonize_around_(r.y_tag((jmax + jmin) // 2))
+            except (KeyError, ValueError):
+                pass
+
+            try:
+                env = opposite_envs[env_location, inext]
+            except KeyError:
+                opposite_envs.update(env_fn())
+                env = opposite_envs[env_location, inext]
+
+            ladder = TensorNetwork(
+                tuple(row) + tuple(env), virtual=False,
+                check_collisions=False,
+            )
+
+            # left/right partial environments of the ladder
+            lenvs = {jmin + 1: ladder.select(r.y_tag(jmin), "any")}
+            for j in range(jmin + 2, jmax):
+                lenvs[j] = (
+                    ladder.select(r.y_tag(j - 1), "any") & lenvs[j - 1]
+                ).contract()
+            renvs = {jmax - 1: ladder.select(r.y_tag(jmax), "any")}
+            for j in range(jmax - 2, jmin, -1):
+                renvs[j] = (
+                    ladder.select(r.y_tag(j + 1), "any") & renvs[j + 1]
+                ).contract()
+
+            for j in range(jmin, jmax):
+                ta = self[r.site_tag(inext, j)]
+                tb = self[r.site_tag(inext, j + 1)]
+                bix = ta.bonds(tb)
+                bdim = 1
+                for ix in bix:
+                    bdim *= ta.ind_size(ix)
+                if bdim <= max_bond:
+                    continue
+
+                # the bond environment: cut the bond open in a copy of
+                # the ladder restricted to this column pair
+                tn_be = TensorNetwork((), virtual=True)
+                if j in lenvs:
+                    tn_be &= lenvs[j]
+                tn_be &= ladder.select_any(
+                    [r.y_tag(j), r.y_tag(j + 1)]
+                )
+                if j + 1 in renvs:
+                    tn_be &= renvs[j + 1]
+                tn_be = tn_be.copy()
+
+                lcut = rand_uuid()
+                rcut = rand_uuid()
+                tn_be.cut_between(
+                    r.site_tag(inext, j), r.site_tag(inext, j + 1),
+                    left_ind=lcut, right_ind=rcut,
+                )
+                E = tn_be.to_dense([rcut], [lcut])
+                Cl, Cr = decomp.similarity_compress(
+                    E, max_bond, method=method, renorm=renorm,
+                )
+                self.insert_gauge(
+                    Cr, [r.site_tag(inext, j)],
+                    [r.site_tag(inext, j + 1)], Cl,
+                )
+        return self
+
     def contract_boundary_from(
         self, from_which, max_bond=None, cutoff=1e-10, sequence=None,
         xrange=None, yrange=None, max_separation=1, canonize=True,
-        inplace=False, **opts,
+        mode="mps", inplace=False, **opts,
     ):
+        """Contract a rectangular patch inwards from one boundary.
+
+        ``mode`` selects the compression scheme (reference
+        ``contract_boundary_from`` tn2d/core.py:1763):
+
+        - ``"mps"``: eagerly contract each site column then
+          canonize + compress pairwise along the boundary (the
+          default, reference ``_contract_boundary_core``).
+        - ``"projector2d"``: insert oblique projectors computed from
+          the frozen two-row region, never forming fat site tensors
+          (reference ``_contract_boundary_projector`` :1659).
+        - ``"full-bond"``: compress each boundary bond using the full
+          remaining-network environment from an opposite-direction
+          boundary contraction (reference
+          ``_contract_boundary_full_bond`` :1486).
+        - any 1D compression method name (``"dm"``, ``"zipup"``,
+          ``"fit"``, ``"direct"``, ...): treat the two-row strip as a
+          1D-like network and delegate to
+          :func:`tensor_network_1d_compress` (reference
+          ``_contract_boundary_core_via_1d`` :1273).
+        """
         tn = self if inplace else self.copy()
         if xrange is None:
             xrange = (0, tn._Lx - 1)
         if yrange is None:
             yrange = (0, tn._Ly - 1)
         xrange, yrange = list(xrange), list(yrange)
+
+        if mode == "full-bond":
+            opts.setdefault("canonize_opts", None)
+            opposite_envs = opts.pop("opposite_envs", None)
+            tn._contract_boundary_full_bond(
+                tuple(xrange), tuple(yrange), from_which,
+                max_bond=max_bond, cutoff=cutoff,
+                opposite_envs=opposite_envs, **opts,
+            )
+            return tn
+
         while (from_which in ("xmin", "xmax") and
                xrange[1] - xrange[0] >= 1) or \
               (from_which in ("ymin", "ymax") and
                yrange[1] - yrange[0] >= 1):
-            tn._contract_boundary_single(
+            if mode == "mps":
+                opts["canonize"] = canonize
+            tn._boundary_step(
                 tuple(xrange), tuple(yrange), from_which,
-                max_bond=max_bond, cutoff=cutoff, canonize=canonize,
-                **opts,
+                max_bond=max_bond, cutoff=cutoff, mode=mode, **opts,
             )
             if from_which == "xmin":
                 xrange[0] += 1
@@ -266,16 +527,28 @@ class TensorNetwork2D(TensorNetwork):
 
     def contract_boundary(
         self, max_bond=None, cutoff=1e-10, sequence=("xmin", "xmax"),
-        max_separation=1, inplace=False, **opts,
+        max_separation=1, mode="mps", inplace=False, **opts,
     ):
         """Contract the whole network via alternating boundary sweeps
-        (reference ``contract_boundary`` tn2d/core.py:2502)."""
+        (reference ``contract_boundary`` tn2d/core.py:2502). ``mode``
+        selects the boundary compression scheme — see
+        :meth:`contract_boundary_from`."""
         tn = self if inplace else self.copy()
         xrange = [0, tn._Lx - 1]
         yrange = [0, tn._Ly - 1]
         seq = itertools.cycle(sequence)
         has_x = any(d in ("xmin", "xmax") for d in sequence)
         has_y = any(d in ("ymin", "ymax") for d in sequence)
+        # full-bond's opposite-direction environments assume the far
+        # side is untouched: sweep the whole grid from one direction
+        if mode == "full-bond":
+            d = sequence[0]
+            tn.contract_boundary_from(
+                d, max_bond=max_bond, cutoff=cutoff,
+                xrange=tuple(xrange), yrange=tuple(yrange),
+                mode=mode, inplace=True, **opts,
+            )
+            return tn.contract(...)
         while (has_x and xrange[1] - xrange[0] > max_separation) or \
               (has_y and yrange[1] - yrange[0] > max_separation):
             d = next(seq)
@@ -285,9 +558,9 @@ class TensorNetwork2D(TensorNetwork):
             if d in ("ymin", "ymax") and \
                     yrange[1] - yrange[0] <= max_separation:
                 continue
-            tn._contract_boundary_single(
+            tn._boundary_step(
                 tuple(xrange), tuple(yrange), d, max_bond=max_bond,
-                cutoff=cutoff, **opts,
+                cutoff=cutoff, mode=mode, **opts,
             )
             if d == "xmin":
                 xrange[0] += 1
@@ -320,7 +593,7 @@ class TensorNetwork2D(TensorNetwork):
                 boundary.add_tensor_network(row, virtual=True,
                                             check_collisions=False)
                 boundary.view_like_(self)
-                boundary._contract_boundary_single(
+                boundary._boundary_step(
                     (i - 1, i), (0, self._Ly - 1), "xmin",
                     max_bond=max_bond, cutoff=cutoff, **opts,
                 )
@@ -343,7 +616,7 @@ class TensorNetwork2D(TensorNetwork):
                 boundary.add_tensor_network(row, virtual=True,
                                             check_collisions=False)
                 boundary.view_like_(self)
-                boundary._contract_boundary_single(
+                boundary._boundary_step(
                     (i, i + 1), (0, self._Ly - 1), "xmax",
                     max_bond=max_bond, cutoff=cutoff, **opts,
                 )
@@ -363,7 +636,7 @@ class TensorNetwork2D(TensorNetwork):
                 boundary.add_tensor_network(col, virtual=True,
                                             check_collisions=False)
                 boundary.view_like_(self)
-                boundary._contract_boundary_single(
+                boundary._boundary_step(
                     (0, self._Lx - 1), (j - 1, j), "ymin",
                     max_bond=max_bond, cutoff=cutoff, **opts,
                 )
@@ -381,7 +654,7 @@ class TensorNetwork2D(TensorNetwork):
                 boundary.add_tensor_network(col, virtual=True,
                                             check_collisions=False)
                 boundary.view_like_(self)
-                boundary._contract_boundary_single(
+                boundary._boundary_step(
                     (0, self._Lx - 1), (j, j + 1), "ymax",
                     max_bond=max_bond, cutoff=cutoff, **opts,
                 )

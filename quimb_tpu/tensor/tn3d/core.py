@@ -596,7 +596,8 @@ def _3d_contract_simple_sweep(self, max_bond=None, cutoff=1e-10,
     sweeping a boundary PEPS (reference ``contract_simple_sweep``
     tn3d/core.py:1824)."""
     tn = self.copy()
-    _, gauges = tn.gauge_all_simple_(gauges=gauges)
+    gauges = {} if gauges is None else gauges
+    tn.gauge_all_simple_(gauges=gauges)
     # the gauges live outside the gauged network: reinsert them so the
     # sweep contracts the original value (in the better-conditioned
     # superorthogonal basis)

@@ -65,8 +65,10 @@ def tensor_network_ag_compress_superorthogonal(
     tol=1e-9, **kwargs,
 ):
     tn = tn if inplace else tn.copy()
-    _, gauges = tn.gauge_all_simple(
-        max_iterations=max_iterations, tol=tol, inplace=True
+    gauges = {}
+    tn.gauge_all_simple(
+        max_iterations=max_iterations, tol=tol, inplace=True,
+        gauges=gauges,
     )
     for ix, s in tuple(gauges.items()):
         k = _gauge_rank(s, max_bond, cutoff)
@@ -116,8 +118,10 @@ def tensor_network_ag_compress_local_late(
     tol=1e-9, **kwargs,
 ):
     tn = tn if inplace else tn.copy()
-    _, gauges = tn.gauge_all_simple(
-        max_iterations=max_iterations, tol=tol, inplace=True
+    gauges = {}
+    tn.gauge_all_simple(
+        max_iterations=max_iterations, tol=tol, inplace=True,
+        gauges=gauges,
     )
     tn.gauge_simple_insert(gauges)
     tn.compress_all_(max_bond=max_bond, cutoff=cutoff)
@@ -132,7 +136,8 @@ def tensor_network_ag_compress_projector(
     environment, the bond projectors come from the gauge-reduced
     QR factors (reference :17)."""
     tn = tn if inplace else tn.copy()
-    _, gauges = tn.gauge_all_simple(inplace=True)
+    gauges = {}
+    tn.gauge_all_simple(inplace=True, gauges=gauges)
     for ix, tids in _bond_pairs(tn):
         t1, t2 = (tn.tensor_map[t] for t in tids)
         if max_bond is not None and t1.ind_size(ix) <= max_bond:

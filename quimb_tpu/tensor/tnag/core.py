@@ -226,7 +226,11 @@ class TensorNetworkGenVector(TensorNetworkGen):
                          gauges=None, inplace=False, info=None):
         """Iteratively simple-gauge every bond (Vidal form) until the
         gauges converge (reference ``gauge_all_simple``
-        tensor_core.py:7555). Returns (tn, gauges).
+        tensor_core.py:7555). Returns ``tn``. If ``gauges`` is
+        supplied (possibly empty) it is filled in place and left
+        stripped from the network (Vidal form); otherwise the gauges
+        are reabsorbed so the network value is preserved, matching the
+        reference convention.
 
         If ``info`` (a dict) is passed, ``info['log_scale']`` receives
         the accumulated log of the norms stripped from each extracted
@@ -239,7 +243,8 @@ class TensorNetworkGenVector(TensorNetworkGen):
         from ..core import tensor_compress_bond
 
         log_scale = 0.0
-        if gauges is None:
+        gauges_supplied = gauges is not None
+        if not gauges_supplied:
             gauges = {}
         # collect bonds (index names shared by exactly two tensors)
         bnds = [
@@ -293,7 +298,10 @@ class TensorNetworkGenVector(TensorNetworkGen):
                 break
         if info is not None:
             info["log_scale"] = log_scale
-        return tn, gauges
+            info["gauges"] = gauges
+        if not gauges_supplied:
+            tn.gauge_simple_insert(gauges)
+        return tn
 
     def gauge_simple_insert(self, gauges, smudge=0.0):
         """Absorb sqrt of each gauge into both tensors of its bond."""
@@ -512,7 +520,8 @@ class TensorNetworkGenVector(TensorNetworkGen):
         if not isinstance(where, (tuple, list)):
             where = (where,)
         if gauges is None:
-            tn, gauges = self.gauge_all_simple()
+            gauges = {}
+            tn = self.gauge_all_simple(gauges=gauges)
         else:
             tn = self
         base = frozenset(where)
@@ -544,7 +553,8 @@ class TensorNetworkGenVector(TensorNetworkGen):
         log_scale = 0.0
         if gauges is None:
             info = {}
-            tn, gauges = self.gauge_all_simple(info=info)
+            gauges = {}
+            tn = self.gauge_all_simple(info=info, gauges=gauges)
             log_scale = info["log_scale"]
         else:
             tn = self
@@ -620,7 +630,8 @@ class TensorNetworkGenVector(TensorNetworkGen):
             # derive converged simple gauges once: cluster estimates
             # with hard-cut boundaries are far less accurate,
             # especially for non-canonically-gauged states
-            tn, gauges = self.gauge_all_simple()
+            gauges = {}
+            tn = self.gauge_all_simple(gauges=gauges)
             kwargs["gauges"] = gauges
         results = {}
         for where, G in terms.items():

@@ -321,7 +321,8 @@ class TestAGGenParity:
                                dtype="float64").make_norm()
         exact = norm.contract(...)
         g = norm.copy()
-        _, gauges = g.gauge_all_simple_(max_iterations=10)
+        gauges = {}
+        g.gauge_all_simple_(max_iterations=10, gauges=gauges)
         gmax = max(float(np.max(np.asarray(v)))
                    for v in gauges.values())
         assert gmax < 10.0
@@ -330,7 +331,8 @@ class TestAGGenParity:
 
     def test_normalize_simple_on_gen(self, tn):
         g = tn.copy()
-        _, gauges = g.gauge_all_simple_()
+        gauges = {}
+        g.gauge_all_simple_(gauges=gauges)
         g.normalize_simple(gauges)
 
 

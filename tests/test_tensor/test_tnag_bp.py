@@ -74,7 +74,8 @@ class TestTNGen:
         psi = tg.TN_from_edges_rand(edges, D=2, phys_dim=2, seed=1,
                                     dtype="float64")
         d0 = np.asarray(psi.to_dense()).reshape(-1)
-        tn, gauges = psi.gauge_all_simple(max_iterations=20)
+        gauges = {}
+        tn = psi.gauge_all_simple(max_iterations=20, gauges=gauges)
         # re-absorbing gauges recovers the same state
         tn.gauge_simple_insert(gauges)
         d1 = np.asarray(tn.to_dense()).reshape(-1)
