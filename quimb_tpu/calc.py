@@ -409,53 +409,74 @@ def cprint(psi, prec=6):
 
 
 def decomp(a, fn, fn_args, fn_d, nmlz_func, mode="p", tol=1e-3):
-    """Generic operator decomposition helper (internal)."""
-    raise NotImplementedError
+    """Decompose operator ``a`` in the Hilbert-Schmidt basis generated
+    by ``fn`` over all length-``n`` permutations of ``fn_args``
+    (reference ``decomp`` calc.py:1098).
+
+    Parameters mirror the reference: ``fn(x)`` builds one single-site
+    basis operator (or state) of dimension ``fn_d``; ``nmlz_func(n)``
+    gives the normalization for ``n`` sites; ``mode`` may contain
+    ``'p'`` (print sorted contributions above 1e-2, with decimal
+    places derived from ``tol``) and/or ``'c'`` (return an ordered
+    dict sorted by descending ``|coefficient|``).
+    """
+    import collections
+
+    from .core import infer_size
+
+    a = jnp.asarray(a)
+    if isvec(a):
+        a = dop(a)
+    n = infer_size(a, base=fn_d)
+
+    # stack all basis operators and batch the Hilbert-Schmidt inner
+    # products into a single device contraction — one (k, d, d) x
+    # (d, d) einsum instead of 4^n tiny matmuls
+    names, ops = [], []
+    nm = nmlz_func(n)
+    for perm in itertools.product(fn_args, repeat=n):
+        op = functools.reduce(np.kron, (np.asarray(fn(x)) for x in perm))
+        if op.shape[-1] == 1:  # state vector basis (e.g. bell states)
+            op = op @ np.conj(op.T)
+        names.append("".join(str(x) for x in perm))
+        ops.append(op * nm)
+    O = jnp.asarray(np.stack(ops))
+    cffs = np.asarray(jnp.real(jnp.einsum("kij,ji->k", O, a)))
+
+    names_cffs = sorted(zip(names, cffs), key=lambda p: -abs(p[1]))
+    out = collections.OrderedDict(
+        (k, float(v)) for k, v in names_cffs
+    )
+    if "p" in mode:
+        dps = int(round(0.5 - np.log10(1.001 * tol)))
+        for k, v in out.items():
+            if abs(v) < 0.01:
+                break
+            print(k, "{: .{prec}f}".format(v, prec=dps))
+    if "c" in mode:
+        return out
 
 
 def pauli_decomp(a, mode="p", tol=1e-3):
     """Decompose ``a`` into pauli string components (reference
-    ``pauli_decomp``)."""
+    ``pauli_decomp`` calc.py:1160)."""
     from .gen.operators import pauli
 
-    a = jnp.asarray(a)
-    if isvec(a):
-        a = dop(a)
-    n = int(round(math.log2(a.shape[0])))
-    names = "IXYZ"
-    comps = {}
-    for combo in itertools.product(names, repeat=n):
-        op = functools.reduce(
-            np.kron, (np.asarray(pauli(c)) if c != "I" else np.eye(2)
-                      for c in combo)
-        )
-        coeff = float(jnp.real(jnp.trace(jnp.asarray(op) @ a))) / a.shape[0]
-        comps["".join(combo)] = coeff
-    if "p" in mode:
-        for k, v in comps.items():
-            if abs(v) > tol:
-                print(f"{k}  {v:+.5f}")
-    if "c" in mode:
-        return comps
+    return decomp(
+        a, fn=pauli, fn_args="IXYZ", fn_d=2,
+        nmlz_func=lambda n: 2.0 ** -n, mode=mode, tol=tol,
+    )
 
 
 def bell_decomp(a, mode="p", tol=1e-3):
-    """Decompose a two-qubit state into the bell basis."""
+    """Decompose ``a`` into the tensor-product bell-state basis
+    (reference ``bell_decomp`` calc.py:1165)."""
     from .gen.states import bell_state
 
-    a = jnp.asarray(a)
-    if isvec(a):
-        a = dop(a)
-    comps = {}
-    for s in ("phi+", "phi-", "psi+", "psi-"):
-        b = bell_state(s)
-        comps[s] = float(jnp.real((dag(b) @ a @ b))[0, 0])
-    if "p" in mode:
-        for k, v in comps.items():
-            if abs(v) > tol:
-                print(f"{k}  {v:+.5f}")
-    if "c" in mode:
-        return comps
+    return decomp(
+        a, fn=bell_state, fn_args=(0, 1, 2, 3), fn_d=4,
+        nmlz_func=lambda n: 1.0, mode=mode, tol=tol,
+    )
 
 
 def correlation(p, A, B, sysa, sysb, dims=None, sparse=None,

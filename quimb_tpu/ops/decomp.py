@@ -62,21 +62,37 @@ def cumsum_last(x):
     return jnp.einsum("...i,ji->...j", x, tri)
 
 
+def _tpu_qr2(x):
+    """Square QR with a reorthogonalization pass. The TPU QR kernel
+    loses orthogonality catastrophically on (near-)rank-deficient
+    inputs — observed ``max|Q^T Q - I| = 39`` on an exactly
+    rank-38/256 DMRG site matrix (masked truncation keeps bonds padded
+    with exact zero directions, so such inputs are *routine*). A
+    second QR of ``Q`` restores ``~eps`` orthogonality since ``Q`` is
+    always well-conditioned, while ``x = Q (R2 R)`` is preserved."""
+    Q, R = jnp.linalg.qr(x)
+    Q, R2 = jnp.linalg.qr(Q)
+    return Q, R2 @ R
+
+
 def safe_qr(x):
     """QR of (batch of) matrices, routing rectangular inputs through a
-    zero-padded square QR on TPU."""
+    zero-padded square QR on TPU (with a reorthogonalization pass —
+    see :func:`_tpu_qr2`)."""
     m, n = x.shape[-2:]
-    if m == n or not _use_square_shims():
+    if not _use_square_shims():
         return jnp.linalg.qr(x)
+    if m == n:
+        return _tpu_qr2(x)
     if m > n:
         # tall: zero-pad columns; x = Q[:, :n] @ R[:n, :n] exactly
         pads = [(0, 0)] * (x.ndim - 2) + [(0, 0), (0, m - n)]
-        Q, R = jnp.linalg.qr(jnp.pad(x, pads))
+        Q, R = _tpu_qr2(jnp.pad(x, pads))
         return Q[..., :, :n], R[..., :n, :n]
     else:
         # wide: square QR of the first m columns, then project the rest
         # (this is exactly how blocked LAPACK geqrf proceeds)
-        Q, R1 = jnp.linalg.qr(x[..., :, :m])
+        Q, R1 = _tpu_qr2(x[..., :, :m])
         R2 = dag(Q) @ x[..., :, m:]
         return Q, jnp.concatenate([R1, R2], axis=-1)
 

@@ -324,3 +324,41 @@ class TestSvdTruncatedMaskedEig:
         k = int(r)
         Uk = np.asarray(U)[:, :k]
         assert np.allclose(Uk.T.conj() @ Uk, np.eye(k), atol=1e-10)
+
+
+class TestRankDeficientQR:
+    """TPU's QR kernel loses orthogonality catastrophically on
+    (near-)rank-deficient inputs (observed max|Q^T Q - I| = 39 on a
+    rank-38/256 DMRG site matrix); ``safe_qr`` therefore runs a
+    reorthogonalization pass on TPU. These tests pin the contract on
+    every backend: orthonormal Q and exact reconstruction even for
+    exactly singular inputs (which masked truncation makes routine)."""
+
+    @pytest.mark.parametrize("m,n,rank", [
+        (64, 64, 9), (128, 64, 11), (64, 128, 7),
+    ])
+    def test_exactly_rank_deficient(self, m, n, rank):
+        rng = np.random.default_rng(7)
+        x = (rng.standard_normal((m, rank))
+             @ rng.standard_normal((rank, n))).astype(np.float32)
+        k = min(m, n)
+        Q, R = decomp.safe_qr(jnp.asarray(x))
+        assert np.abs(
+            np.asarray(Q).T @ np.asarray(Q) - np.eye(k)
+        ).max() < 1e-4
+        assert np.abs(np.asarray(Q @ R) - x).max() < 1e-4
+
+    def test_zero_padded_spectrum(self):
+        # spectrum with an exactly-zero tail, like a masked-truncation
+        # DMRG tensor
+        rng = np.random.default_rng(3)
+        U, _ = np.linalg.qr(rng.standard_normal((96, 96)))
+        V, _ = np.linalg.qr(rng.standard_normal((96, 96)))
+        s = np.concatenate([np.exp(-np.linspace(0, 10, 40)),
+                            np.zeros(56)])
+        x = ((U * s) @ V.T).astype(np.float32)
+        Q, R = decomp.safe_qr(jnp.asarray(x))
+        assert np.abs(
+            np.asarray(Q).T @ np.asarray(Q) - np.eye(96)
+        ).max() < 1e-4
+        assert np.abs(np.asarray(Q @ R) - x).max() < 1e-4
