@@ -10,6 +10,9 @@ from .tn_marginals import (
     compute_all_marginals_via_slicing,
 )
 from .tnvmc import (
+    AmplitudeFactory,
+    BPSampler,
+    ClusterSampler,
     DenseSampler,
     ExchangeSampler,
     HamiltonianSampler,
@@ -32,5 +35,8 @@ __all__ = [
     "ExchangeSampler",
     "HamiltonianSampler",
     "DenseSampler",
+    "ClusterSampler",
+    "BPSampler",
+    "AmplitudeFactory",
     "autojit_tn",
 ]

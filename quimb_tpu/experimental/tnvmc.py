@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..operator.builder import SparseOperatorBuilder
-from ..utils import progbar as Progbar
+from ..utils import LRU, progbar as Progbar
 
 
 def make_amplitude_fn(psi):
@@ -78,6 +78,75 @@ def make_amplitude_fn(psi):
         return expr(*arrs)
 
     return fn, params
+
+
+class AmplitudeFactory:
+    """Cached amplitude store (reference ``AmplitudeFactory``
+    tnvmc/tnvmc.py:841): wraps :func:`make_amplitude_fn` with an
+    LRU-bounded config -> amplitude cache so repeated local-energy /
+    acceptance queries of the same configuration contract nothing.
+    Missing configurations in a batch request are computed by a single
+    ``vmap``-ed XLA program (the reference contracts them one TN at a
+    time on the host).
+    """
+
+    def __init__(self, psi, maxsize=2**17):
+        self.psi = psi
+        self._fn, self.params = make_amplitude_fn(psi)
+        self._vfn = jax.jit(jax.vmap(self._fn, in_axes=(None, 0)))
+        self._cache = LRU(maxsize=maxsize)
+
+    @staticmethod
+    def _key(config):
+        return np.asarray(config, dtype=np.int8).tobytes()
+
+    def update(self, params=None, psi=None):
+        """New parameters (or a whole new ``psi``) — invalidates the
+        cache (reference ``update`` tnvmc/tnvmc.py:1007)."""
+        if psi is not None:
+            self.psi = psi
+            self._fn, self.params = make_amplitude_fn(psi)
+            self._vfn = jax.jit(
+                jax.vmap(self._fn, in_axes=(None, 0))
+            )
+        if params is not None:
+            self.params = params
+        self._cache.clear()
+
+    def amplitudes(self, configs):
+        """Batch amplitudes, computing only the cache misses (one
+        vmapped contraction over the missing rows)."""
+        configs = np.asarray(configs)
+        keys = [self._key(c) for c in configs]
+        missing = [i for i, k in enumerate(keys)
+                   if k not in self._cache]
+        if missing:
+            amps = self._vfn(
+                self.params, jnp.asarray(configs[missing])
+            )
+            amps = np.asarray(amps)
+            for j, i in enumerate(missing):
+                self._cache[keys[i]] = complex(amps[j])
+        return np.asarray([self._cache[k] for k in keys])
+
+    def amplitude(self, config):
+        return self.amplitudes(np.asarray(config)[None, :])[0]
+
+    def prob(self, config):
+        return abs(self.amplitude(config)) ** 2
+
+    def __contains__(self, config):
+        return self._key(config) in self._cache
+
+    def __getitem__(self, config):
+        return self._cache[self._key(config)]
+
+    def __setitem__(self, config, c):
+        self._cache[self._key(config)] = c
+
+    def __repr__(self):
+        return (f"<AmplitudeFactory(cached={len(self._cache)}, "
+                f"maxsize={self._cache.maxsize})>")
 
 
 # ---------------------------------------------------------------------------
@@ -189,6 +258,156 @@ class DenseSampler:
         ], dtype=jnp.int32)
 
 
+class ClusterSampler:
+    """Direct (non-autocorrelated) sampler from local-cluster reduced
+    density matrices (reference ``ClusterSampler``
+    tnvmc/tnvmc.py:364): sites are sampled one at a time in a
+    hierarchical ordering, each from the diagonal of the RDM of a
+    local patch of radius ``max_distance`` whose cut environment is
+    approximated by simple-update gauges; every sampled site is then
+    fixed and the gauges re-converged locally. Returns
+    ``(config, omega)`` where ``omega`` is the proposal probability —
+    exactness is recovered by importance reweighting in
+    :class:`TNVMC`.
+    """
+
+    autocorrelated = False
+
+    def __init__(self, psi=None, max_distance=1, use_gauges=True,
+                 gauge_iterations=3, seed=None, contract_opts=None):
+        self.rng = np.random.default_rng(seed)
+        self.max_distance = max_distance
+        self.use_gauges = use_gauges
+        self.gauge_iterations = gauge_iterations
+        self.contract_opts = dict(contract_opts or {})
+        if psi is not None:
+            self._set_psi(psi)
+
+    def _set_psi(self, psi):
+        self._psi = psi.copy()
+        self.sites = (list(psi.sites) if hasattr(psi, "sites")
+                      else list(range(psi.L)))
+        if self.use_gauges:
+            # strip simple-update gauges into a store: the network is
+            # held in Vidal form, and cutting out a patch later only
+            # needs the dangling-bond gauges reinserted
+            self.gauges0 = {}
+            self._psi.gauge_all_simple(
+                max_iterations=10, tol=1e-9, gauges=self.gauges0,
+                inplace=True,
+            )
+        else:
+            self.gauges0 = None
+        if hasattr(self._psi, "site_tag"):
+            self._site_tag = self._psi.site_tag
+        else:
+            self._site_tag = lambda s: s
+        self.tid2site = {}
+        for site in self.sites:
+            (tid,) = self._psi._get_tids_from_tags(
+                self._site_tag(site)
+            )
+            self.tid2site[tid] = site
+        self.ordering = self._psi.compute_hierarchical_ordering()
+
+    def sample(self):
+        psi = self._psi.copy()
+        gauges = dict(self.gauges0) if self.use_gauges else None
+        config = {}
+        omega = 1.0
+        for tid in self.ordering:
+            site = self.tid2site.get(tid)
+            if site is None:
+                continue
+            ind = psi.site_ind(site)
+            # local patch, with the cut environment approximated by
+            # absorbing the bond gauges (dangling ones fully)
+            k = psi.select_local(
+                self._site_tag(site),
+                max_distance=self.max_distance, virtual=False,
+            )
+            if gauges is not None:
+                k.gauge_simple_insert(gauges)
+            rho = (k.H & k).contract(
+                ..., output_inds=(ind,), **self.contract_opts
+            )
+            pk = np.abs(np.asarray(rho.data if hasattr(rho, "data")
+                                   else rho).real)
+            pk = pk / pk.sum()
+            idx = int(self.rng.choice(pk.size, p=pk))
+            config[site] = idx
+            omega *= float(pk[idx])
+            # fix the measured site and re-converge gauges on the
+            # surrounding patch (shared tensors: virtual selection)
+            psi.isel_({ind: idx})
+            if gauges is not None:
+                patch = psi.select_local(
+                    site, max_distance=self.max_distance + 1,
+                    virtual=True,
+                )
+                patch.gauge_all_simple(
+                    max_iterations=self.gauge_iterations,
+                    gauges=gauges, inplace=True,
+                )
+        cfg = np.asarray(
+            [config[s] for s in self.sites], dtype=np.int32
+        )
+        return cfg, omega
+
+    candidate = sample
+
+    def update(self, psi=None, **kwargs):
+        if psi is not None:
+            self._set_psi(psi)
+
+
+class BPSampler:
+    """Direct sampler from 2-norm belief-propagation marginals
+    (role of reference ``BPFGSampler`` tnvmc/tnvmc.py:468, which runs
+    1-norm BP on the squared factor graph; here the D2BP sampler on
+    the vector network plays the same role). Returns
+    ``(config, omega)`` for importance reweighting.
+    """
+
+    autocorrelated = False
+
+    def __init__(self, psi=None, seed=None, **bp_opts):
+        self.seed = seed
+        self.rng = np.random.default_rng(seed)
+        self.bp_opts = dict(bp_opts)
+        self.bp_opts.setdefault("max_iterations", 100)
+        self.bp_opts.setdefault("tol", 1e-6)
+        if psi is not None:
+            self._set_psi(psi)
+
+    def _set_psi(self, psi):
+        self._psi = psi.copy()
+        self.sites = (list(psi.sites) if hasattr(psi, "sites")
+                      else list(range(psi.L)))
+        self.ind2site = {
+            psi.site_ind(s): s for s in self.sites
+        }
+
+    def sample(self):
+        from ..tensor.belief_propagation.d2bp import sample_d2bp
+
+        config, _, omega = sample_d2bp(
+            self._psi, output_inds=list(self.ind2site),
+            seed=int(self.rng.integers(2**31)), **self.bp_opts,
+        )
+        bysite = {self.ind2site[ix]: v for ix, v in config.items()}
+        cfg = np.asarray(
+            [bysite[s] for s in self.sites], dtype=np.int32
+        )
+        return cfg, float(omega)
+
+    candidate = sample
+
+    def update(self, psi=None, **kwargs):
+        if psi is not None:
+            self._set_psi(psi)
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
@@ -218,9 +437,15 @@ class TNVMC:
         self.sr_damping = sr_damping
         self.nsites = psi.L if hasattr(psi, "L") else len(psi.sites)
         self.sweeps_per_sample = sweeps_per_sample or self.nsites
+        self.nchains = nchains
         self.sampler = sampler or MetropolisHastingsSampler(
             self.nsites, nchains=nchains, seed=seed
         )
+        self.direct = not getattr(self.sampler, "autocorrelated",
+                                  True)
+        if self.direct and getattr(self.sampler, "_psi", None) is \
+                None:
+            self.sampler._set_psi(psi)
         self.burn_in = burn_in
         self.energies = []
         self.energy_errors = []
@@ -304,18 +529,43 @@ class TNVMC:
         ], axis=1)
         return flat
 
+    def _sample_direct(self, params):
+        """Draw ``nchains`` independent samples from a direct
+        (non-autocorrelated) sampler and compute the importance
+        weights w(c) = |psi(c)|^2 / omega(c) that make the
+        proposal-distribution averages exact (reference
+        sample_fn/omega reweighting, tnvmc/tnvmc.py:1417)."""
+        configs, omegas = [], []
+        for _ in range(self.nchains):
+            c, om = self.sampler.sample()
+            configs.append(np.asarray(c))
+            omegas.append(max(float(om), 1e-300))
+        configs = jnp.asarray(np.stack(configs), dtype=jnp.int32)
+        amps = self._log_amp_batch(params, configs)
+        p = jnp.abs(amps) ** 2
+        w = p / jnp.asarray(omegas)
+        w = w / jnp.mean(w)
+        return configs, w
+
     def step(self):
         """One VMC update step. Returns (energy, error)."""
         params = self.params
-        configs = self._sample_batch(params, self.sweeps_per_sample)
+        if self.direct:
+            configs, w = self._sample_direct(params)
+        else:
+            configs = self._sample_batch(
+                params, self.sweeps_per_sample
+            )
+            w = jnp.ones(configs.shape[0])
         e_loc = self._local_energies(params, configs)
-        e_mean = jnp.mean(jnp.real(e_loc))
+        e_mean = jnp.mean(w * jnp.real(e_loc))
         e_err = float(jnp.std(jnp.real(e_loc))) / \
             np.sqrt(configs.shape[0])
 
         O = self._grad_logs(params, configs)
-        Om = O - jnp.mean(O, axis=0, keepdims=True)
-        dE = jnp.real(e_loc) - e_mean
+        Om = O - jnp.mean(w[:, None] * O, axis=0, keepdims=True)
+        Om = jnp.sqrt(w)[:, None] * Om
+        dE = jnp.sqrt(w) * (jnp.real(e_loc) - e_mean)
         grad_flat = 2 * jnp.mean(Om * dE[:, None], axis=0)
 
         if self.conditioner == "sr":
@@ -352,16 +602,22 @@ class TNVMC:
             )
             i += n
         self.params = new_params
+        if self.direct:
+            # direct samplers condition on psi itself — refresh their
+            # view (gauges / BP messages) with the updated parameters
+            self.sampler.update(psi=self.get_state())
         self.energies.append(float(e_mean))
         self.energy_errors.append(e_err)
         return float(e_mean), e_err
 
     def run(self, steps, progbar=True, burn_in=None):
         """Run VMC optimization."""
-        # burn in chains
-        self._sample_batch(self.params,
-                           burn_in if burn_in is not None
-                           else self.burn_in)
+        # burn in chains (direct samplers have no autocorrelation and
+        # need none)
+        if not self.direct:
+            self._sample_batch(self.params,
+                               burn_in if burn_in is not None
+                               else self.burn_in)
         it = range(steps)
         pbar = Progbar(total=steps) if progbar else None
         for _ in it:
@@ -390,5 +646,6 @@ class TNVMC:
 
 __all__ = [
     "TNVMC", "MetropolisHastingsSampler", "ExchangeSampler",
-    "HamiltonianSampler", "DenseSampler", "make_amplitude_fn",
+    "HamiltonianSampler", "DenseSampler", "ClusterSampler",
+    "BPSampler", "AmplitudeFactory", "make_amplitude_fn",
 ]

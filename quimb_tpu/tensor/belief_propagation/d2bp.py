@@ -350,10 +350,13 @@ def sample_d2bp(tn, output_inds=None, messages=None,
             marginals.items(),
             key=lambda kv: float(jnp.max(kv[1])),
         )
-        p = np.asarray(p, dtype=float)
+        p = np.asarray(p, dtype=np.float64)
         if bias is not None:
             p = p**bias
-            p = p / p.sum()
+        # renormalize in f64: the f32 device marginal's sum is not
+        # exactly 1, which numpy's choice rejects
+        p = np.clip(p, 0.0, None)
+        p = p / p.sum()
         v = int(rng.choice(p.size, p=p))
         config[ix] = v
         omega *= float(p[v])

@@ -2913,11 +2913,20 @@ def _tn_gauge_all_simple(self, max_iterations=5, tol=0.0, smudge=1e-12,
 
 
 def _tn_gauge_simple_insert(self, gauges, smudge=0.0, remove=False):
-    """Absorb sqrt of each bond gauge into both its tensors
-    (reference ``gauge_simple_insert``)."""
+    """Absorb sqrt of each bond gauge into both its tensors; a gauge
+    whose bond has only *one* tensor in this network (a dangling bond,
+    e.g. of a local patch cut out of a larger gauged TN) is absorbed
+    fully into that tensor, approximating the cut environment
+    (reference ``gauge_simple_insert`` tensor_core.py:8071,8110)."""
     for ix, s in gauges.items():
         tids = tuple(self.ind_map.get(ix, ()))
-        if len(tids) != 2:
+        if not tids:
+            continue
+        if len(tids) == 1:
+            g = s + smudge
+            if remove:
+                g = 1 / jnp.where(g > 0, g, 1.0)
+            self.tensor_map[tids[0]].multiply_index_diagonal_(ix, g)
             continue
         g = jnp.sqrt(s + smudge)
         if remove:

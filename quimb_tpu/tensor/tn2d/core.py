@@ -104,6 +104,12 @@ class TensorNetwork2D(TensorNetwork):
     def gen_site_coos(self):
         return itertools.product(range(self._Lx), range(self._Ly))
 
+    @property
+    def sites(self):
+        """All (i, j) site coordinates (reference ``sites``
+        tensor_2d.py)."""
+        return tuple(self.gen_site_coos())
+
     def gen_bond_coos(self):
         return gen_2d_bonds(self._Lx, self._Ly)
 

@@ -215,3 +215,115 @@ class TestVMCExtras:
         vmc.run(25, progbar=False)
         # energy must decrease substantially under MinSR updates
         assert vmc.energies[-1] < vmc.energies[0] - 0.5
+
+
+class TestVMCDirectSamplers:
+    """Cluster / BP direct samplers + AmplitudeFactory (reference
+    tnvmc/tnvmc.py:364,468,841)."""
+
+    def _heis_mps_setup(self, L=6, chi=8):
+        import quimb_tpu as qu
+        import quimb_tpu.tensor as qtn
+        from quimb_tpu.operator import heisenberg_from_edges
+
+        H = heisenberg_from_edges([(i, i + 1) for i in range(L - 1)])
+        # converge to the ground state so local energies have low
+        # variance (zero-variance principle) -> sharp statistical test
+        Hm = qtn.MPO_ham_heis(L)
+        Hm.astype_("float64")
+        dmrg = qtn.DMRG2(Hm, bond_dims=chi, cutoffs=1e-10)
+        dmrg.solve(max_sweeps=8, tol=1e-8, verbosity=0)
+        psi = dmrg.state
+        psi.astype_("float64")
+        Hd = H.build_sparse_matrix().toarray()
+        v = np.asarray(psi.to_dense()).reshape(-1)
+        e_exact = float(v.conj() @ (Hd @ v) / (v.conj() @ v))
+        return H, psi, e_exact
+
+    def _direct_energy(self, sampler, H, psi, e_exact, nchains=64,
+                       tol=0.02):
+        from quimb_tpu.experimental.tnvmc import TNVMC
+
+        vmc = TNVMC(psi, H, sampler=sampler, nchains=nchains)
+        import jax.numpy as jnp
+
+        configs, w = vmc._sample_direct(vmc.params)
+        e_loc = vmc._local_energies(vmc.params, configs)
+        e = float(jnp.mean(w * jnp.real(e_loc)))
+        assert abs(e - e_exact) < tol * abs(e_exact)
+
+    def test_cluster_sampler_mps_energy(self):
+        from quimb_tpu.experimental.tnvmc import ClusterSampler
+
+        H, psi, e_exact = self._heis_mps_setup()
+        sam = ClusterSampler(psi, max_distance=1, seed=0)
+        self._direct_energy(sam, H, psi, e_exact)
+
+    def test_bp_sampler_mps_energy(self):
+        from quimb_tpu.experimental.tnvmc import BPSampler
+
+        H, psi, e_exact = self._heis_mps_setup()
+        sam = BPSampler(psi, seed=0)
+        self._direct_energy(sam, H, psi, e_exact)
+
+    def test_cluster_sampler_peps(self):
+        """2x3 Heisenberg PEPS: the cluster-sampled, reweighted energy
+        estimate agrees with the exact Rayleigh quotient."""
+        import quimb_tpu.tensor as qtn
+        from quimb_tpu.experimental.tnvmc import (
+            ClusterSampler,
+            TNVMC,
+        )
+        from quimb_tpu.operator import heisenberg_from_edges
+        import jax.numpy as jnp
+
+        lx, ly = 2, 3
+        psi = qtn.PEPS_rand(lx, ly, bond_dim=2, seed=3,
+                            dtype="float64")
+        edges = []
+        sid = {}
+        for i in range(lx):
+            for j in range(ly):
+                sid[i, j] = len(sid)
+        for i in range(lx):
+            for j in range(ly):
+                if i + 1 < lx:
+                    edges.append((sid[i, j], sid[i + 1, j]))
+                if j + 1 < ly:
+                    edges.append((sid[i, j], sid[i, j + 1]))
+        H = heisenberg_from_edges(edges)
+        Hd = H.build_sparse_matrix().toarray()
+        v = np.asarray(psi.to_dense()).reshape(-1)
+        e_exact = float(v.conj() @ (Hd @ v) / (v.conj() @ v))
+
+        sam = ClusterSampler(psi, max_distance=1, seed=0)
+        vmc = TNVMC(psi, H, sampler=sam, nchains=192)
+        configs, w = vmc._sample_direct(vmc.params)
+        e_loc = vmc._local_energies(vmc.params, configs)
+        e = float(jnp.mean(w * jnp.real(e_loc)))
+        err = float(jnp.std(jnp.real(e_loc))) / np.sqrt(192)
+        assert abs(e - e_exact) < max(6 * err, 0.15)
+
+    def test_amplitude_factory(self):
+        import quimb_tpu.tensor as qtn
+        from quimb_tpu.experimental.tnvmc import AmplitudeFactory
+
+        L = 5
+        psi = qtn.MPS_rand_state(L, 4, seed=0, dtype="float64")
+        af = AmplitudeFactory(psi, maxsize=64)
+        rng = np.random.default_rng(0)
+        configs = rng.integers(0, 2, (10, L))
+        amps = af.amplitudes(configs)
+        # against direct dense indexing
+        v = np.asarray(psi.to_dense()).reshape([2] * L)
+        for c, a in zip(configs, amps):
+            assert abs(a - v[tuple(c)]) < 1e-10
+        # cache: same configs hit, no recompute (monkeypatch _vfn)
+        n0 = len(af._cache)
+        af._vfn = None  # would raise if called again
+        amps2 = af.amplitudes(configs)
+        assert np.allclose(amps2, amps)
+        assert len(af._cache) == n0
+        # update invalidates
+        af.update(params=af.params)
+        assert len(af._cache) == 0
