@@ -23,7 +23,9 @@ sliced contraction     ``contract_sliced`` (slices via shard_map)
 from .mesh import (
     ShardedSparseHam,
     approx_spectral_sharded,
+    choose_sliced_inds,
     contract_sliced,
+    contract_tn_mesh,
     distributed_init,
     eigh_lanczos_sharded,
     expm_multiply_sharded,
@@ -33,7 +35,9 @@ from .mesh import (
 __all__ = [
     "ShardedSparseHam",
     "approx_spectral_sharded",
+    "choose_sliced_inds",
     "contract_sliced",
+    "contract_tn_mesh",
     "distributed_init",
     "eigh_lanczos_sharded",
     "expm_multiply_sharded",

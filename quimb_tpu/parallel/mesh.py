@@ -252,6 +252,11 @@ def contract_sliced(tn, sliced_inds, mesh=None, output_inds=(),
     nd = mesh.devices.size
 
     sliced_inds = tuple(sliced_inds)
+    if not sliced_inds:
+        # nothing to slice (tiny/fully-simplified network) — plain
+        # single-program contraction is already correct and cheapest
+        return tn.contract(..., output_inds=tuple(output_inds),
+                           optimize=optimize)
     dims = [tn.ind_size(ix) for ix in sliced_inds]
     nslices = int(np.prod(dims))
     # pad #slices to multiple of devices by repeating (and weighting)
@@ -316,3 +321,50 @@ def contract_sliced(tn, sliced_inds, mesh=None, output_inds=(),
         else:
             placed.append(jax.device_put(a, NamedSharding(mesh, P())))
     return fn(*placed)
+
+
+def choose_sliced_inds(tn, target_slices, exclude=()):
+    """Pick indices of ``tn`` to slice so the number of slices (the
+    product of their dimensions) reaches at least ``target_slices``
+    (the reference reaches the same decision through cotengra's
+    slicing optimizer; here we greedily take the highest-degree,
+    largest indices, which both maximizes slice-count per index and
+    tends to cut the contraction's widest tensors)."""
+    from collections import Counter
+
+    cnt = Counter()
+    for t in tn.tensor_map.values():
+        for ix in t.inds:
+            cnt[ix] += 1
+    # rank: inner indices first (degree >= 2), larger dims first
+    cands = sorted(
+        (ix for ix in cnt
+         if ix not in exclude and tn.ind_size(ix) > 1),
+        key=lambda ix: (-min(cnt[ix], 2), -tn.ind_size(ix)),
+    )
+    chosen = []
+    nsl = 1
+    for ix in cands:
+        if nsl >= target_slices:
+            break
+        chosen.append(ix)
+        nsl *= tn.ind_size(ix)
+    return tuple(chosen)
+
+
+def contract_tn_mesh(tn, mesh=None, output_inds=(), optimize=None,
+                     sliced_inds=None):
+    """Contract an arbitrary TN across a device mesh: choose slice
+    indices (unless given) and dispatch to :func:`contract_sliced`.
+    The single-device result is reproduced exactly (slices are an
+    exact partition of the sum)."""
+    if mesh is None:
+        mesh = get_mesh()
+    if sliced_inds is None:
+        sliced_inds = choose_sliced_inds(
+            tn, mesh.devices.size, exclude=set(output_inds)
+        )
+    return contract_sliced(
+        tn, sliced_inds, mesh=mesh, output_inds=output_inds,
+        optimize=optimize,
+    )

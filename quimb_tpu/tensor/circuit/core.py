@@ -625,9 +625,13 @@ class Circuit(CircuitBase):
 
     def amplitude(self, b, optimize="auto", simplify_sequence="ADCR",
                   simplify_atol=1e-12, rehearse=False, backend=None,
-                  dtype=None):
+                  dtype=None, mesh=None):
         """The amplitude <b|psi> (reference ``amplitude``
-        exact.py:417)."""
+        exact.py:417). If ``mesh`` (a ``jax.sharding.Mesh``) is given
+        the simplified network is contracted *sliced* across the
+        mesh's devices — each device sums its share of the slices of
+        one batched XLA program and the result is ``psum``-reduced
+        over ICI (the multi-chip large-circuit path)."""
         if isinstance(b, str):
             b = tuple(int(x) for x in b)
         psi = self._psi.copy()
@@ -642,6 +646,10 @@ class Circuit(CircuitBase):
                 "tn": psi,
                 "tree": psi.contraction_info(optimize=optimize),
             }
+        if mesh is not None:
+            from ...parallel import contract_tn_mesh
+
+            return maybe_host_scalar(contract_tn_mesh(psi, mesh=mesh))
         return maybe_host_scalar(psi.contract(..., optimize=optimize))
 
     def amplitude_rehearse(self, b=None, **kwargs):

@@ -584,6 +584,10 @@ def _compress_projector_tn(
     tn = tn.copy()
     if canonize:
         tn.gauge_all_simple_(max_iterations=6, tol=1e-9)
+        # simple gauging strips the overall scale into tn.exponent —
+        # fold it back before materializing plain tensors, or the
+        # compressed network silently loses its magnitude
+        tn.distribute_exponent()
 
     tn_calc = tn.copy()
     L = len(site_tags)

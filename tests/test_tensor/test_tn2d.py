@@ -128,3 +128,54 @@ class TestPEPO:
         )
         mat = np.asarray(t.data).reshape(16, 16)
         assert np.allclose(mat, np.eye(16), atol=1e-12)
+
+
+class TestBoundaryModes:
+    """Every boundary-contraction mode agrees with exact contraction
+    (reference mode variants tensor_2d.py:1273,1486,1659 and
+    tensor_2d_compress.py)."""
+
+    def test_all_modes_4x4_norm_vs_exact(self):
+        psi = t2.PEPS_rand(4, 4, 2, seed=2, dtype="float64")
+        exact = float(np.linalg.norm(np.asarray(psi.to_dense())) ** 2)
+        for mode in ("mps", "projector2d", "full-bond"):
+            norm = psi.make_norm()
+            val = float(np.real(norm.contract_boundary(
+                max_bond=32, mode=mode,
+            )))
+            assert abs(val - exact) / exact < 1e-8, mode
+
+    def test_1d_method_fallthrough_modes_norm(self):
+        # boundary compression via the structure-preserving 1D methods
+        # (reference's mode='mps' with compress method options,
+        # tensor_2d.py:1273 'via-1d' class)
+        psi = t2.PEPS_rand(3, 3, 2, seed=4, dtype="float64")
+        exact = float(np.linalg.norm(np.asarray(psi.to_dense())) ** 2)
+        for mode in ("dm", "zipup", "projector"):
+            norm = psi.make_norm()
+            val = float(np.real(norm.contract_boundary(
+                max_bond=32, mode=mode,
+            )))
+            assert abs(val - exact) / exact < 1e-6, mode
+
+    def test_tensor_network_2d_compress_dispatch(self):
+        from quimb_tpu.tensor.tn2d.compress import (
+            tensor_network_2d_compress,
+        )
+
+        psi = t2.PEPS_rand(3, 3, 3, seed=5, dtype="float64")
+        for method in ("local-early", "local-late"):
+            tnc = tensor_network_2d_compress(
+                psi, max_bond=3, method=method)
+            assert tnc.max_bond() <= 3
+            # non-truncating compression: fidelity must be ~1
+            # (scale-invariant — the AG methods strip overall scale)
+            v1 = np.asarray(psi.to_dense()).reshape(-1)
+            v2 = np.asarray(tnc.to_dense()).reshape(-1)
+            f = abs(v1.conj() @ v2) / (
+                np.linalg.norm(v1) * np.linalg.norm(v2))
+            assert f == pytest.approx(1.0, abs=1e-6), method
+        # truncating compression reduces the bond as requested
+        tnc2 = tensor_network_2d_compress(
+            psi, max_bond=2, method="local-early")
+        assert tnc2.max_bond() <= 2
