@@ -169,9 +169,18 @@ def main():
         total_flops += flops_eig_split(cl * d, d * cr)
         total_flops += flops_env_step(cl, cr, d, w)
 
+    # warm the L-direction programs too (first L sweep compiles the
+    # fused left-scan), then time alternating R/L sweeps: alternation
+    # keeps the state canonical so no re-canonization pass is needed
+    # between sweeps — the production sweep loop
+    en = dmrg.sweep("L", max_bond=CHI, cutoff=0.0, canonize=False)
+    dmrg.energies.append(en)
+    jax.block_until_ready(dmrg._A[0])
+
     t0 = time.perf_counter()
-    for _ in range(NSWEEP):
-        en = dmrg.sweep("R", max_bond=CHI, cutoff=0.0, canonize=True)
+    for k in range(NSWEEP):
+        en = dmrg.sweep("R" if k % 2 == 0 else "L", max_bond=CHI,
+                        cutoff=0.0, canonize=False)
         dmrg.energies.append(en)
     jax.block_until_ready(dmrg._A[0])
     dt = (time.perf_counter() - t0) / NSWEEP

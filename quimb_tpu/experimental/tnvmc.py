@@ -239,23 +239,46 @@ class HamiltonianSampler(MetropolisHastingsSampler):
 
 
 class DenseSampler:
-    """Exact sampler from the full dense distribution (small systems;
-    reference ``DenseSampler`` tnvmc.py:96)."""
+    """Exact direct sampler from the full dense distribution (small
+    systems; reference ``DenseSampler`` tnvmc.py:96). Follows the
+    direct-sampler protocol: ``autocorrelated = False`` and
+    ``sample()`` returns one ``(config, omega)`` draw, where omega is
+    the exact probability the draw came from — so the importance
+    weights in :meth:`TNVMC._sample_direct` are exactly
+    |psi(c)|^2 / omega = const."""
 
-    def __init__(self, psi, nchains=64, seed=0):
+    autocorrelated = False
+
+    def __init__(self, psi=None, nchains=64, seed=0):
+        self.rng = np.random.default_rng(seed)
+        self.nchains = nchains
+        self._psi = None
+        if psi is not None:
+            self._set_psi(psi)
+
+    def _set_psi(self, psi):
+        self._psi = psi
         self.nsites = psi.L if hasattr(psi, "L") else len(psi.sites)
         p = np.abs(np.asarray(psi.to_dense()).reshape(-1)) ** 2
         self.p = p / p.sum()
-        self.rng = np.random.default_rng(seed)
-        self.nchains = nchains
 
     def sample(self):
-        idx = self.rng.choice(self.p.size, size=self.nchains, p=self.p)
-        return jnp.asarray([
+        i = int(self.rng.choice(self.p.size, p=self.p))
+        config = np.array(
             [(i >> (self.nsites - 1 - s)) & 1
-             for s in range(self.nsites)]
-            for i in idx
-        ], dtype=jnp.int32)
+             for s in range(self.nsites)],
+            dtype=np.int32,
+        )
+        return config, float(self.p[i])
+
+    def sample_batch(self, n):
+        """Draw ``n`` iid configurations as a stacked array."""
+        out = np.stack([self.sample()[0] for _ in range(n)])
+        return jnp.asarray(out, dtype=jnp.int32)
+
+    def update(self, psi=None, **kwargs):
+        if psi is not None:
+            self._set_psi(psi)
 
 
 class ClusterSampler:

@@ -786,7 +786,9 @@ def _subspace_basis(G, k, iters, dtype):
     one (m, m, k) matmul + one tall QR — all MXU-friendly, no
     full-size eigh. Convergence per non-dominant direction is
     ~(lam_{k+1}/lam_j)^iters, ample for the rapidly decaying
-    Schmidt spectra these truncations consume."""
+    Schmidt spectra these truncations consume. Callers oversample
+    (k = wanted rank + padding) and Rayleigh-Ritz back down, the
+    standard Halko-Martinsson-Tropp accuracy recipe."""
     m = G.shape[-1]
     om = jax.random.normal(
         jax.random.PRNGKey(0), (*G.shape[:-2], m, k),
@@ -802,11 +804,11 @@ def _subspace_basis(G, k, iters, dtype):
 @functools.partial(
     jax.jit,
     static_argnames=("max_bond", "cutoff_mode", "renorm", "absorb",
-                     "iters"),
+                     "iters", "oversample"),
 )
 def svd_truncated_masked_subspace(
     x, max_bond, cutoff=0.0, cutoff_mode=4, renorm=0, absorb="both",
-    iters=2,
+    iters=2, oversample=8,
 ):
     """Truncated SVD via randomized subspace iteration plus a
     ``max_bond``-sized Rayleigh-Ritz step (role of the reference's
@@ -830,13 +832,16 @@ def svd_truncated_masked_subspace(
             cutoff_mode=cutoff_mode, renorm=renorm, absorb=absorb,
         )
     eps = jnp.finfo(x.dtype).eps
+    # iterate an oversampled basis; the Rayleigh-Ritz step below plus
+    # the final max_bond=k slice discard the padding directions
+    kp = min(k + max(oversample, 0), kmax)
 
     if absorb == "left":
         # dominant row space; VH = dag(basis) stays exactly isometric
         G = dag(x) @ x
-        Vr = _subspace_basis(G, k, iters, x.dtype)
-        B = x @ Vr                                   # (m, k)
-        el, W = safe_eigh(dag(B) @ B)                # (k, k)
+        Vr = _subspace_basis(G, kp, iters, x.dtype)
+        B = x @ Vr                                   # (m, kp)
+        el, W = safe_eigh(dag(B) @ B)                # (kp, kp)
         el = el[..., ::-1]
         W = W[..., :, ::-1]
         s = jnp.sqrt(jnp.clip(el, 0.0, None))
@@ -846,9 +851,9 @@ def svd_truncated_masked_subspace(
     else:
         # dominant column space; U = basis stays exactly isometric
         G = x @ dag(x)
-        V = _subspace_basis(G, k, iters, x.dtype)
-        B = dag(V) @ x                               # (k, n)
-        el, W = safe_eigh(B @ dag(B))                # (k, k)
+        V = _subspace_basis(G, kp, iters, x.dtype)
+        B = dag(V) @ x                               # (kp, n)
+        el, W = safe_eigh(B @ dag(B))                # (kp, kp)
         el = el[..., ::-1]
         W = W[..., :, ::-1]
         s = jnp.sqrt(jnp.clip(el, 0.0, None))
@@ -862,16 +867,21 @@ def svd_truncated_masked_subspace(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_bond", "absorb", "iters"),
+    jax.jit,
+    static_argnames=("max_bond", "absorb", "iters", "oversample"),
 )
-def split_truncated_subspace(x, max_bond, absorb="right", iters=2):
-    """Rank-``max_bond`` orthogonal split with NO cutoff masking and
-    no Rayleigh-Ritz rotation: ``x ~= U @ VH`` where the isometric
-    factor is any orthonormal basis of the dominant subspace. This is
-    the cheapest correct 2-site DMRG truncation — the best rank-k
-    projection only needs the subspace, not individual singular
-    vectors, and the bond basis is pure gauge. Returns
-    ``(U, None, VH, rank)`` matching the masked drivers' layout."""
+def split_truncated_subspace(x, max_bond, absorb="right", iters=2,
+                             oversample=8):
+    """Rank-``max_bond`` orthogonal split with NO cutoff masking:
+    ``x ~= U @ VH`` where the isometric factor is an orthonormal basis
+    of the dominant subspace (oversampled iteration + a small
+    Rayleigh-Ritz rotation to discard the padding directions — the
+    rotation costs one (k+p)-sized eigh, still nothing like a
+    full-size factorization). This is the cheapest near-optimal
+    2-site DMRG truncation — the best rank-k projection only needs
+    the subspace, not individual singular values, and the bond basis
+    is pure gauge. Returns ``(U, None, VH, rank)`` matching the
+    masked drivers' layout."""
     m, n = x.shape[-2:]
     kmax = min(m, n)
     k = min(max_bond, kmax) if (max_bond and max_bond > 0) else kmax
@@ -879,14 +889,23 @@ def split_truncated_subspace(x, max_bond, absorb="right", iters=2):
         return svd_truncated_masked_eig(
             x, max_bond=k, cutoff=0.0, absorb=absorb,
         )
+    kp = min(k + max(oversample, 0), kmax)
     if absorb == "left":
         G = dag(x) @ x
-        Vr = _subspace_basis(G, k, iters, x.dtype)
+        Vr = _subspace_basis(G, kp, iters, x.dtype)
+        if kp > k:
+            B = x @ Vr                               # (m, kp)
+            _, W = safe_eigh(dag(B) @ B)             # (kp, kp)
+            Vr = Vr @ W[..., :, ::-1][..., :, :k]
         U = x @ Vr
         VH = dag(Vr)
     else:
         G = x @ dag(x)
-        V = _subspace_basis(G, k, iters, x.dtype)
+        V = _subspace_basis(G, kp, iters, x.dtype)
+        if kp > k:
+            B = dag(V) @ x                           # (kp, n)
+            _, W = safe_eigh(B @ dag(B))             # (kp, kp)
+            V = V @ W[..., :, ::-1][..., :, :k]
         U = V
         VH = dag(V) @ x
     return U, None, VH, jnp.asarray(k, jnp.int32)

@@ -3441,10 +3441,44 @@ def _wire_parity_methods():
 
     TN.draw_tree_span = draw_tree_span
     TN.graph_tree_span = draw_tree_span
-    TN.draw_3d = TN.draw
-    TN.draw_interactive = TN.draw
-    TN.draw_3d_interactive = TN.draw
-    TN.visualize_tensors = TN.draw
+
+    def draw_3d(self, *args, **kwargs):
+        kwargs.setdefault("dim", 3)
+        return self.draw(*args, **kwargs)
+
+    def draw_interactive(self, *args, **kwargs):
+        kwargs.setdefault("backend", "plotly")
+        return self.draw(*args, **kwargs)
+
+    def draw_3d_interactive(self, *args, **kwargs):
+        kwargs.setdefault("dim", 3)
+        kwargs.setdefault("backend", "plotly")
+        return self.draw(*args, **kwargs)
+
+    def visualize_tensors(self, *args, **kwargs):
+        """Plot the entries of every tensor (reference
+        ``visualize_tensors`` drawing.py)."""
+        import matplotlib.pyplot as plt
+
+        from .drawing import visualize_tensor
+
+        ts = list(self.tensor_map.values())
+        n = len(ts)
+        ncol = max(int(math.ceil(math.sqrt(n))), 1)
+        nrow = -(-n // ncol)
+        fig, axs = plt.subplots(nrow, ncol,
+                                figsize=(2.2 * ncol, 2.2 * nrow))
+        axs = np.atleast_1d(axs).ravel()
+        for ax_i in axs:
+            ax_i.axis("off")
+        for t, ax_i in zip(ts, axs):
+            visualize_tensor(t, ax=ax_i, **kwargs)
+        return fig
+
+    TN.draw_3d = draw_3d
+    TN.draw_interactive = draw_interactive
+    TN.draw_3d_interactive = draw_3d_interactive
+    TN.visualize_tensors = visualize_tensors
 
 
 _wire_parity_methods()
@@ -3819,9 +3853,15 @@ def _wire_tensor_parity():
     T.get_params = _t_get_params
     T.set_params = _t_set_params
     T.compute_reduced_factor = _tn_compute_reduced_factor
-    T.visualize = T.draw if hasattr(T, "draw") else (
-        lambda self, **k: None
-    )
+    def _t_visualize(self, **kwargs):
+        """Plot this tensor's entries: magnitude -> size, phase -> hue
+        (reference ``Tensor.visualize`` / ``visualize_tensor``
+        drawing.py)."""
+        from .drawing import visualize_tensor
+
+        return visualize_tensor(self, **kwargs)
+
+    T.visualize = _t_visualize
 
 
 _wire_tensor_parity()

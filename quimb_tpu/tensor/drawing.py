@@ -1,94 +1,529 @@
-"""Tensor network visualization (reference ``quimb/tensor/drawing.py``:
-spring/spectral/manual layouts, edge weights = bond dims, node colors
-by tags)."""
+"""Tensor network visualization (reference ``quimb/tensor/drawing.py``,
+1721 LoC: layouts, edge weights = bond dims, node colors by tags, 2D/3D,
+matplotlib + plotly backends, isometry arrows, hyper-edge nodes).
+
+Pure host-side code — no device work. The layout engines are
+implemented natively (vectorized numpy force layout, Laplacian
+spectral), with networkx used opportunistically when installed.
+"""
 
 import collections
+import colorsys
+import hashlib
 import itertools
 import math
 
 import numpy as np
 
 
-def _build_graph(tn):
-    """Nodes = tids (+ pseudo-nodes for outer indices), edges with
-    bond-size weights."""
+# --------------------------------------------------------------------------
+# graph extraction
+# --------------------------------------------------------------------------
+
+
+def _build_graph(tn, show_inds=None):
+    """Extract a drawable graph from ``tn``.
+
+    Returns ``(nodes, edges, hyper_nodes)`` where nodes are tids plus
+    pseudo-nodes: ``__outer__{ix}`` for dangling indices and
+    ``__hyper__{ix}`` for indices shared by three or more tensors
+    (drawn as a small junction dot, reference drawing.py multi-edge
+    handling)."""
     nodes = list(tn.tensor_map)
     edges = []
+    hyper_nodes = []
+    outer_nodes = []
     for ix, tids in tn.ind_map.items():
         tids = tuple(tids)
         d = tn.ind_size(ix)
-        if len(tids) == 1 and sum(
-            tn.tensor_map[t].inds.count(ix) for t in tids
-        ) == 1:
-            # outer index: pseudo node
-            edges.append((tids[0], f"__outer__{ix}", d, ix))
+        n_occ = sum(tn.tensor_map[t].inds.count(ix) for t in tids)
+        if len(tids) == 1 and n_occ == 1:
+            node = f"__outer__{ix}"
+            outer_nodes.append(node)
+            edges.append((tids[0], node, d, ix))
+        elif len(tids) > 2 or n_occ > 2:
+            # hyper index: star junction
+            node = f"__hyper__{ix}"
+            hyper_nodes.append(node)
+            for t in tids:
+                edges.append((t, node, d, ix))
         else:
-            for a, b in itertools.combinations(tids, 2):
-                edges.append((a, b, d, ix))
-    return nodes, edges
+            if len(tids) == 2:
+                edges.append((tids[0], tids[1], d, ix))
+            else:
+                # trace index (both ends on one tensor): self loop,
+                # drawn as a stub pair
+                node = f"__outer__{ix}"
+                outer_nodes.append(node)
+                edges.append((tids[0], node, d, ix))
+    return nodes, edges, hyper_nodes, outer_nodes
+
+
+# --------------------------------------------------------------------------
+# layouts
+# --------------------------------------------------------------------------
+
+
+def _spring_layout(all_nodes, edges, dim=2, seed=42, iterations=200,
+                   k=None, fix=None):
+    """Vectorized Fruchterman-Reingold force layout (the native
+    replacement for networkx's ``spring_layout``). Edge weights pull
+    fat bonds closer (reference ``use_spring_weight``)."""
+    n = len(all_nodes)
+    idx = {node: i for i, node in enumerate(all_nodes)}
+    rng = np.random.default_rng(seed)
+    P = rng.standard_normal((n, dim))
+    fixed_idx = []
+    if fix:
+        for node, xy in fix.items():
+            if node in idx:
+                P[idx[node], : len(xy)] = np.asarray(xy, float)
+                fixed_idx.append(idx[node])
+    if k is None:
+        k = 1.0 / math.sqrt(max(n, 1))
+    E = np.array(
+        [(idx[a], idx[b]) for (a, b, _, _) in edges], dtype=int
+    ).reshape(-1, 2)
+    W = np.array(
+        [1.0 + math.log2(d) for (_, _, d, _) in edges]
+    ).reshape(-1, 1)
+    t = 0.1
+    dt = t / max(iterations, 1)
+    for _ in range(iterations):
+        diff = P[:, None, :] - P[None, :, :]
+        dist = np.sqrt((diff**2).sum(-1)) + 1e-9
+        # repulsion k^2 / d
+        F = (diff / dist[..., None]) * (k * k / dist)[..., None]
+        F = F.sum(axis=1)
+        if len(E):
+            d_e = P[E[:, 0]] - P[E[:, 1]]
+            dist_e = np.sqrt((d_e**2).sum(-1, keepdims=True)) + 1e-9
+            # attraction d^2 / k, weighted
+            fa = d_e * (dist_e / k) * W
+            np.add.at(F, E[:, 0], -fa)
+            np.add.at(F, E[:, 1], fa)
+        norm = np.sqrt((F**2).sum(-1, keepdims=True)) + 1e-9
+        P += F / norm * np.minimum(norm, t)
+        if fixed_idx:
+            for node, xy in fix.items():
+                if node in idx:
+                    P[idx[node], : len(xy)] = np.asarray(xy, float)
+        t -= dt
+    return {node: P[idx[node]] for node in all_nodes}
+
+
+def _spectral_layout(all_nodes, edges, dim=2):
+    """Laplacian-eigenvector layout (native ``spectral_layout``)."""
+    n = len(all_nodes)
+    idx = {node: i for i, node in enumerate(all_nodes)}
+    A = np.zeros((n, n))
+    for (a, b, d, _) in edges:
+        w = 1.0 + math.log2(d)
+        A[idx[a], idx[b]] += w
+        A[idx[b], idx[a]] += w
+    D = np.diag(A.sum(1))
+    L = D - A
+    vals, vecs = np.linalg.eigh(L)
+    # skip the trivial constant mode(s)
+    order = np.argsort(vals)
+    cols = []
+    for j in order:
+        if vals[j] > 1e-9:
+            cols.append(j)
+        if len(cols) == dim:
+            break
+    while len(cols) < dim:
+        cols.append(order[min(len(cols) + 1, n - 1)])
+    P = vecs[:, cols]
+    return {node: P[idx[node]] for node in all_nodes}
+
+
+def _circular_layout(all_nodes, dim=2):
+    n = len(all_nodes)
+    pos = {}
+    for i, node in enumerate(all_nodes):
+        th = 2 * math.pi * i / max(n, 1)
+        p = [math.cos(th), math.sin(th)] + [0.0] * (dim - 2)
+        pos[node] = np.asarray(p[:dim])
+    return pos
+
+
+def _random_layout(all_nodes, dim=2, seed=42):
+    rng = np.random.default_rng(seed)
+    return {node: rng.uniform(-1, 1, dim) for node in all_nodes}
 
 
 def layout_positions(tn, layout="spring", fix=None, seed=42,
-                     iterations=100, k=None):
-    """Compute 2D positions for each node."""
-    nodes, edges = _build_graph(tn)
+                     iterations=200, k=None, dim=2,
+                     initial_layout=None):
+    """Compute ``dim``-dimensional positions for each node of ``tn``
+    (reference ``get_positions``). Layouts: ``'spring'`` (default,
+    optionally seeded by ``initial_layout``), ``'spectral'``,
+    ``'circular'``, ``'random'``, ``'kamada_kawai'`` (networkx if
+    installed, else spectral)."""
+    nodes, edges, hyper, outer = _build_graph(tn)
     all_nodes = list(dict.fromkeys(
-        itertools.chain(nodes, (e[1] for e in edges
-                                if str(e[1]).startswith("__outer__")))
+        itertools.chain(nodes, hyper, outer)
     ))
-    try:
-        import networkx as nx
+    if layout == "circular":
+        return _circular_layout(all_nodes, dim)
+    if layout == "random":
+        return _random_layout(all_nodes, dim, seed)
+    if layout == "spectral":
+        return _spectral_layout(all_nodes, edges, dim)
+    if layout == "kamada_kawai":
+        try:
+            import networkx as nx
 
-        G = nx.Graph()
-        G.add_nodes_from(all_nodes)
-        for (a, b, d, ix) in edges:
-            G.add_edge(a, b, weight=math.log2(d) + 1)
-        if layout == "spectral":
-            pos = nx.spectral_layout(G)
-        elif layout == "kamada_kawai":
-            pos = nx.kamada_kawai_layout(G)
-        else:
-            pos = nx.spring_layout(
-                G, seed=seed, iterations=iterations, k=k, pos=fix,
-                fixed=list(fix) if fix else None,
-            )
-        return pos
-    except ImportError:
-        # simple force layout fallback
-        rng = np.random.default_rng(seed)
-        pos = {n: rng.standard_normal(2) for n in all_nodes}
-        idx = {n: i for i, n in enumerate(all_nodes)}
-        P = np.stack([pos[n] for n in all_nodes])
-        E = [(idx[a], idx[b]) for (a, b, _, _) in edges]
-        for _ in range(iterations):
-            F = np.zeros_like(P)
-            # repulsion
-            diff = P[:, None, :] - P[None, :, :]
-            dist2 = (diff**2).sum(-1) + 1e-6
-            F += (diff / dist2[..., None]).sum(1) * 0.05
-            # attraction along edges
-            for (a, b) in E:
-                d = P[a] - P[b]
-                F[a] -= 0.1 * d
-                F[b] += 0.1 * d
-            P += 0.1 * F
-        return {n: P[idx[n]] for n in all_nodes}
+            G = nx.Graph()
+            G.add_nodes_from(all_nodes)
+            for (a, b, d, ix) in edges:
+                G.add_edge(a, b, weight=1.0 + math.log2(d))
+            return nx.kamada_kawai_layout(G, dim=dim)
+        except ImportError:
+            return _spectral_layout(all_nodes, edges, dim)
+    # spring, possibly seeded from a cheaper global layout
+    init = fix
+    if initial_layout in ("spectral", "circular") and not fix:
+        init = (
+            _spectral_layout(all_nodes, edges, dim)
+            if initial_layout == "spectral"
+            else _circular_layout(all_nodes, dim)
+        )
+        return _spring_layout(
+            all_nodes, edges, dim=dim, seed=seed,
+            iterations=iterations, k=k, fix=init,
+        )
+    return _spring_layout(
+        all_nodes, edges, dim=dim, seed=seed, iterations=iterations,
+        k=k, fix=fix,
+    )
+
+
+# --------------------------------------------------------------------------
+# colors
+# --------------------------------------------------------------------------
+
+
+def hash_to_color(s, hue_range=(0.0, 1.0), sat=0.55, val=0.85):
+    """Deterministic tag -> RGB color by hashing (reference
+    ``auto_color_html``-style auto coloring)."""
+    h = int.from_bytes(
+        hashlib.sha1(str(s).encode()).digest()[:4], "big"
+    ) / 2**32
+    lo, hi = hue_range
+    return colorsys.hsv_to_rgb(lo + h * (hi - lo), sat, val)
+
+
+def get_colors(color, custom_colors=None):
+    """Resolve the ``color`` spec into an ordered {tag: rgb} map
+    (reference ``get_colors`` drawing.py)."""
+    if color is None:
+        return {}
+    if isinstance(color, str):
+        color = (color,)
+    color = tuple(color)
+    if custom_colors is not None:
+        return dict(zip(color, custom_colors))
+    if len(color) <= 10:
+        import matplotlib.pyplot as plt
+
+        cmap = plt.get_cmap("tab10")
+        return {tag: cmap(i % 10) for i, tag in enumerate(color)}
+    return {tag: hash_to_color(tag) for tag in color}
+
+
+# --------------------------------------------------------------------------
+# main drawing entrypoint
+# --------------------------------------------------------------------------
 
 
 def draw_tn(
-    tn, color=None, show_inds=None, show_tags=None, layout="spring",
-    node_size=None, edge_scale=1.0, figsize=(6, 6), ax=None,
-    return_fig=False, title=None, legend=True, **kwargs,
+    tn,
+    color=None,
+    *,
+    show_inds=None,
+    show_tags=None,
+    output_inds=None,
+    highlight_inds=(),
+    highlight_tids=(),
+    highlight_inds_color=(1.0, 0.2, 0.2),
+    custom_colors=None,
+    legend=True,
+    dim=2,
+    layout="spring",
+    initial_layout=None,
+    fix=None,
+    k=None,
+    iterations=200,
+    seed=42,
+    node_size=None,
+    node_outline_darkness=0.4,
+    edge_scale=1.0,
+    edge_alpha=0.8,
+    edge_color="0.5",
+    arrow_isometries=True,
+    figsize=(6, 6),
+    ax=None,
+    title=None,
+    backend="matplotlib",
+    get=None,
+    return_fig=False,
+    **kwargs,
 ):
-    """Draw a tensor network with matplotlib (reference ``draw``
-    drawing.py). Node colors by the tags in ``color``; edge widths by
-    log bond dimension; outer indices drawn as stubs."""
+    """Draw a tensor network (reference ``draw`` drawing.py).
+
+    Parameters mirror the reference: ``color`` selects tags to color
+    nodes by (with auto palette or ``custom_colors``); ``dim=3`` gives
+    a 3D matplotlib axes; ``backend='plotly'`` uses plotly if
+    installed; ``highlight_inds``/``highlight_tids`` emphasize parts;
+    ``IsoTensor`` tensors get arrows from their ``left_inds``
+    (``arrow_isometries``); ``get`` may be ``'pos'`` to return the
+    layout only, ``'fig'`` or ``'ax'``.
+    """
+    nodes, edges, hyper_nodes, outer_nodes = _build_graph(tn)
+    pos = layout_positions(
+        tn, layout=layout, fix=fix, seed=seed, iterations=iterations,
+        k=k, dim=dim, initial_layout=initial_layout,
+    )
+    if get == "pos":
+        return pos
+
+    if backend == "plotly":
+        return _draw_plotly(
+            tn, nodes, edges, hyper_nodes, outer_nodes, pos,
+            color=color, custom_colors=custom_colors, dim=dim,
+        )
+
     import matplotlib.pyplot as plt
     from matplotlib.lines import Line2D
 
-    nodes, edges = _build_graph(tn)
-    pos = layout_positions(tn, layout=layout,
-                           seed=kwargs.get("seed", 42))
+    created = ax is None
+    if created:
+        fig = plt.figure(figsize=figsize)
+        if dim == 3:
+            ax = fig.add_subplot(111, projection="3d")
+        else:
+            ax = fig.add_subplot(111)
+    else:
+        fig = ax.figure
+    if dim == 2:
+        ax.set_aspect("equal")
+    ax.axis("off")
+
+    highlight_inds = set(highlight_inds)
+    highlight_tids = set(highlight_tids)
+    if show_inds is None:
+        show_inds = tn.num_tensors <= 20 and "outer"
+
+    def _p(node):
+        p = pos[node]
+        return tuple(p[:dim]) + (0.0,) * max(0, dim - len(p))
+
+    # -- edges
+    for (a, b, d, ix) in edges:
+        pa, pb = _p(a), _p(b)
+        lw = edge_scale * (0.8 + math.log2(d) / 2)
+        if ix in highlight_inds:
+            c, z = highlight_inds_color, 1.5
+        else:
+            c, z = edge_color, 1
+        if dim == 3:
+            ax.plot(*zip(pa, pb), "-", color=c, lw=lw, alpha=edge_alpha)
+        else:
+            ax.plot([pa[0], pb[0]], [pa[1], pb[1]], "-", color=c,
+                    lw=lw, alpha=edge_alpha, zorder=z)
+        label_it = (
+            show_inds == "all"
+            or (show_inds in ("outer", True)
+                and (str(b).startswith("__outer__")))
+            or ix in highlight_inds
+        )
+        if label_it:
+            mid = [(x + y) / 2 for x, y in zip(pa, pb)]
+            if dim == 3:
+                ax.text(*mid, ix, fontsize=6, color="0.3")
+            else:
+                ax.text(mid[0], mid[1], ix, fontsize=6, color="0.3",
+                        zorder=4)
+
+    # -- isometry arrows
+    if arrow_isometries:
+        for tid in nodes:
+            t = tn.tensor_map[tid]
+            left_inds = getattr(t, "left_inds", None)
+            if not left_inds:
+                continue
+            for (a, b, d, ix) in edges:
+                if a == tid and ix in left_inds:
+                    pa, pb = _p(a), _p(b)
+                elif b == tid and ix in left_inds:
+                    pa, pb = _p(b), _p(a)
+                else:
+                    continue
+                mid = [0.5 * (x + y) for x, y in zip(pa, pb)]
+                dxy = [0.12 * (y - x) for x, y in zip(pa, pb)]
+                if dim == 3:
+                    ax.quiver(*mid, *dxy, color="0.2",
+                              arrow_length_ratio=0.6)
+                else:
+                    ax.annotate(
+                        "", xy=(mid[0] + dxy[0], mid[1] + dxy[1]),
+                        xytext=(mid[0], mid[1]),
+                        arrowprops={"arrowstyle": "->", "color": "0.2"},
+                    )
+
+    # -- nodes
+    tag_colors = get_colors(color, custom_colors)
+    P, cs, ss, outl = [], [], [], []
+    for tid in nodes:
+        t = tn.tensor_map[tid]
+        c = (0.6, 0.6, 0.6)
+        for tag, col in tag_colors.items():
+            if tag in t.tags:
+                c = col[:3] if len(col) > 3 else col
+                break
+        if tid in highlight_tids:
+            c = highlight_inds_color
+        P.append(_p(tid))
+        cs.append(c)
+        ss.append(node_size or (120 + 60 * t.ndim))
+        outl.append(tuple(x * node_outline_darkness for x in c))
+    P = np.asarray(P)
+    if len(P):
+        if dim == 3:
+            ax.scatter(P[:, 0], P[:, 1], P[:, 2], c=cs, s=ss,
+                       edgecolors=outl, depthshade=True)
+        else:
+            ax.scatter(P[:, 0], P[:, 1], c=cs, s=ss, zorder=2,
+                       edgecolors=outl)
+    # hyper junction dots
+    for node in hyper_nodes:
+        p = _p(node)
+        if dim == 3:
+            ax.scatter([p[0]], [p[1]], [p[2]], c="0.2", s=12)
+        else:
+            ax.scatter([p[0]], [p[1]], c="0.2", s=12, zorder=2)
+
+    if show_tags is None:
+        show_tags = tn.num_tensors <= 20
+    if show_tags:
+        for tid in nodes:
+            t = tn.tensor_map[tid]
+            p = _p(tid)
+            txt = ",".join(map(str, list(t.tags)[:2]))
+            if dim == 3:
+                ax.text(*p, txt, fontsize=6, ha="center", va="center")
+            else:
+                ax.text(p[0], p[1], txt, fontsize=6, ha="center",
+                        va="center", zorder=3)
+
+    if legend and tag_colors:
+        handles = [
+            Line2D([0], [0], marker="o", linestyle="", label=str(tag),
+                   markerfacecolor=col, markersize=8)
+            for tag, col in tag_colors.items()
+        ]
+        ax.legend(handles=handles, loc="upper right", fontsize=8)
+    if title:
+        ax.set_title(title)
+    if get == "fig" or return_fig:
+        return fig
+    if get == "ax":
+        return ax
+    if created:
+        plt.show()
+    return ax
+
+
+def _draw_plotly(tn, nodes, edges, hyper_nodes, outer_nodes, pos,
+                 color=None, custom_colors=None, dim=2):
+    """Plotly backend (reference drawing.py plotly path) — gated on
+    plotly being installed."""
+    try:
+        import plotly.graph_objects as go
+    except ImportError as e:
+        raise ImportError(
+            "plotly is not installed — use backend='matplotlib'"
+        ) from e
+
+    tag_colors = get_colors(color, custom_colors)
+
+    def _p(node):
+        p = pos[node]
+        return tuple(p[:max(dim, 2)])
+
+    edge_x, edge_y, edge_z = [], [], []
+    for (a, b, d, ix) in edges:
+        pa, pb = _p(a), _p(b)
+        edge_x += [pa[0], pb[0], None]
+        edge_y += [pa[1], pb[1], None]
+        if dim == 3:
+            edge_z += [pa[2], pb[2], None]
+    node_x, node_y, node_z, node_c, node_t = [], [], [], [], []
+    for tid in nodes:
+        p = _p(tid)
+        node_x.append(p[0])
+        node_y.append(p[1])
+        if dim == 3:
+            node_z.append(p[2])
+        t = tn.tensor_map[tid]
+        c = "#999999"
+        for tag, col in tag_colors.items():
+            if tag in t.tags:
+                c = "rgb({},{},{})".format(
+                    *(int(255 * x) for x in col[:3])
+                )
+                break
+        node_c.append(c)
+        node_t.append(",".join(map(str, t.tags)))
+    if dim == 3:
+        traces = [
+            go.Scatter3d(x=edge_x, y=edge_y, z=edge_z, mode="lines",
+                         line={"color": "#888888"},
+                         hoverinfo="none"),
+            go.Scatter3d(x=node_x, y=node_y, z=node_z, mode="markers",
+                         marker={"color": node_c, "size": 6},
+                         text=node_t, hoverinfo="text"),
+        ]
+    else:
+        traces = [
+            go.Scatter(x=edge_x, y=edge_y, mode="lines",
+                       line={"color": "#888888"}, hoverinfo="none"),
+            go.Scatter(x=node_x, y=node_y, mode="markers",
+                       marker={"color": node_c, "size": 10},
+                       text=node_t, hoverinfo="text"),
+        ]
+    fig = go.Figure(data=traces)
+    fig.update_layout(showlegend=False)
+    return fig
+
+
+# --------------------------------------------------------------------------
+# array-entry visualization (reference visualize_tensor, used by
+# Tensor.visualize)
+# --------------------------------------------------------------------------
+
+
+def visualize_tensor(t, max_projections=None, ax=None, figsize=(5, 5),
+                     size_map=True, size_pow=0.5, scale=1.0,
+                     return_fig=False):
+    """Visualize all entries of a tensor as a 2D scatter: position by
+    (fused row, fused col) bit-interleaving, marker size by magnitude,
+    hue by complex phase (reference ``visualize_tensor``
+    drawing.py)."""
+    import matplotlib.pyplot as plt
+
+    data = np.asarray(getattr(t, "data", t))
+    # fuse axes alternately into rows/cols for a square-ish scatter
+    shape = data.shape or (1,)
+    row_axes = shape[0::2]
+    col_axes = shape[1::2]
+    nrow = int(np.prod(row_axes)) if row_axes else 1
+    ncol = int(np.prod(col_axes)) if col_axes else 1
+    perm = list(range(0, len(shape), 2)) + list(range(1, len(shape), 2))
+    mat = np.transpose(data, perm).reshape(nrow, ncol) \
+        if len(shape) > 1 else data.reshape(1, -1)
 
     created = ax is None
     if created:
@@ -96,62 +531,38 @@ def draw_tn(
     else:
         fig = ax.figure
     ax.set_aspect("equal")
+    ax.invert_yaxis()
     ax.axis("off")
 
-    # edges
-    for (a, b, d, ix) in edges:
-        xa, ya = pos[a]
-        xb, yb = pos[b]
-        lw = edge_scale * (0.8 + math.log2(d) / 2)
-        ax.plot([xa, xb], [ya, yb], "-", color="0.5", lw=lw,
-                zorder=1)
-        if show_inds:
-            ax.text((xa + xb) / 2, (ya + yb) / 2, ix, fontsize=6,
-                    color="0.3")
-
-    # node colors by tag
-    if color is None:
-        color = ()
-    elif isinstance(color, str):
-        color = (color,)
-    cmap = plt.get_cmap("tab10")
-    tag_colors = {tag: cmap(i % 10) for i, tag in enumerate(color)}
-
-    xs, ys, cs = [], [], []
-    for tid in nodes:
-        t = tn.tensor_map[tid]
-        c = "#999999"
-        for tag in color:
-            if tag in t.tags:
-                c = tag_colors[tag]
-                break
-        xs.append(pos[tid][0])
-        ys.append(pos[tid][1])
-        cs.append(c)
-    sizes = node_size or 300
-    ax.scatter(xs, ys, c=cs, s=sizes, zorder=2, edgecolors="white")
-
-    if show_tags:
-        for tid in nodes:
-            t = tn.tensor_map[tid]
-            ax.text(pos[tid][0], pos[tid][1],
-                    ",".join(map(str, list(t.tags)[:2])),
-                    fontsize=6, ha="center", va="center", zorder=3)
-
-    if legend and color:
-        handles = [
-            Line2D([0], [0], marker="o", linestyle="", label=str(tag),
-                   markerfacecolor=tag_colors[tag], markersize=8)
-            for tag in color
+    mags = np.abs(mat)
+    mmax = mags.max() if mags.size else 1.0
+    if mmax == 0:
+        mmax = 1.0
+    rr, cc = np.nonzero(mags > 1e-12 * mmax)
+    sizes = scale * 200 * (mags[rr, cc] / mmax) ** size_pow \
+        if size_map else scale * 50
+    if np.iscomplexobj(mat):
+        phases = np.angle(mat[rr, cc]) / (2 * np.pi) % 1.0
+        colors = [colorsys.hsv_to_rgb(p, 0.8, 0.85) for p in phases]
+    else:
+        colors = [
+            (0.8, 0.25, 0.2) if v < 0 else (0.2, 0.4, 0.75)
+            for v in mat[rr, cc].real
         ]
-        ax.legend(handles=handles, loc="upper right", fontsize=8)
-    if title:
-        ax.set_title(title)
+    ax.scatter(cc, rr, s=sizes, c=colors, marker="o")
+    ax.set_xlim(-1, ncol)
+    ax.set_ylim(nrow, -1)
     if return_fig:
         return fig
     if created:
-        plt.show()
+        plt.close(fig)
     return ax
 
 
-__all__ = ["draw_tn", "layout_positions"]
+__all__ = [
+    "draw_tn",
+    "get_colors",
+    "hash_to_color",
+    "layout_positions",
+    "visualize_tensor",
+]

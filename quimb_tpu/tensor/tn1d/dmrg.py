@@ -314,6 +314,21 @@ def _bulk_env_right(lenv0, As, Ws):
 
 
 @jax.jit
+def _bulk_env_right_stack(lenv0, As, Ws):
+    """Batched left-environment construction over a uniform range
+    (scanned from the left end); returns all intermediate envs:
+    stack[k] = environment including sites up to and incl. offset k."""
+
+    def body(lenv, x):
+        A, W = x
+        new = _env_step_right(lenv, jnp.conj(A), W, A)
+        return new, new
+
+    lenv, stack = jax.lax.scan(body, lenv0, (As, Ws))
+    return lenv, stack
+
+
+@jax.jit
 def _bulk_env_left(renv0, As, Ws):
     """Batched right-environment construction over a uniform range
     (scanned from the right end); returns all intermediate envs."""
@@ -766,6 +781,46 @@ class DMRG:
             return renv, renv_bulk, (a, b)
         return renv
 
+    def _build_left_envs(self, return_bulk_stack=False):
+        """All left environments: lenv[j] = contraction of sites < j.
+        Mirror of :meth:`_build_right_envs` for the fused left
+        sweep."""
+        dtype = self._A[0].dtype
+        L = self.L
+        lenv = [None] * (L + 1)
+        lenv[0] = jnp.ones((1, 1, 1), dtype=dtype)
+        a, b = self._uniform_bulk_range()
+        use_fused = self.fused and (b - a) >= 10
+        lenv_bulk = None
+        j = 0
+        while j < L:
+            if use_fused and j == a:
+                Abulk, Wbulk = self._get_bulk_stacks(a, b)
+                _, lenv_bulk = _bulk_env_right_stack(
+                    lenv[a], Abulk, Wbulk
+                )
+                if not return_bulk_stack:
+                    for k in range(a + 1, b + 1):
+                        lenv[k] = lenv_bulk[k - a - 1]
+                else:
+                    # the tail's per-site steps reach into the last
+                    # couple of bulk environments
+                    lenv[b] = lenv_bulk[b - a - 1]
+                    if b - a > 1:
+                        lenv[b - 1] = lenv_bulk[b - a - 2]
+                    if b - a > 2:
+                        lenv[b - 2] = lenv_bulk[b - a - 3]
+                j = b
+            else:
+                A = self._A[j]
+                lenv[j + 1] = _env_step_right(
+                    lenv[j], jnp.conj(A), self._W[j], A
+                )
+                j += 1
+        if return_bulk_stack:
+            return lenv, lenv_bulk, (a, b)
+        return lenv
+
     def _sweep_right(self, max_bond, cutoff, verbosity=0):
         split_method = self.opts["bond_compress_method"]
         if split_method == "svd:sub" and not (
@@ -883,18 +938,63 @@ class DMRG:
             split_method = "svd:sub0"
         ncv = max(self.opts["local_eig_ncv"] * 2, 8)
         restarts = self.opts["local_eig_restarts"]
-        # build left envs
         dtype = self._A[0].dtype
-        lenvs = [None] * (self.L + 1)
-        lenvs[0] = jnp.ones((1, 1, 1), dtype=dtype)
-        for j in range(self.L - 1):
-            A = self._A[j]
-            lenvs[j + 1] = _env_step_right(
-                lenvs[j], jnp.conj(A), self._W[j], A
+        mbd = max_bond if max_bond is not None else -1
+        a, b = self._uniform_bulk_range()
+        bulk_shape = self._A[a].shape if a < b else None
+        use_fused = (
+            self.fused and self.bsz == 2 and (b - a) >= 12
+            and bulk_shape is not None and bulk_shape[2] == mbd
+        )
+        if use_fused:
+            lenvs, lenv_bulk, (a, b) = self._build_left_envs(
+                return_bulk_stack=True
             )
+        else:
+            lenvs = self._build_left_envs()
+            lenv_bulk = None
+        self._materialize_list()
+
         renv = jnp.ones((1, 1, 1), dtype=dtype)
         energies = []
-        for i in range(self.L - self.bsz, -1, -1):
+        i = self.L - self.bsz
+        while i >= 0:
+            if (
+                use_fused and a + 1 <= i and i + 1 < b
+                and self._A[i + 1].shape == bulk_shape
+            ):
+                # fused run covers updates at positions i down to a+1
+                # (each needs lenv[j] with j >= a+1, which live in the
+                # bulk stack)
+                n = i - a
+                if n >= 8:
+                    Abulk, Wbulk = self._get_bulk_stacks(a, b)
+                    o = i - a
+                    # scan order: position i first, a+1 last
+                    W1s = jnp.flip(Wbulk[1:o + 1], axis=0)
+                    W2s = jnp.flip(Wbulk[2:o + 2], axis=0)
+                    Aprevs = jnp.flip(Abulk[1:o + 1], axis=0)
+                    lenvs_in = jnp.flip(lenv_bulk[0:o], axis=0)
+                    rdtype = jnp.zeros((), dtype).real.dtype
+                    renv, Afirst, N2s, ens = _bulk_sweep_left(
+                        renv, self._A[i + 1], Aprevs, W1s, W2s,
+                        lenvs_in, jnp.asarray(cutoff, dtype=rdtype),
+                        ncv=ncv, restarts=restarts, max_bond=mbd,
+                        method=split_method,
+                    )
+                    # emitted right tensors sit at positions i+1 down
+                    # to a+2; the carried tensor at a+1
+                    Abulk = Abulk.at[2:o + 2].set(
+                        jnp.flip(N2s, axis=0)
+                    )
+                    Abulk = Abulk.at[1].set(Afirst)
+                    self._set_bulk_stack(a, b, Abulk)
+                    self._A[a + 1] = Afirst
+                    self._last_bulk_ens = ens
+                    energies.append(ens[-1])
+                    i = a
+                    self._materialize_list()
+                    continue
             if self.bsz == 2:
                 A1, A2 = self._A[i], self._A[i + 1]
                 theta0 = jnp.einsum("kpc,cqr->kpqr", A1, A2)
@@ -910,6 +1010,9 @@ class DMRG:
                 renv = _env_step_left(
                     renv, jnp.conj(N2), self._W[i + 1], N2
                 )
+                if self._Abulk is not None and a <= i < b:
+                    self._stack_key = None
+                    self._Abulk = None
             else:
                 A1 = self._A[i]
                 en, theta = _local_solve_1site(
@@ -931,8 +1034,9 @@ class DMRG:
                     renv, jnp.conj(self._A[i]), self._W[i], self._A[i]
                 )
             energies.append(en)
+            i -= 1
         self.local_energies.append(energies)
-        return float(energies[-1])
+        return float(np.real(energies[-1]))
 
     def sweep(self, direction, max_bond=None, cutoff=1e-9, canonize=True,
               verbosity=0):

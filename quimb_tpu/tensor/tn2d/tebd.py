@@ -415,6 +415,61 @@ class SimpleUpdate(TEBD2D):
         return total
 
 
+@functools.lru_cache(maxsize=64)
+def _autodiff_plaquette_fitter(ax_a, ax_b, perm, m, p, nsteps):
+    """Compiled fidelity fitter for :meth:`FullUpdate._fit_autodiff`:
+    maximizes |<f|E|t>|^2 / <f|E|f> over the two site arrays with
+    ``nsteps`` L-BFGS iterations inside one ``lax.scan``. Cached per
+    static contraction spec so every gate with the same shapes reuses
+    one XLA program."""
+    import optax
+
+    def plaquette(xa, xb):
+        t = jnp.tensordot(xa, xb, axes=([ax_a], [ax_b]))
+        t = jnp.transpose(t, perm)
+        return jnp.reshape(t, (m, p))
+
+    @jax.jit
+    def fit(xa0, xb0, E, ET):
+        def loss(params):
+            f = plaquette(*params)
+            tf = jnp.trace(jnp.conj(f.T) @ ET)
+            ff = jnp.real(jnp.trace(jnp.conj(f.T) @ (E @ f)))
+            return -(jnp.abs(tf) ** 2) / ff
+
+        opt = optax.lbfgs()
+        params0 = (xa0, xb0)
+
+        def body(carry, _):
+            params, state, best_val, best_params = carry
+            val, grads = jax.value_and_grad(loss)(params)
+            updates, state = opt.update(
+                tuple(jnp.conj(g) for g in grads), state, params,
+                value=val, grad=grads, value_fn=loss,
+            )
+            new_params = optax.apply_updates(params, updates)
+            better = val < best_val
+            best_val = jnp.where(better, val, best_val)
+            best_params = jax.tree.map(
+                lambda a, b: jnp.where(better, a, b),
+                params, best_params,
+            )
+            return (new_params, state, best_val, best_params), None
+
+        init = (params0, opt.init(params0),
+                jnp.asarray(jnp.inf, jnp.real(xa0).dtype), params0)
+        (params, _, best_val, best_params), _ = jax.lax.scan(
+            body, init, None, length=nsteps,
+        )
+        final_better = loss(params) < best_val
+        return jax.tree.map(
+            lambda a, b: jnp.where(final_better, a, b),
+            params, best_params,
+        )
+
+    return fit
+
+
 class FullUpdate(TEBD2D):
     """Full update: each gate application is fitted to the current
     tensors against the full boundary-contracted environment via
@@ -439,19 +494,66 @@ class FullUpdate(TEBD2D):
     """
 
     def __init__(self, psi0, ham, *, fit_steps=12, fit_tol=1e-10,
-                 pos_smudge=1e-8, **kwargs):
+                 pos_smudge=1e-8, fit_strategy="als",
+                 compute_envs_every=1, **kwargs):
         kwargs.setdefault("gate_opts", {}).setdefault("cutoff", 0.0)
         super().__init__(psi0, ham, **kwargs)
         self.fit_steps = fit_steps
         self.fit_tol = fit_tol
         self.pos_smudge = pos_smudge
+        self.fit_strategy = fit_strategy
+        self.compute_envs_every = compute_envs_every
+        self._env_counter = 0
+        self._x_envs_cache = None
+
+    @property
+    def fit_strategy(self):
+        """Gate-fitting method: ``'als'`` (normal-equation alternating
+        least squares, reference ``gate_full_update_als``
+        tn2d/tebd.py:724) or ``'autodiff'`` (direct gradient ascent on
+        the environment-weighted fidelity, reference
+        ``gate_full_update_autodiff_fidelity`` tn2d/tebd.py:851)."""
+        return self._fit_strategy
+
+    @fit_strategy.setter
+    def fit_strategy(self, v):
+        if v not in ("als", "autodiff"):
+            raise ValueError(
+                f"fit_strategy must be 'als' or 'autodiff', got {v!r}"
+            )
+        self._fit_strategy = v
+
+    def _get_x_envs(self, norm):
+        """Row-boundary environments, recomputed only every
+        ``compute_envs_every`` gates (reference env recompute policy
+        ``compute_envs_every`` tn2d/tebd.py:1164) — between recomputes
+        the slightly stale boundary envs are reused, which is the
+        standard accuracy/speed trade for deep Trotter sweeps."""
+        # stale envs are only reusable while the state's bond profile
+        # is unchanged (early gates can still be growing bonds)
+        sig = tuple(sorted(
+            (ix, self.state.ind_size(ix))
+            for ix in self.state.ind_map
+        ))
+        if (
+            self.compute_envs_every <= 1
+            or self._x_envs_cache is None
+            or self._env_counter % self.compute_envs_every == 0
+            or getattr(self, "_env_sig", None) != sig
+        ):
+            self._x_envs_cache = norm.compute_x_environments(
+                max_bond=self._chi
+            )
+            self._env_sig = sig
+        self._env_counter += 1
+        return self._x_envs_cache
 
     def _plaquette_env(self, norm, a, b):
         """Environment TN of sites ``a, b``: row-boundary envs above and
         below their row-span plus the in-span rows, minus the four
         plaquette tensors themselves."""
         psi = self.state
-        x_envs = norm.compute_x_environments(max_bond=self._chi)
+        x_envs = self._get_x_envs(norm)
         x0, x1 = min(a[0], b[0]), max(a[0], b[0])
         strip = TensorNetwork(())
         bot = x_envs.get(("xmin", x0))
@@ -479,6 +581,49 @@ class FullUpdate(TEBD2D):
             ix if ix == phys_ind else ix + "*" for ix in ket_t.inds
         )
         return Tensor(jnp.conj(ket_t.data), inds=inds)
+
+    def _fit_autodiff(self, env, target, fit_a, fit_b, pa, pb):
+        """Fit the gated plaquette by direct gradient ascent on the
+        environment-weighted fidelity (reference
+        ``gate_full_update_autodiff_fidelity`` tn2d/tebd.py:851,
+        which routes through a TNOptimizer). TPU-native form: the
+        environment is materialized ONCE as a dense matrix over the
+        plaquette's external bonds (the same ``to_dense`` the ALS
+        normal equations use), ``E @ target`` is precomputed, and the
+        whole L-BFGS optimization runs as a single compiled
+        ``lax.scan`` — one cached XLA program per shape signature
+        across all gates and sweeps."""
+        inds_a = fit_a.inds
+        inds_b = fit_b.inds
+        (new_bond,) = bonds(fit_a, fit_b)
+        ext_a = tuple(ix for ix in inds_a
+                      if ix not in (new_bond, pa))
+        ext_b = tuple(ix for ix in inds_b
+                      if ix not in (new_bond, pb))
+        ext = ext_a + ext_b
+        ext_star = tuple(ix + "*" for ix in ext)
+
+        # dense environment over (bra ext | ket ext)
+        E = env.to_dense(ext_star, ext)
+        E = (E + jnp.conj(E.T)) / 2
+        # dense gated target over (ket ext | phys)
+        T = target.to_dense(ext, (pa, pb))
+        ET = E @ T.astype(E.dtype)
+
+        # static contraction spec: tensordot over the shared bond then
+        # permute remaining axes to (ext..., pa, pb)
+        ax_a = inds_a.index(new_bond)
+        ax_b = inds_b.index(new_bond)
+        rem = ([ix for ix in inds_a if ix != new_bond]
+               + [ix for ix in inds_b if ix != new_bond])
+        perm = tuple(rem.index(ix) for ix in ext + (pa, pb))
+        fitter = _autodiff_plaquette_fitter(
+            ax_a, ax_b, perm, E.shape[0], T.shape[1],
+            max(self.fit_steps, 1) * 4,
+        )
+        xa, xb = fitter(fit_a.data, fit_b.data, E, ET)
+        fit_a.modify(data=xa)
+        fit_b.modify(data=xb)
 
     def gate(self, U, where):
         from ..gating import tensor_network_gate_inds
@@ -513,9 +658,15 @@ class FullUpdate(TEBD2D):
         fit_a = guess[ta]
         fit_b = guess[tb]
 
+        if self._fit_strategy == "autodiff":
+            self._fit_autodiff(env, target, fit_a, fit_b, pa, pb)
+            fitted = True
+        else:
+            fitted = False
+
         prev_cost = None
         cost = None
-        for _ in range(self.fit_steps):
+        for _ in range(0 if fitted else self.fit_steps):
             for site in ("a", "b"):
                 if site == "a":
                     fit_s, fit_o, ps = fit_a, fit_b, pa
@@ -648,11 +799,5 @@ def _fu_presweep(self, i=None):
     return self
 
 
-FullUpdate.compute_envs_every = 1
-FullUpdate.fit_strategy = property(
-    lambda self: "als",
-    lambda self, v: (_ for _ in ()).throw(ValueError(v))
-    if v != "als" else None,
-)
 FullUpdate.set_state = _fu_set_state
 FullUpdate.presweep = _fu_presweep

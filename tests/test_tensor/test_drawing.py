@@ -1,0 +1,208 @@
+"""Behavior tests for drawing.py / schematic.py (reference
+test surface: layouts produce finite positions, draw() renders all
+nodes/edges, color maps are deterministic, schematic primitives add
+artists)."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt
+import numpy as np
+import pytest
+
+import quimb_tpu.tensor as qtn
+from quimb_tpu.tensor.drawing import (
+    draw_tn,
+    get_colors,
+    hash_to_color,
+    layout_positions,
+    visualize_tensor,
+)
+
+
+@pytest.fixture()
+def mps():
+    return qtn.MPS_rand_state(6, 4, seed=0, dtype="float64")
+
+
+class TestLayouts:
+    @pytest.mark.parametrize("layout", ["spring", "spectral",
+                                        "circular", "random",
+                                        "kamada_kawai"])
+    def test_layout_finite_positions(self, mps, layout):
+        pos = layout_positions(mps, layout=layout)
+        # one position per tensor plus one per outer (phys) index
+        assert len(pos) == 6 + 6
+        for p in pos.values():
+            assert np.all(np.isfinite(p))
+            assert len(p) == 2
+
+    def test_layout_3d(self, mps):
+        pos = layout_positions(mps, layout="spring", dim=3)
+        for p in pos.values():
+            assert len(p) == 3
+
+    def test_fixed_positions_respected(self, mps):
+        tid0 = next(iter(mps.tensor_map))
+        pos = layout_positions(
+            mps, layout="spring", fix={tid0: (0.0, 0.0)},
+        )
+        assert np.allclose(pos[tid0], [0.0, 0.0], atol=1e-8)
+
+    def test_spring_deterministic(self, mps):
+        p1 = layout_positions(mps, seed=3)
+        p2 = layout_positions(mps, seed=3)
+        for n in p1:
+            assert np.allclose(p1[n], p2[n])
+
+
+class TestColors:
+    def test_hash_to_color_deterministic_distinct(self):
+        c1 = hash_to_color("I0")
+        c2 = hash_to_color("I0")
+        c3 = hash_to_color("I1")
+        assert c1 == c2
+        assert c1 != c3
+        assert all(0 <= x <= 1 for x in c1)
+
+    def test_get_colors_small_and_large(self):
+        small = get_colors(("A", "B"))
+        assert set(small) == {"A", "B"}
+        many = get_colors(tuple(f"T{i}" for i in range(20)))
+        assert len(many) == 20
+        custom = get_colors(("A",), custom_colors=[(1, 0, 0)])
+        assert custom["A"] == (1, 0, 0)
+
+
+class TestDraw:
+    def test_draw_returns_ax_with_artists(self, mps):
+        ax = draw_tn(mps, color=[mps.site_tag(i) for i in range(6)],
+                     get="ax")
+        assert len(ax.collections) >= 1  # node scatter
+        assert len(ax.lines) >= 11  # 5 bonds + 6 phys stubs
+        plt.close(ax.figure)
+
+    def test_draw_get_pos_and_fig(self, mps):
+        pos = draw_tn(mps, get="pos")
+        assert len(pos) == 12
+        fig = draw_tn(mps, get="fig")
+        plt.close(fig)
+
+    def test_draw_3d(self, mps):
+        ax = mps.draw_3d(get="ax")
+        assert ax.name == "3d"
+        plt.close(ax.figure)
+
+    def test_draw_hyper_index(self):
+        # three tensors sharing one index -> junction pseudo-node
+        from quimb_tpu.tensor.core import Tensor, TensorNetwork
+
+        rng = np.random.default_rng(0)
+        ts = [Tensor(rng.standard_normal((2, 3)), inds=("h", f"o{i}"))
+              for i in range(3)]
+        tn = TensorNetwork(ts)
+        pos = layout_positions(tn)
+        assert any(str(n).startswith("__hyper__") for n in pos)
+        ax = draw_tn(tn, get="ax")
+        plt.close(ax.figure)
+
+    def test_draw_highlight_and_show_all_inds(self, mps):
+        bond = next(iter(
+            i for i, tids in mps.ind_map.items() if len(tids) == 2
+        ))
+        ax = draw_tn(mps, highlight_inds=(bond,), show_inds="all",
+                     get="ax")
+        texts = [t.get_text() for t in ax.texts]
+        assert bond in texts
+        plt.close(ax.figure)
+
+    def test_plotly_backend_gated(self, mps):
+        try:
+            import plotly  # noqa: F401
+
+            fig = draw_tn(mps, backend="plotly")
+            assert fig is not None
+        except ImportError:
+            with pytest.raises(ImportError):
+                draw_tn(mps, backend="plotly")
+
+    def test_tensor_draw_method(self, mps):
+        t = next(iter(mps.tensor_map.values()))
+        ax = t.draw(get="ax")
+        plt.close(ax.figure)
+
+
+class TestVisualizeTensor:
+    def test_scatter_counts_nonzero(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((4, 4))
+        x[0, 0] = 0.0
+        from quimb_tpu.tensor.core import Tensor
+
+        t = Tensor(x, inds=("a", "b"))
+        ax = t.visualize()
+        offs = ax.collections[0].get_offsets()
+        assert len(offs) == np.count_nonzero(np.abs(x) > 1e-12)
+        plt.close(ax.figure)
+
+    def test_complex_phase_colors(self):
+        x = np.array([[1.0 + 0j, 1j], [-1.0, -1j]])
+        ax = visualize_tensor(x)
+        cols = ax.collections[0].get_facecolors()
+        # four distinct phases -> four distinct colors
+        assert len({tuple(np.round(c, 3)) for c in cols}) == 4
+        plt.close(ax.figure)
+
+    def test_network_visualize_tensors(self, mps):
+        fig = mps.visualize_tensors()
+        assert len(fig.axes) >= 6
+        plt.close(fig)
+
+
+class TestSchematic:
+    def test_primitives_add_artists(self):
+        from quimb_tpu.schematic import Drawing
+
+        d = Drawing()
+        d.circle((0, 0), label="A")
+        d.square((1, 0))
+        d.ellipse((2, 0), width=0.6, height=0.3)
+        d.rectangle((3, -0.5), (4, 0.5), radius=0.1)
+        d.shape([(5, 0), (5.5, 0.5), (6, 0)])
+        d.line((0, 1), (1, 1))
+        d.line_offset((1, 1), (2, 1), offset=0.3)
+        d.curve([(2, 1), (2.5, 1.4), (3, 1)])
+        d.curve_arc((4, 1), radius=0.3)
+        d.arrow((5, 1), (6, 1))
+        d.marker((6.5, 1))
+        d.dot((7, 1))
+        d.text((3, 2), "hello")
+        d.label_ax(0.05, 0.95, "corner")
+        d.patch_around([(0, 3), (1, 3), (0.5, 3.8)])
+        assert len(d.ax.patches) >= 6
+        # line + line_offset + curve (arrow is an annotation, marker
+        # and dot are collections/patches)
+        assert len(d.ax.lines) == 3
+        assert len(d.ax.texts) >= 3
+        plt.close(d.fig)
+
+    def test_pseudo3d_projection(self):
+        from quimb_tpu.schematic import Drawing, axonometric_project
+
+        d = Drawing(a=50, b=12)
+        d.cube((0, 0, 0), fill=True)
+        d.cube((2, 0, 0), fill=False)
+        x2, y2 = axonometric_project(1.0, 2.0, 3.0)
+        assert np.isfinite(x2) and np.isfinite(y2)
+        # projecting a 3-tuple goes through the same transform
+        assert d._coo((1.0, 2.0, 3.0)) == pytest.approx(
+            axonometric_project(1.0, 2.0, 3.0, 50, 12)
+        )
+        plt.close(d.fig)
+
+    def test_hash_color(self):
+        from quimb_tpu.schematic import hash_to_color
+
+        assert hash_to_color("x") == hash_to_color("x")
+        assert hash_to_color("x") != hash_to_color("y")

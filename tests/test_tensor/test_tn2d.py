@@ -108,12 +108,56 @@ class TestFullUpdate:
         psi0 = t2.PEPS_rand(3, 3, 2, seed=2, dtype="float64")
         fu = t2.FullUpdate(psi0, ham, D=3, compute_energy_final=False)
         for tau in (0.3, 0.1):
-            fu.evolve(10, tau=tau)
+            fu.evolve(6, tau=tau)
         E = fu.compute_energy()
         w0 = np.linalg.eigvalsh(np.asarray(ham_heis_2D(3, 3)))[0]
         # environment-fitted updates should get much closer than the
         # 8% SimpleUpdate bound
         assert abs(E - w0) / abs(w0) < 0.03
+
+
+class TestFullUpdateStrategies:
+    """Autodiff-fidelity gate fitting and the env recompute policy
+    (reference gate_full_update_autodiff_fidelity tn2d/tebd.py:851 and
+    compute_envs_every :1164)."""
+
+    def _anneal(self, fu):
+        fu.evolve(10, tau=0.3)
+        fu.evolve(12, tau=0.1)
+        fu.evolve(12, tau=0.01)
+        return float(fu.compute_energy())
+
+    def test_autodiff_matches_als_2x2(self):
+        ham = t2.ham_2d_heis(2, 2)
+        es = {}
+        for strat in ("als", "autodiff"):
+            psi0 = t2.PEPS_rand(2, 2, 2, seed=7, dtype="float64")
+            fu = t2.FullUpdate(psi0, ham, D=2, chi=16,
+                               fit_strategy=strat,
+                               compute_energy_final=False)
+            es[strat] = self._anneal(fu)
+        # both reach the same D=2 variational optimum
+        assert es["autodiff"] == pytest.approx(es["als"], abs=2e-3)
+
+    def test_compute_envs_every_close_to_fresh(self):
+        ham = t2.ham_2d_heis(2, 2)
+        psi0 = t2.PEPS_rand(2, 2, 2, seed=7, dtype="float64")
+        fu = t2.FullUpdate(psi0, ham, D=2, chi=16,
+                           fit_strategy="als", compute_envs_every=4,
+                           compute_energy_final=False)
+        e = self._anneal(fu)
+        psi1 = t2.PEPS_rand(2, 2, 2, seed=7, dtype="float64")
+        fu1 = t2.FullUpdate(psi1, ham, D=2, chi=16,
+                            fit_strategy="als",
+                            compute_energy_final=False)
+        e1 = self._anneal(fu1)
+        assert e == pytest.approx(e1, abs=5e-3)
+
+    def test_invalid_strategy_raises(self):
+        ham = t2.ham_2d_heis(2, 2)
+        psi0 = t2.PEPS_rand(2, 2, 2, seed=0, dtype="float64")
+        with pytest.raises(ValueError):
+            t2.FullUpdate(psi0, ham, D=2, fit_strategy="bogus")
 
 
 class TestPEPO:
