@@ -20,6 +20,14 @@ from .tnvmc import (
     TNVMC,
 )
 from .autojittn import autojit_tn
+from .misc import (
+    classical_ising_T_A_C,
+    ctmrg_partition_function,
+    product_expectation_cluster,
+    product_expectation_exact,
+    virtual_bond_operator,
+    virtual_site_operator,
+)
 
 __all__ = [
     "ClusterUpdateGen",
@@ -39,4 +47,10 @@ __all__ = [
     "BPSampler",
     "AmplitudeFactory",
     "autojit_tn",
+    "classical_ising_T_A_C",
+    "ctmrg_partition_function",
+    "product_expectation_cluster",
+    "product_expectation_exact",
+    "virtual_bond_operator",
+    "virtual_site_operator",
 ]

@@ -255,8 +255,11 @@ def contract_sliced(tn, sliced_inds, mesh=None, output_inds=(),
     if not sliced_inds:
         # nothing to slice (tiny/fully-simplified network) — plain
         # single-program contraction is already correct and cheapest
-        return tn.contract(..., output_inds=tuple(output_inds),
-                           optimize=optimize)
+        out = tn.contract(..., output_inds=tuple(output_inds),
+                          optimize=optimize)
+        # normalize to raw array data (the sliced path below always
+        # returns arrays)
+        return out.data if hasattr(out, "data") else out
     dims = [tn.ind_size(ix) for ix in sliced_inds]
     nslices = int(np.prod(dims))
     # pad #slices to multiple of devices by repeating (and weighting)

@@ -703,9 +703,12 @@ class Circuit(CircuitBase):
 
     def compute_marginal(self, where, fix=None, optimize="auto",
                          simplify_sequence="ADCR", simplify_atol=1e-12,
-                         **contract_opts):
+                         mesh=None, **contract_opts):
         """Probability distribution p(where | fix) as a dense array
-        (reference ``compute_marginal`` exact.py:780)."""
+        (reference ``compute_marginal`` exact.py:780). With ``mesh``
+        given, the simplified network is contracted sliced across the
+        mesh's devices (each marginal is one batched XLA program +
+        psum — the multi-chip sampling path)."""
         fix = dict(fix or {})
         key = (tuple(where), tuple(sorted(fix.items())))
         cached = self._marginal_cache.get(key)
@@ -730,12 +733,20 @@ class Circuit(CircuitBase):
             seq=simplify_sequence, atol=simplify_atol,
             output_inds=(*kix, *bix),
         )
-        t = rho_tn.contract(
-            ..., output_inds=(*kix, *bix), optimize=optimize,
-            preserve_tensor=True, **contract_opts,
-        )
+        if mesh is not None:
+            from ...parallel import contract_tn_mesh
+
+            data = contract_tn_mesh(
+                rho_tn, mesh=mesh, output_inds=(*kix, *bix),
+                optimize=optimize,
+            )
+        else:
+            data = rho_tn.contract(
+                ..., output_inds=(*kix, *bix), optimize=optimize,
+                preserve_tensor=True, **contract_opts,
+            ).data
         d = 2 ** len(where)
-        rho = jnp.reshape(t.data, (d, d))
+        rho = jnp.reshape(data, (d, d))
         p = np.clip(np.asarray(jnp.real(jnp.diag(rho))), 0, None)
         self._marginal_cache[key] = p
         return p
@@ -753,9 +764,10 @@ class Circuit(CircuitBase):
 
     def sample(self, C, qubits=None, order=None, group_size=1,
                seed=None, optimize="auto", simplify_sequence="ADCR",
-               simplify_atol=1e-12, **contract_opts):
+               simplify_atol=1e-12, mesh=None, **contract_opts):
         """Generate ``C`` samples via chain-rule marginals with caching
-        (reference ``sample`` exact.py:1135)."""
+        (reference ``sample`` exact.py:1135). With ``mesh`` given each
+        marginal contraction is sliced across the device mesh."""
         rng = np.random.default_rng(seed)
         if qubits is None:
             qubits = tuple(range(self.N))
@@ -771,7 +783,8 @@ class Circuit(CircuitBase):
                 p = self.compute_marginal(
                     grp, fix=fix, optimize=optimize,
                     simplify_sequence=simplify_sequence,
-                    simplify_atol=simplify_atol, **contract_opts,
+                    simplify_atol=simplify_atol, mesh=mesh,
+                    **contract_opts,
                 )
                 p = p / p.sum()
                 outcome = rng.choice(p.size, p=p)

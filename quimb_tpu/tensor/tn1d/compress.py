@@ -609,6 +609,106 @@ def _compress_projector_tn(
 
 
 # ---------------------------------------------------------------------------
+# bidm (bi-directional density matrix)
+# ---------------------------------------------------------------------------
+
+
+def _compress_bidm_tn(
+    tn, site_tags, site_inds, max_bond, cutoff, **kwargs,
+):
+    """Bi-directional density-matrix compression (reference
+    ``tensor_1d_compress_bidm``
+    experimental/tensor_1d_gate/tensor_1d_mpo_gate_methods.py:20):
+    left- and right- norm environments of the *uncompressed* network
+    are reduced to factors at every bond, oblique projectors are
+    computed for all bonds simultaneously from the (Rl, Rr) pairs, and
+    only then are the site columns contracted. Simultaneity makes each
+    projector optimal for the uncompressed state (slightly less
+    accurate than the sequential ``dm``/``direct`` sweeps, as the
+    reference notes, but one fully parallelizable pass)."""
+    tnc = tn.copy()
+    groups = _site_groups(tnc, site_tags)
+    L = len(groups)
+
+    # explicit bra with recorded inner-index mangling
+    outer = set(tnc.outer_inds())
+    bmap = {ix: rand_uuid() for ix in tnc.ind_map if ix not in outer}
+    bra = tnc.conj()
+    bra.reindex_(bmap)
+    bra_groups = _site_groups(bra, site_tags)
+
+    bond_bix = [_left_right_bonds(groups, i)[1] for i in range(L - 1)]
+
+    # left reduced factors: Rl[i]† Rl[i] = gram matrix of the left
+    # part over the (i, i+1) bond space
+    Rl = {}
+    env = None
+    for i in range(L - 1):
+        tens = ([env] if env is not None else []) + [
+            t.copy() for t in groups[i]
+        ] + [t.copy() for t in bra_groups[i]]
+        env = tensor_contract(
+            *tens, preserve_tensor=True, drop_tags=True,
+        )
+        kb = bond_bix[i]
+        bb = tuple(bmap[ix] for ix in kb)
+        XX = env.to_dense(bb, kb)
+        Rl[i] = decomp.squared_op_to_reduced_factor(XX, right=True)
+
+    # right reduced factors: Rr[i] Rr[i]† = right gram matrix
+    Rr = {}
+    env = None
+    for i in range(L - 1, 0, -1):
+        tens = ([env] if env is not None else []) + [
+            t.copy() for t in groups[i]
+        ] + [t.copy() for t in bra_groups[i]]
+        env = tensor_contract(
+            *tens, preserve_tensor=True, drop_tags=True,
+        )
+        kb = bond_bix[i - 1]
+        bb = tuple(bmap[ix] for ix in kb)
+        XX = env.to_dense(kb, bb)
+        Rr[i - 1] = decomp.squared_op_to_reduced_factor(
+            XX, right=False,
+        )
+
+    # insert the oblique projectors at every bond, then contract
+    for i in range(L - 1):
+        kb = bond_bix[i]
+        sizes = tuple(tnc.ind_size(ix) for ix in kb)
+        Pl, Pr = decomp.compute_oblique_projectors(
+            Rl[i], Rr[i], max_bond=max_bond, cutoff=cutoff,
+        )
+        k = Pl.shape[-1]
+        new_b = rand_uuid()
+        lix = [rand_uuid() for _ in kb]
+        rix = [rand_uuid() for _ in kb]
+        for ix, nl, nr in zip(kb, lix, rix):
+            for t in groups[i]:
+                if ix in t.inds:
+                    t.reindex_({ix: nl})
+            for t in groups[i + 1]:
+                if ix in t.inds:
+                    t.reindex_({ix: nr})
+        tnc.add_tensor(Tensor(
+            jnp.reshape(Pl, (*sizes, k)), inds=(*lix, new_b),
+            tags=(site_tags[i],),
+        ))
+        tnc.add_tensor(Tensor(
+            jnp.reshape(Pr, (k, *sizes)), inds=(new_b, *rix),
+            tags=(site_tags[i + 1],),
+        ))
+
+    ts = []
+    for tag in site_tags:
+        ts.append(tensor_contract(
+            *tnc.select_tensors(tag, "any"),
+            preserve_tensor=True, drop_tags=True,
+        ))
+    return ts
+
+
+# ---------------------------------------------------------------------------
 # dispatcher
 # ---------------------------------------------------------------------------
 
@@ -624,6 +724,7 @@ _COMPRESS_METHODS = {
     "src": _compress_src_tn,
     "src-oversample": None,  # handled in dispatcher
     "projector": _compress_projector_tn,
+    "bidm": _compress_bidm_tn,
 }
 
 
@@ -760,6 +861,7 @@ mps_gate_with_mpo_fit = _apply_via("fit")
 mps_gate_with_mpo_src = _apply_via("src")
 mps_gate_with_mpo_src_oversample = _apply_via("src-oversample")
 mps_gate_with_mpo_projector = _apply_via("projector")
+mps_gate_with_mpo_bidm = _apply_via("bidm")
 
 _APPLY_METHODS = {
     "direct": mps_gate_with_mpo_direct,
@@ -770,6 +872,7 @@ _APPLY_METHODS = {
     "src": mps_gate_with_mpo_src,
     "src-oversample": mps_gate_with_mpo_src_oversample,
     "projector": mps_gate_with_mpo_projector,
+    "bidm": mps_gate_with_mpo_bidm,
 }
 
 

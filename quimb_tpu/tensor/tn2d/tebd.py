@@ -491,7 +491,15 @@ class FullUpdate(TEBD2D):
         Relative cost-change convergence threshold.
     pos_smudge : float
         Hermitian-projection + diagonal regularisation strength for N.
+    fit_strategy : {'als', 'autodiff'}
+        Gate-fitting method.
+    compute_envs_every : int
+        Recompute the row-boundary environments only every this many
+        gates (reference policy tn2d/tebd.py:1164).
     """
+
+    # class-level default (overridden per instance in __init__)
+    compute_envs_every = 1
 
     def __init__(self, psi0, ham, *, fit_steps=12, fit_tol=1e-10,
                  pos_smudge=1e-8, fit_strategy="als",

@@ -18,6 +18,15 @@ os.environ["QUIMB_TPU_X64"] = "1"
 
 import jax  # noqa: E402
 
+# hermetic CPU-only suite: the axon TPU plugin force-registers itself
+# and its backend init can HANG every test process when the remote
+# tunnel is wedged (worker crash) — drop the factory before any
+# backend discovery so pytest never touches the tunnel
+jax.config.update("jax_platforms", "cpu")
+import jax._src.xla_bridge as _xb  # noqa: E402
+
+_xb._backend_factories.pop("axon", None)
+
 jax.config.update("jax_enable_x64", True)
 
 _CPUS = jax.devices("cpu")

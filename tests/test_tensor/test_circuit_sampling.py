@@ -163,6 +163,24 @@ class TestMeshSlicedContraction:
         a1 = complex(circ.amplitude(b, mesh=mesh))
         assert a1 == pytest.approx(a0, abs=1e-12, rel=1e-10)
 
+    def test_sample_on_mesh_matches_exact_distribution(self):
+        import jax
+        from jax.sharding import Mesh
+
+        circ = qtn.circ_ansatz_1D_brickwork(5, depth=3, seed=11)
+        devs = np.array(jax.devices("cpu")[:8]).reshape(8)
+        mesh = Mesh(devs, ("s",))
+        samples = list(circ.sample(200, seed=7, mesh=mesh))
+        assert len(samples) == 200
+        probs = exact_probs(circ).reshape(-1)
+        counts = np.zeros(32)
+        for s in samples:
+            counts[int(s, 2)] += 1
+        # chi^2-ish sanity: empirical freqs within 5 sigma of exact
+        freqs = counts / 200
+        se = np.sqrt(probs * (1 - probs) / 200)
+        assert np.all(np.abs(freqs - probs) < 5 * se + 0.05)
+
     def test_contract_tn_mesh_arbitrary_tn(self):
         import jax
         from jax.sharding import Mesh

@@ -299,7 +299,11 @@ class TestMethodParityLayer:
             tn2 = tn.gauge_all(method=method)
             assert abs(float(tn2.contract()) - z) / abs(z) < 1e-6, \
                 method
-        tn3, gauges = tn.gauge_all_simple(max_iterations=4)
+        # with a gauges dict supplied the network is left in Vidal
+        # form (reference convention: returns tn only, caller owns
+        # the gauges)
+        gauges = {}
+        tn3 = tn.gauge_all_simple(max_iterations=4, gauges=gauges)
         with tn3.gauge_simple_temp(gauges):
             z3 = float(tn3.contract())
         assert abs(z3 - z) / abs(z) < 1e-6

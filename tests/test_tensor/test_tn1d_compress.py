@@ -12,7 +12,7 @@ from quimb_tpu.tensor.tn1d import compress as C
 
 METHODS = [
     "direct", "dm", "zipup", "zipup-oversample", "fit", "src",
-    "src-oversample", "projector",
+    "src-oversample", "projector", "bidm",
 ]
 
 
