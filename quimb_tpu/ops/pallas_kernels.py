@@ -1,0 +1,150 @@
+"""Pallas TPU kernels for the hot contraction primitives.
+
+The single hottest primitive in the library (SURVEY §2 native table,
+§3.1) is the DMRG/TEBD effective-Hamiltonian matvec: with the
+environment-MPO fusions precomputed it is a *sandwich* product
+
+    out = sum_x  A[x] @ theta @ B[x]
+
+over the MPO virtual index ``x`` (reference executes this as
+``TNLinearOperator._matvec`` einsum chains, tensor_core.py:12085).
+XLA evaluates it as two back-to-back batched matmuls, materializing
+the ``(w, M, K2)`` intermediate in HBM between them, and dispatches
+two kernels per Lanczos step. The Pallas kernel below keeps the whole
+sandwich in VMEM: one launch, no HBM intermediate — on the
+latency-bound single-chip path (remote tunnel) kernel-launch count is
+as important as bytes.
+
+The kernel is only selected when the operands fit the VMEM budget and
+the dtype is MXU-friendly (f32/bf16); otherwise the caller's einsum
+path runs. Gate with ``QUIMB_TPU_PALLAS=0`` to disable entirely.
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+try:  # pallas is part of jax, but keep the import soft for safety
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    HAS_PALLAS = False
+
+# VMEM is ~16MB/core; leave headroom for double buffering of the
+# output and compiler temporaries
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def pallas_enabled():
+    # default-off until the kernel is A/B-validated on the real chip
+    # for a given build (flip with QUIMB_TPU_PALLAS=1; the TPU watch
+    # script benches both paths)
+    return HAS_PALLAS and os.environ.get("QUIMB_TPU_PALLAS", "0") == "1"
+
+
+def _on_tpu_backend():
+    """True when computations actually land on a TPU-like device.
+
+    Checks the *pinned default device* first: on this image the TPU
+    plugin force-registers itself even in CPU test runs, so
+    ``jax.default_backend()`` alone would misreport (the test conftest
+    pins ``jax_default_device`` to CPU rather than unregistering it).
+    """
+    try:
+        dev = jax.config.jax_default_device
+        if dev is not None:
+            return dev.platform not in ("cpu", "gpu", "cuda", "rocm")
+        return jax.default_backend() not in ("cpu", "gpu", "cuda",
+                                             "rocm")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _sandwich_kernel(a_ref, th_ref, b_ref, out_ref):
+    """out = sum_x a[x] @ th @ b[x], fully VMEM-resident.
+
+    a: (w, M, K1), th: (K1, K2), b: (w, K2, N), out: (M, N).
+    The x-loop is unrolled at trace time (w is small: the MPO bond),
+    each step two MXU dots; the accumulator lives in registers/VMEM.
+    """
+    w = a_ref.shape[0]
+    th = th_ref[:]
+    acc = jnp.zeros(out_ref.shape, dtype=jnp.float32)
+    for x in range(w):
+        t = jnp.dot(a_ref[x], th, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(
+            t, b_ref[x], preferred_element_type=jnp.float32
+        )
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _vmem_bytes(w, M, K1, K2, N, itemsize):
+    # a + th + b + out + one (M, K2) intermediate
+    return itemsize * (
+        w * M * K1 + K1 * K2 + w * K2 * N + M * N + M * K2
+    )
+
+
+def sandwich_fits_vmem(w, M, K1, K2, N, itemsize=4):
+    return _vmem_bytes(w, M, K1, K2, N, itemsize) <= _VMEM_BUDGET
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sandwich_matvec(a, theta, b, interpret=False):
+    """``sum_x a[x] @ theta @ b[x]`` as one fused Pallas kernel.
+
+    Parameters
+    ----------
+    a : (w, M, K1)
+    theta : (K1, K2)
+    b : (w, K2, N)
+
+    Returns (M, N). Caller is responsible for checking
+    :func:`sandwich_fits_vmem` and dtype suitability.
+    """
+    w, M, K1 = a.shape
+    K2, N = theta.shape[1], b.shape[2]
+    return pl.pallas_call(
+        _sandwich_kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), theta.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * w * (M * K1 * K2 + M * K2 * N),
+            bytes_accessed=_vmem_bytes(
+                w, M, K1, K2, N, theta.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a, theta, b)
+
+
+def sandwich_matvec_reference(a, theta, b):
+    """Pure-XLA evaluation of the same sandwich (used as fallback and
+    in tests): batched matmuls with an explicit x-sum."""
+    return jnp.einsum("xmk,kl,xln->mn", a, theta, b)
+
+
+def use_sandwich_kernel(dtype, w, M, K1, K2, N):
+    """Whether the fused kernel should run for this matvec: pallas on,
+    real TPU backend, MXU dtype, and everything fits in VMEM."""
+    if not pallas_enabled() or not _on_tpu_backend():
+        return False
+    if jnp.dtype(dtype).kind == "c":
+        return False
+    # sub-MXU problems (edge sites, tiny chi) gain nothing and risk
+    # Mosaic sub-tile layouts — leave them on the fused-einsum path
+    if min(M, K1, K2, N) < 128:
+        return False
+    return sandwich_fits_vmem(
+        w, M, K1, K2, N, jnp.dtype(dtype).itemsize
+    )

@@ -165,14 +165,35 @@ def _local_solve_2site(L, W1, W2, R, theta0, ncv, restarts):
     """Restarted-Lanczos ground state of the 2-site effective
     Hamiltonian. Returns (energy, theta)."""
     from ...linalg.lanczos import _lanczos_basis, _tridiag_eigh
+    from ...ops import pallas_kernels as pk
 
-    # fuse environments with the MPO tensors once — loop-invariant
-    # across all Lanczos matvecs (XLA hoists them out of the fori_loop)
-    LW1 = _fuse_lw(L, W1)
-    W2R = _fuse_wr(W2, R)
+    cl, w, d = L.shape[0], W1.shape[1], W1.shape[2]
+    cr = R.shape[0]
+    M = K1 = cl * d
+    K2 = N = d * cr
+    if pk.use_sandwich_kernel(theta0.dtype, w, M, K1, K2, N):
+        # fused-sandwich path: sum_x A[x] @ theta @ B[x] in one Pallas
+        # kernel — no HBM intermediate, one launch per Lanczos step
+        A = jnp.reshape(
+            jnp.einsum("awk,wxup->xaukp", L, W1), (w, M, K1)
+        )
+        B = jnp.reshape(
+            jnp.einsum("xyvq,byr->xqrvb", W2, R), (w, K2, N)
+        )
 
-    def matvec(th):
-        return _heff_matvec_2site(LW1, W2R, th)
+        def matvec(th):
+            out = pk.sandwich_matvec(A, jnp.reshape(th, (K1, K2)), B)
+            return jnp.reshape(out, theta0.shape)
+
+    else:
+        # fuse environments with the MPO tensors once — loop-invariant
+        # across all Lanczos matvecs (XLA hoists them out of the
+        # fori_loop)
+        LW1 = _fuse_lw(L, W1)
+        W2R = _fuse_wr(W2, R)
+
+        def matvec(th):
+            return _heff_matvec_2site(LW1, W2R, th)
 
     v = theta0 / jnp.linalg.norm(jnp.reshape(theta0, (-1,)))
     lam = None
@@ -190,11 +211,27 @@ def _local_solve_2site(L, W1, W2, R, theta0, ncv, restarts):
 @functools.partial(jax.jit, static_argnames=("ncv", "restarts"))
 def _local_solve_1site(L, W, R, theta0, ncv, restarts):
     from ...linalg.lanczos import _lanczos_basis, _tridiag_eigh
+    from ...ops import pallas_kernels as pk
 
-    LW = _fuse_lw(L, W)
+    cl, w, d = L.shape[0], W.shape[1], W.shape[2]
+    cr = R.shape[0]
+    M = K1 = cl * d
+    K2 = N = cr
+    if pk.use_sandwich_kernel(theta0.dtype, w, M, K1, K2, N):
+        A = jnp.reshape(
+            jnp.einsum("awk,wxup->xaukp", L, W), (w, M, K1)
+        )
+        B = jnp.transpose(R, (1, 2, 0))  # (b,x,r) -> (x,r,b)
 
-    def matvec(th):
-        return _heff_matvec_1site(LW, R, th)
+        def matvec(th):
+            out = pk.sandwich_matvec(A, jnp.reshape(th, (K1, K2)), B)
+            return jnp.reshape(out, theta0.shape)
+
+    else:
+        LW = _fuse_lw(L, W)
+
+        def matvec(th):
+            return _heff_matvec_1site(LW, R, th)
 
     v = theta0 / jnp.linalg.norm(jnp.reshape(theta0, (-1,)))
     lam = None
