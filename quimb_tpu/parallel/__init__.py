@@ -20,6 +20,11 @@ sliced contraction     ``contract_sliced`` (slices via shard_map)
 ====================  =============================================
 """
 
+from .pools import (
+    can_use_mpi_pool,
+    get_mpi_pool,
+    get_thread_pool,
+)
 from .mesh import (
     ShardedSparseHam,
     approx_spectral_sharded,
@@ -42,4 +47,7 @@ __all__ = [
     "eigh_lanczos_sharded",
     "expm_multiply_sharded",
     "get_mesh",
+    "can_use_mpi_pool",
+    "get_mpi_pool",
+    "get_thread_pool",
 ]

@@ -131,7 +131,7 @@ from .fitting import (
     tensor_network_fit_als,
     tensor_network_fit_autodiff,
 )
-from .optimize import TNOptimizer, Vectorizer
+from .optimize import MultiLossHandler, TNOptimizer, Vectorizer
 from .interface import pack, unpack
 from .geometry import (
     edges_1d_chain,
@@ -155,7 +155,7 @@ from . import belief_propagation  # noqa: F401
 
 __all__ += [
     "tensor_network_distance", "tensor_network_fit_als",
-    "tensor_network_fit_autodiff", "TNOptimizer", "Vectorizer",
+    "tensor_network_fit_autodiff", "MultiLossHandler", "TNOptimizer", "Vectorizer",
     "pack", "unpack",
     "edges_1d_chain", "edges_2d_hexagonal", "edges_2d_kagome",
     "edges_2d_square", "edges_2d_triangular",

@@ -139,6 +139,49 @@ _OPTAX_METHODS = {
 }
 
 
+class MultiLossHandler:
+    """Evaluate a sequence of loss terms and sum them (reference
+    ``MultiLossHandler`` optimize.py:707).
+
+    On TPU the terms are traced into a *single* jitted graph when used
+    through :class:`TNOptimizer` — XLA runs independent terms
+    concurrently on-device, which supersedes the reference's
+    thread-pool fan-out. ``executor`` is still honored for direct
+    (eager) calls, overlapping host-side work across terms.
+    """
+
+    def __init__(self, loss_fns, executor=None, **loss_kwargs):
+        self.loss_fns = tuple(loss_fns)
+        self.executor = executor
+        self.loss_kwargs = loss_kwargs
+
+    def __call__(self, tn, **kwargs):
+        opts = {**self.loss_kwargs, **kwargs}
+        from jax.core import Tracer
+
+        # fan out on the host only when the inputs are concrete —
+        # under jit the terms are part of one traced graph and XLA
+        # already runs independent subgraphs concurrently
+        leaves = jax.tree_util.tree_leaves(
+            tn, is_leaf=lambda x: isinstance(x, Tracer)
+        )
+        eager = self.executor is not None and not any(
+            isinstance(v, Tracer) for v in leaves
+        )
+        if eager:
+            futures = [
+                self.executor.submit(fn, tn, **opts)
+                for fn in self.loss_fns
+            ]
+            vals = [f.result() for f in futures]
+        else:
+            vals = [fn(tn, **opts) for fn in self.loss_fns]
+        tot = vals[0]
+        for v in vals[1:]:
+            tot = tot + v
+        return tot
+
+
 class TNOptimizer:
     """Optimize a TN (or pytree of TNs) with respect to a loss
     (reference ``TNOptimizer`` optimize.py:1171)."""
@@ -179,6 +222,10 @@ class TNOptimizer:
             constant_tags=constant_tags,
         )
 
+        if isinstance(loss_fn, (list, tuple)):
+            # multiple loss terms: traced into one fused graph (the
+            # executor only fans out direct eager evaluations)
+            loss_fn = MultiLossHandler(loss_fn, executor=executor)
         raw_loss = loss_fn
 
         def full_loss(params):

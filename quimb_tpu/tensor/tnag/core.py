@@ -621,8 +621,18 @@ class TensorNetworkGenVector(TensorNetworkGen):
         return self.local_expectation_cluster(G, where, **kwargs)
 
     def compute_local_expectation(self, terms, method="cluster",
-                                  return_all=False, **kwargs):
-        """Sum of local expectations of ``terms`` {where: G}."""
+                                  return_all=False, executor=None,
+                                  **kwargs):
+        """Sum of local expectations of ``terms`` {where: G}.
+
+        With ``executor`` given (any ``concurrent.futures``-style
+        executor, e.g. ``quimb_tpu.parallel.get_thread_pool()``) the
+        per-term evaluations are submitted as independent futures —
+        the reference's parallel local-expectation fan-out
+        (tnag/core.py:4219-4256). Each term's contraction still runs
+        on-device; the executor overlaps the host-side network
+        selection/path work across terms.
+        """
         tn = self
         if method in (
             "cluster", "gloop-expand", "sloop-expand"
@@ -633,11 +643,21 @@ class TensorNetworkGenVector(TensorNetworkGen):
             gauges = {}
             tn = self.gauge_all_simple(gauges=gauges)
             kwargs["gauges"] = gauges
-        results = {}
-        for where, G in terms.items():
-            results[where] = tn.local_expectation(
-                G, where, method=method, **kwargs
-            )
+        if executor is not None:
+            futures = {
+                where: executor.submit(
+                    tn.local_expectation, G, where, method=method,
+                    **kwargs,
+                )
+                for where, G in terms.items()
+            }
+            results = {w: f.result() for w, f in futures.items()}
+        else:
+            results = {}
+            for where, G in terms.items():
+                results[where] = tn.local_expectation(
+                    G, where, method=method, **kwargs
+                )
         if return_all:
             return results
         tot = sum(complex(v) for v in results.values())
