@@ -206,3 +206,66 @@ class TestSchematic:
 
         assert hash_to_color("x") == hash_to_color("x")
         assert hash_to_color("x") != hash_to_color("y")
+
+    def test_extended_primitives_add_artists(self):
+        from quimb_tpu.schematic import Drawing
+
+        d = Drawing()
+        d.wedge((0, 0), 0, 120)
+        d.regular_polygon((1, 0), n=6)
+        d.star((2, 0))
+        d.cross((3, 0))
+        d.zigzag((0, 1), (2, 1))
+        d.arrowhead((0, 2), (1, 2))
+        d.bezier((0, 3), (0.4, 3.6), (0.8, 2.4), (1.2, 3))
+        d.cup((2, 3), (3, 3), depth=0.4)
+        d.patch([(0, 4), (1, 4), (0.5, 4.8)])
+        d.patch_around_circles((3, 4), 0.3, (4.5, 4), 0.4)
+        d.text_between((0, 5), (2, 5.5), "bond")
+        d.text_toward((0, 6), (2, 6), "near-a", frac=0.2)
+        d.label_fig(0.02, 0.98, "fig-label")
+        shift = d.translate(dx=1, dy=2, dz=3)
+        assert shift((0, 0)) == (1, 2)
+        assert shift((0, 0, 0)) == (1, 2, 3)
+        assert len(d.ax.patches) >= 6
+        assert len(d.ax.texts) >= 2
+        plt.close(d.fig)
+
+    def test_color_utils(self):
+        from quimb_tpu import schematic as sch
+
+        cols = sch.auto_colors(7)
+        assert len(cols) == 7
+        assert len(set(cols)) == 7
+        dk = sch.darken_color((0.6, 0.6, 0.9))
+        assert all(c2 < c1 for c1, c2 in zip((0.6, 0.6, 0.9), dk))
+        av = sch.average_color([(1, 0, 0), (0, 0, 1)])
+        assert av[0] == pytest.approx(av[2])
+        jit = sch.jitter_color((0.5, 0.5, 0.5), factor=0.01)
+        assert all(abs(a - b) < 0.2 for a, b in zip(jit, (0.5, 0.5, 0.5)))
+        c = sch.get_color(0.5, vmin=0.0, vmax=1.0)
+        assert len(c) == 4
+        # saturation modulation keeps alpha unless overridden
+        ms = sch.mod_sat((0.2, 0.4, 0.9, 0.7), mod=0.5)
+        assert ms[3] == pytest.approx(0.7)
+
+    def test_coloring_seed_changes_hashes(self):
+        from quimb_tpu import schematic as sch
+
+        sch.set_coloring_seed(0)
+        c0 = sch.hash_to_color("tag")
+        sch.set_coloring_seed(1)
+        c1 = sch.hash_to_color("tag")
+        sch.set_coloring_seed(0)
+        c2 = sch.hash_to_color("tag")
+        assert c0 != c1 and c0 == c2
+
+    def test_projections_finite(self):
+        from quimb_tpu import schematic as sch
+
+        x, y = sch.orthographic_project(1.0, 2.0, 3.0)
+        assert np.isfinite(x) and np.isfinite(y)
+        z1 = sch.coo_to_zorder(0, 0, 0)
+        z2 = sch.coo_to_zorder(1, 1, 0)
+        # receding along both axes moves away from the viewer
+        assert z2 < z1
