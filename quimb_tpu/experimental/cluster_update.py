@@ -22,13 +22,16 @@ __all__ = ["fit_bondenv_projectors", "ClusterUpdateGen"]
 
 def fit_bondenv_projectors(
     E, max_bond, cutoff=0.0, max_iterations=60, tol=1e-10,
-    enforce_pos=True, pos_smudge=1e-10,
+    enforce_pos=True, pos_smudge=1e-10, Pl0=None, Pr0=None,
 ):
     """Fit ``Pl (D, m)``, ``Pr (m, D)`` minimizing the environment-
     weighted distance ``(x - I)^H E (x - I)`` with ``x = Pl @ Pr``.
 
     ``E`` has axes (ket-left, ket-right, bra-left, bra-right).
     Returns ``(Pl, s, Pr)`` with ``sqrt(s)`` absorbed both ways.
+    ``Pl0``/``Pr0`` seed the alternation (e.g. with gram-based oblique
+    projectors) — the ALS objective has local optima and a good seed
+    matters.
     """
     D = E.shape[0]
     m = min(max_bond, D)
@@ -42,14 +45,17 @@ def fit_bondenv_projectors(
         Em = (V * w) @ jnp.conj(V.T)
     E = jnp.reshape(Em, (D, D, D, D))
 
-    # init from the bra-traced environment
-    M = jnp.einsum("abcc->ab", E)
-    U, s0, VH = decomp.svd_truncated(
-        M, max_bond=m, cutoff=0.0, absorb=None
-    )
-    sq = jnp.sqrt(jnp.clip(s0, 1e-12, None))
-    Pl = U * sq
-    Pr = sq[:, None] * VH
+    if Pl0 is not None and Pr0 is not None and Pl0.shape[1] == m:
+        Pl, Pr = Pl0, Pr0
+    else:
+        # init from the bra-traced environment
+        M = jnp.einsum("abcc->ab", E)
+        U, s0, VH = decomp.svd_truncated(
+            M, max_bond=m, cutoff=0.0, absorb=None
+        )
+        sq = jnp.sqrt(jnp.clip(s0, 1e-12, None))
+        Pl = U * sq
+        Pr = sq[:, None] * VH
 
     x0 = jnp.eye(D, dtype=E.dtype)
     eyem = jnp.eye(m, dtype=E.dtype)

@@ -1437,9 +1437,11 @@ class TensorNetwork:
 
     def __getitem__(self, tags):
         """Get the single tensor, or network of tensors, matching
-        ``tags``."""
+        ``tags``. Structured networks (MPS/PEPS/...) also accept
+        integer / coordinate site keys via ``maybe_convert_coo``."""
         if isinstance(tags, slice):
             return self.select_any(self.maybe_convert_coo(tags))
+        tags = self.maybe_convert_coo(tags)
         tensors = self.select_tensors(tags, "all")
         if not tensors:
             raise KeyError(f"no tensors matching {tags!r}")
@@ -1448,7 +1450,9 @@ class TensorNetwork:
         return TensorNetwork(tensors, virtual=True, check_collisions=False)
 
     def __setitem__(self, tags, tensor):
-        tids = self._get_tids_from_tags(tags, "all")
+        tids = self._get_tids_from_tags(
+            self.maybe_convert_coo(tags), "all"
+        )
         if len(tids) != 1:
             raise KeyError(
                 f"'TensorNetwork.__setitem__' is meant for a single "
@@ -1825,15 +1829,264 @@ class TensorNetwork:
         (tid2,) = self._get_tids_from_tags(tags2, "all")
         self._canonize_between_tids(tid1, tid2, **opts)
 
-    def _compress_between_tids(self, tid1, tid2, **opts):
-        tensor_compress_bond(
-            self.tensor_map[tid1], self.tensor_map[tid2], **opts
+    def _compress_between_tids(self, tid1, tid2, mode="basic",
+                               canonize_distance=None,
+                               canonize_after_distance=None,
+                               callback=None, **opts):
+        """Compress the bond between two tensors with an optional
+        environment-aware ``mode`` (reference
+        ``_compress_between_tids`` tensor_core.py:6550):
+
+        - ``'basic'``: plain reduced-SVD of the pair.
+        - ``'virtual-tree'``: tree-gauge reduced factors are gathered
+          *virtually* from a radius-``r`` ball and only shape the bond
+          projectors — neighboring tensors are never modified.
+        - ``'full-bond'``: the dense bond environment of the rest of
+          the network weights an ALS projector fit.
+        - a callable ``mode(tn, tid1, tid2, **opts)``.
+        """
+        if canonize_distance:
+            self._canonize_around_tids(
+                (tid1, tid2), max_distance=canonize_distance,
+            )
+        if mode == "basic":
+            tensor_compress_bond(
+                self.tensor_map[tid1], self.tensor_map[tid2], **opts
+            )
+        elif mode == "virtual-tree":
+            self._compress_between_virtual_tree_tids(
+                tid1, tid2, **opts
+            )
+        elif mode == "full-bond":
+            self._compress_between_full_bond_tids(tid1, tid2, **opts)
+        elif callable(mode):
+            mode(self, tid1, tid2, **opts)
+        else:
+            raise ValueError(f"unknown compress mode {mode!r}")
+        if canonize_after_distance:
+            self._canonize_around_tids(
+                (tid1, tid2), max_distance=canonize_after_distance,
+            )
+        if callback is not None:
+            callback(self, (tid1, tid2))
+
+    def _canonize_around_tids(self, tids, max_distance=None, **opts):
+        """Tree-canonize bonds pointing toward ``tids``, optionally
+        only within ``max_distance``."""
+        from .networking import get_tree_span
+
+        span = get_tree_span(self, tids=list(tids))
+        if max_distance is not None:
+            span = [e for e in span if e[2] <= max_distance]
+        for tid_out, tid_in, _ in span:
+            if tid_out in self.tensor_map and tid_in in self.tensor_map:
+                t1 = self.tensor_map[tid_out]
+                t2 = self.tensor_map[tid_in]
+                if bonds(t1, t2):
+                    tensor_canonize_bond(t1, t2, absorb="right")
+
+    def _compress_between_virtual_tree_tids(
+        self, tid1, tid2, max_bond=None, cutoff=1e-10, r=3,
+        absorb="both", include=None, exclude=None, **opts,
+    ):
+        """Virtual tree-gauge bond compression (reference
+        ``_compress_between_virtual_tree_tids`` + experimental
+        ``tn_virtual_tree_gauge``): QR reduced factors flow inward
+        along a radius-``r`` spanning tree into *copies* of the bond
+        pair; oblique projectors computed from the gauged pair are
+        inserted on the original bond — the environment informs the
+        truncation without any neighbor being touched."""
+        from .networking import get_tree_span
+
+        ta = self.tensor_map[tid1]
+        tb = self.tensor_map[tid2]
+        created, bix, bsize = tensor_make_single_bond(ta, tb)
+        if created or bsize == 1:
+            return
+
+        # work in a fused-multibond copy so every neighbor pair shares
+        # exactly one index
+        tn_calc = self.copy()
+        tn_calc.fuse_multibonds_()
+        span = [
+            e for e in get_tree_span(tn_calc, tids=[tid1, tid2])
+            if e[2] <= r
+            and (include is None or e[0] in include)
+            and (exclude is None or e[0] not in exclude)
+        ]
+
+        def apply_r(t, ix, R):
+            """Contract matrix ``R (k, b)`` into index ``ix`` of
+            tensor ``t`` (index size b -> k), in place on a copy."""
+            ax = t.inds.index(ix)
+            data = jnp.tensordot(t.data, R, axes=[[ax], [1]])
+            data = jnp.moveaxis(data, -1, ax)
+            return Tensor(data, inds=t.inds, tags=t.tags)
+
+        # reduced factors flowing inward, leaves first
+        Rs = {}
+        for (tid_out, tid_in, _) in sorted(span, key=lambda e: -e[2]):
+            t = tn_calc.tensor_map[tid_out]
+            for (o2, i2, _) in span:
+                if i2 == tid_out and (o2, i2) in Rs:
+                    gix, Rmat = Rs[o2, i2]
+                    if gix in t.inds:
+                        t = apply_r(t, gix, Rmat)
+            tin = tn_calc.tensor_map[tid_in]
+            sh = [ix for ix in t.inds if ix in tin.inds]
+            if len(sh) != 1:
+                continue
+            (ix,) = sh
+            others = [i for i in t.inds if i != ix]
+            M = jnp.reshape(
+                t.transpose(*others, ix).data,
+                (-1, t.ind_size(ix)),
+            )
+            _, _, R = decomp.array_split(M, method="qr", cutoff=-1.0)
+            Rs[tid_out, tid_in] = (ix, R)
+
+        # gauge copies of the pair with the inward factors
+        ta_g = tn_calc.tensor_map[tid1]
+        tb_g = tn_calc.tensor_map[tid2]
+        for (o2, i2, _) in span:
+            if (o2, i2) in Rs and i2 in (tid1, tid2):
+                gix, Rmat = Rs[o2, i2]
+                tgt = ta_g if i2 == tid1 else tb_g
+                if gix in tgt.inds:
+                    if i2 == tid1:
+                        ta_g = apply_r(tgt, gix, Rmat)
+                    else:
+                        tb_g = apply_r(tgt, gix, Rmat)
+
+        # reduced factors over the pair bond from the gauged copies
+        b = ta_g.ind_size(bix)
+        oa = [i for i in ta_g.inds if i != bix]
+        arr_a = jnp.reshape(
+            ta_g.transpose(*oa, bix).data, (-1, b)
+        )
+        XXa = decomp.dag(arr_a) @ arr_a
+        Rl = decomp.squared_op_to_reduced_factor(XXa, right=True)
+        ob = [i for i in tb_g.inds if i != bix]
+        arr_b = jnp.reshape(
+            tb_g.transpose(bix, *ob).data, (b, -1)
+        )
+        XXb = arr_b @ decomp.dag(arr_b)
+        Rr = decomp.squared_op_to_reduced_factor(XXb, right=False)
+
+        Pl, Pr = decomp.compute_oblique_projectors(
+            Rl, Rr, max_bond=max_bond, cutoff=cutoff,
         )
 
+        # insert on the ORIGINAL pair only
+        axa = ta.inds.index(bix)
+        da = jnp.tensordot(ta.data, Pl, axes=[[axa], [0]])
+        ta.modify(data=jnp.moveaxis(da, -1, axa))
+        axb = tb.inds.index(bix)
+        db = jnp.tensordot(tb.data, Pr, axes=[[axb], [1]])
+        tb.modify(data=jnp.moveaxis(db, -1, axb))
+
+    def _compress_between_full_bond_tids(
+        self, tid1, tid2, max_bond=None, cutoff=0.0, optimize="auto",
+        method="eigh", renorm=False, fit=True, max_iterations=60,
+        tol=1e-10, **opts,
+    ):
+        """Full-bond compression: the bond's projectors are computed
+        from the dense environment of the *entire* rest of the network
+        (reference ``_compress_between_full_bond_tids``
+        tensor_core.py:6451).
+
+        Closed networks (no outer indices) use the single-layer loop
+        operator + ``similarity_compress`` exactly as the reference;
+        open state networks use the two-layer norm environment's left/
+        right grams with oblique projectors (optimal on trees), then
+        (``fit=True``, default) an env-weighted ALS refinement — on
+        loopy networks the environment can compensate most of the
+        truncation, which the plain gram projectors cannot see."""
+        ta = self.tensor_map[tid1]
+        tb = self.tensor_map[tid2]
+        created, bix, bsize = tensor_make_single_bond(ta, tb)
+        if created or bsize == 1:
+            return
+        D = bsize
+        if max_bond is None:
+            max_bond = D
+
+        outer = set(self.outer_inds())
+        if not outer:
+            # closed TN: loop transfer operator on the bond
+            tn_env = self.copy()
+            kl, kr = rand_uuid(), rand_uuid()
+            tn_env.tensor_map[tid1].reindex_({bix: kl})
+            tn_env.tensor_map[tid2].reindex_({bix: kr})
+            E = tn_env.to_dense((kl,), (kr,), optimize=optimize)
+            Cl, Cr = decomp.similarity_compress(
+                E, max_bond, method=method, renorm=renorm,
+            )
+            # inserted operator must be (Cl @ Cr) acting on the loop
+            # operator's bond orientation (reference gates Cr into ta
+            # and Cl.T into tb)
+            Pl, Pr = jnp.transpose(Cr), jnp.transpose(Cl)
+        else:
+            # open TN: two-layer norm environment with the bond cut
+            ket = self.copy()
+            kl, kr = rand_uuid(), rand_uuid()
+            ket.tensor_map[tid1].reindex_({bix: kl})
+            ket.tensor_map[tid2].reindex_({bix: kr})
+            bra = ket.conj()
+            bmap = {
+                ix: rand_uuid()
+                for ix in ket.ind_map
+                if ix not in (kl, kr) and len(ket.ind_map[ix]) > 1
+            }
+            bra.reindex_(bmap)
+            bl, br = rand_uuid(), rand_uuid()
+            bra.tensor_map[tid1].reindex_({kl: bl})
+            bra.tensor_map[tid2].reindex_({kr: br})
+            E = (ket & bra).to_dense(
+                (kl,), (kr,), (bl,), (br,), optimize=optimize,
+            )
+            E4 = jnp.reshape(E, (D, D, D, D))
+
+            # left/right bond grams -> reduced factors -> oblique
+            # projectors (the density-matrix truncation; exact when
+            # the environment factorizes, i.e. tree networks)
+            Gl = jnp.einsum("arbr->ab", E4)
+            Gr = jnp.einsum("lalb->ab", E4)
+            Gl = (Gl + decomp.dag(Gl)) / 2
+            Gr = (Gr + decomp.dag(Gr)) / 2
+            Rl = decomp.squared_op_to_reduced_factor(Gl, right=True)
+            Rr = decomp.squared_op_to_reduced_factor(Gr, right=False)
+            Pl, Pr = decomp.compute_oblique_projectors(
+                Rl, Rr, max_bond=max_bond, cutoff=cutoff,
+            )
+            if fit:
+                from ..experimental.cluster_update import (
+                    fit_bondenv_projectors,
+                )
+
+                Pl, _, Pr = fit_bondenv_projectors(
+                    E4, max_bond=max_bond, cutoff=cutoff,
+                    max_iterations=max_iterations, tol=tol,
+                    Pl0=Pl, Pr0=Pr,
+                )
+
+        axa = ta.inds.index(bix)
+        da = jnp.tensordot(ta.data, Pl, axes=[[axa], [0]])
+        ta.modify(data=jnp.moveaxis(da, -1, axa))
+        axb = tb.inds.index(bix)
+        db = jnp.tensordot(tb.data, Pr, axes=[[axb], [1]])
+        tb.modify(data=jnp.moveaxis(db, -1, axb))
+
     def compress_between(self, tags1, tags2, **opts):
-        """Compress the bond between two tagged tensors."""
-        (tid1,) = self._get_tids_from_tags(tags1, "all")
-        (tid2,) = self._get_tids_from_tags(tags2, "all")
+        """Compress the bond between two tagged tensors; see
+        ``_compress_between_tids`` for the env-aware ``mode``
+        options."""
+        (tid1,) = self._get_tids_from_tags(
+            self.maybe_convert_coo(tags1), "all"
+        )
+        (tid2,) = self._get_tids_from_tags(
+            self.maybe_convert_coo(tags2), "all"
+        )
         self._compress_between_tids(tid1, tid2, **opts)
 
     def compress_all(self, inplace=False, **opts):
