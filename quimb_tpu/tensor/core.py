@@ -1904,16 +1904,26 @@ class TensorNetwork:
         if created or bsize == 1:
             return
 
-        # work in a fused-multibond copy so every neighbor pair shares
-        # exactly one index
-        tn_calc = self.copy()
-        tn_calc.fuse_multibonds_()
+        # spanning tree limited to the radius-r ball around the pair
         span = [
-            e for e in get_tree_span(tn_calc, tids=[tid1, tid2])
+            e for e in get_tree_span(
+                self, tids=[tid1, tid2], max_distance=r,
+            )
             if e[2] <= r
             and (include is None or e[0] in include)
             and (exclude is None or e[0] not in exclude)
         ]
+        # work on fused-multibond COPIES of just the ball (the rest of
+        # the network is never touched or copied)
+        ball = {tid1, tid2} | {e[0] for e in span} | {
+            e[1] for e in span
+        }
+        tn_calc = TensorNetwork([], virtual=True)
+        for tid in ball:
+            tn_calc.add_tensor(
+                self.tensor_map[tid].copy(), tid=tid, virtual=True,
+            )
+        tn_calc.fuse_multibonds_()
 
         def apply_r(t, ix, R):
             """Contract matrix ``R (k, b)`` into index ``ix`` of
@@ -2653,6 +2663,7 @@ def _pair_output_inds(tn, tid1, tid2):
 
 def tensor_network_contract_compressed(
     tn, max_bond, cutoff=1e-10, output_inds=None, canonize=True,
+    compress_mode="auto", tree_gauge_distance=None,
     final_contract=True, inplace=False, progbar=False, **kwargs,
 ):
     """Contract a TN while keeping every intermediate bond at most
@@ -2671,6 +2682,20 @@ def tensor_network_contract_compressed(
     tn = tn if inplace else tn.copy()
     if output_inds is None:
         output_inds = tn.outer_inds()
+
+    # choose the bond-compression mode (reference
+    # ``choose_local_compress_gauge_settings`` tensor_core.py:826):
+    # with a tree-gauge radius the env-aware virtual-tree projectors
+    # replace plain pair-local compression
+    if tree_gauge_distance is None:
+        tree_gauge_distance = 3 if canonize else 0
+    if compress_mode == "auto":
+        compress_mode = (
+            "virtual-tree" if tree_gauge_distance > 0 else "basic"
+        )
+    compress_kwargs = {}
+    if compress_mode == "virtual-tree":
+        compress_kwargs["r"] = tree_gauge_distance
 
     for comp in subgraphs(tn):
         comp_tids = set(comp)
@@ -2692,16 +2717,18 @@ def tensor_network_contract_compressed(
             )
             t2.modify(data=new.data, inds=new.inds,
                       tags=t2.tags | t1.tags)
-            # compress any fat bonds against neighbours
+            # compress any fat bonds against neighbours, with the
+            # chosen (possibly env-aware) mode
             for ix in tuple(t2.inds):
                 holders = tuple(tn.ind_map.get(ix, ()))
                 if len(holders) == 2 and \
                         t2.ind_size(ix) > max_bond:
                     other = next(h for h in holders if h != tid_in)
                     try:
-                        tensor_compress_bond(
-                            tn.tensor_map[other], t2,
+                        tn._compress_between_tids(
+                            other, tid_in, mode=compress_mode,
                             max_bond=max_bond, cutoff=cutoff,
+                            **compress_kwargs,
                         )
                     except Exception:
                         pass

@@ -25,7 +25,8 @@ def tn_adjacency(tn):
     return adj
 
 
-def get_tree_span(tn, tids=None, which="any", inwards=True):
+def get_tree_span(tn, tids=None, which="any", inwards=True,
+                  max_distance=None):
     """A spanning tree of the tid graph as a list of (tid_outer,
     tid_inner, distance) merges, ordered leaves-first (reference
     ``get_tree_span`` networking.py:187) — the order used for
@@ -40,6 +41,10 @@ def get_tree_span(tn, tids=None, which="any", inwards=True):
     frontier = list(tids)
     dist = {t: 0 for t in tids}
     while True:
+        if max_distance is not None and frontier and all(
+            dist[t] >= max_distance for t in frontier
+        ):
+            break
         candidates = []
         for t in frontier:
             for o in adj[t]:
