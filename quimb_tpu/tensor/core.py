@@ -1859,6 +1859,8 @@ class TensorNetwork:
             )
         elif mode == "full-bond":
             self._compress_between_full_bond_tids(tid1, tid2, **opts)
+        elif mode == "local-fit":
+            self._compress_between_local_fit(tid1, tid2, **opts)
         elif callable(mode):
             mode(self, tid1, tid2, **opts)
         else:
@@ -2086,6 +2088,41 @@ class TensorNetwork:
         axb = tb.inds.index(bix)
         db = jnp.tensordot(tb.data, Pr, axes=[[axb], [1]])
         tb.modify(data=jnp.moveaxis(db, -1, axb))
+
+    def _compress_between_local_fit(
+        self, tid1, tid2, max_bond=None, cutoff=0.0,
+        select_local_distance=1, method="als", steps=20, tol=1e-9,
+        **fit_opts,
+    ):
+        """Compress the bond, then ALS/autodiff-fit the *local patch*
+        around it back toward the uncompressed patch (reference
+        ``_compress_between_local_fit`` tensor_core.py:6508)."""
+        from .networking import get_local_patch
+
+        patch = list(get_local_patch(
+            self, [tid1, tid2], max_distance=select_local_distance,
+        ))
+        loc = TensorNetwork([], virtual=True)
+        for t in patch:
+            loc.add_tensor(
+                self.tensor_map[t].copy(), tid=t, virtual=True,
+            )
+        target = loc.copy()
+        loc._compress_between_tids(
+            tid1, tid2, max_bond=max_bond, cutoff=cutoff,
+        )
+        if method == "autodiff":
+            from .fitting import tensor_network_fit_autodiff
+
+            tensor_network_fit_autodiff(
+                loc, target, steps=steps, tol=tol, inplace=True,
+                **fit_opts,
+            )
+        else:
+            loc.fit_(target, steps=steps, tol=tol, **fit_opts)
+        for t in patch:
+            tl = loc.tensor_map[t]
+            self.tensor_map[t].modify(data=tl.data, inds=tl.inds)
 
     def compress_between(self, tags1, tags2, **opts):
         """Compress the bond between two tagged tensors; see
@@ -4208,7 +4245,9 @@ def _tn_fit_(self, tn_target, **kwargs):
     for t_self, t_fit in zip(
         self.tensor_map.values(), fitted.tensor_map.values()
     ):
-        t_self.modify(data=t_fit.data)
+        # the fit may have permuted axes — align to this tensor's
+        # index order before writing the data back
+        t_self.modify(data=t_fit.transpose(*t_self.inds).data)
     return self
 
 

@@ -151,6 +151,25 @@ class TestFullBond:
         assert f > f_basic
 
 
+class TestLocalFit:
+    def test_beats_plain_basic(self, noncanonical_mps):
+        mb = 4
+        basic = noncanonical_mps.copy()
+        basic.compress_between("I3", "I4", max_bond=mb, cutoff=0.0)
+        f_basic = overlap_fidelity(noncanonical_mps, basic)
+
+        lf = noncanonical_mps.copy()
+        lf.compress_between("I3", "I4", max_bond=mb, cutoff=0.0,
+                            mode="local-fit",
+                            select_local_distance=2, steps=30)
+        f_lf = overlap_fidelity(noncanonical_mps, lf)
+        # refitting the local patch recovers fidelity lost to the
+        # ungauged pair-local truncation
+        assert f_lf > f_basic
+        (ix,) = qtn.bonds(lf[3], lf[4])
+        assert lf.ind_size(ix) == mb
+
+
 class TestModeDispatch:
     def test_callable_mode(self, noncanonical_mps):
         called = []
