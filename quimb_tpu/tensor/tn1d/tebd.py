@@ -496,55 +496,56 @@ def OTOC_local(psi0, H, H_back, ts, i, A, j=None, B=None,
 # ---------------------------------------------------------------------------
 
 
-def _safe_inv(lam, tol=1e-12):
-    return jnp.where(lam > tol, 1.0 / jnp.where(lam > tol, lam, 1.0),
-                     0.0)
-
-
 @functools.partial(jax.jit, static_argnames=("max_bond",))
 def _fused_parity_update(Gs, ls, Us, idx, max_bond, cutoff):
     """Gather the parity bonds, gate+split them batched, scatter the
     updates back — one compiled program per parity sweep."""
     Us = jnp.stack(Us)
-    G1s = Gs[idx]
-    G2s = Gs[idx + 1]
+    B1s = Gs[idx]
+    B2s = Gs[idx + 1]
     l_l = ls[idx]
-    l_c = ls[idx + 1]
-    l_r = ls[idx + 2]
-    G1n, G2n, lcn, errs = _vidal_gate_split_batch(
-        G1s, G2s, l_l, l_c, l_r, Us, max_bond=max_bond,
-        cutoff=cutoff,
+    B1n, B2n, lcn, errs = _bform_gate_split_batch(
+        B1s, B2s, l_l, Us, max_bond=max_bond, cutoff=cutoff,
     )
-    Gs = Gs.at[idx].set(G1n)
-    Gs = Gs.at[idx + 1].set(G2n)
+    Gs = Gs.at[idx].set(B1n)
+    Gs = Gs.at[idx + 1].set(B2n)
     ls = ls.at[idx + 1].set(lcn)
     return Gs, ls, jnp.sum(errs)
 
 
 @functools.partial(jax.jit, static_argnames=("max_bond",))
-def _vidal_gate_split_batch(G1s, G2s, l_l, l_c, l_r, Us, max_bond,
-                            cutoff):
-    """Apply two-site gates to a batch of disjoint bonds in Vidal
-    (Gamma-lambda) form and re-split with bounded bond.
+def _bform_gate_split_batch(B1s, B2s, l_l, Us, max_bond, cutoff):
+    """Apply two-site gates to a batch of disjoint bonds held in
+    right-canonical B-form (``B_i = Gamma_i . lambda_{i+1}``) and
+    re-split with bounded bond — Hastings' inverse-free update: the
+    optimal environment-weighted truncation comes from the SVD of
+    ``theta = lambda_left . Phi`` (``Phi`` = the gated pair), but the
+    new site tensors are recovered *without ever inverting a Schmidt
+    weight*::
 
-    G1s/G2s: (m, chi, d, chi); l_l/l_c/l_r: (m, chi); Us: (m, d*d, d*d).
-    Returns updated (G1s, G2s, l_c, errs)."""
+        B2' = VH                  (exactly right-canonical)
+        B1' = Phi @ VH^dagger     (right-canonical in exact arithmetic)
+
+    This is why the fused path matches the reference's
+    orthogonality-center scheme in accumulated truncation error —
+    the earlier Vidal form divided by small lambdas (down to 1e-12),
+    amplifying SVD roundoff ~1e3x per sweep.
+
+    B1s/B2s: (m, chi, d, chi); l_l: (m, chi); Us: (m, d*d, d*d).
+    Returns updated (B1s, B2s, l_c, errs)."""
     from ...ops import decomp
 
-    m, chi, d, _ = G1s.shape
+    m, chi, d, _ = B1s.shape
 
-    def one(G1, G2, ll, lc, lr, U):
-        # theta = ll . G1 . lc . G2 . lr
-        th = G1 * ll[:, None, None]
-        th = th * lc[None, None, :]
-        th = jnp.einsum("lpc,cqr->lpqr", th, G2)
-        th = th * lr[None, None, None, :]
-        # gate
+    def one(B1, B2, ll, U):
+        # Phi = gated pair (no left weight)
+        ph = jnp.einsum("lpc,cqr->lpqr", B1, B2)
         Ur = jnp.reshape(U, (d, d, d, d))
-        th = jnp.einsum("uvpq,lpqr->luvr", Ur, th)
-        # split
+        ph = jnp.einsum("uvpq,lpqr->luvr", Ur, ph)
+        # theta = ll . Phi — the physical wavefunction across the bond
+        th = ph * ll[:, None, None, None]
         mat = jnp.reshape(th, (chi * d, d * chi))
-        Uf, s, VH, rank = decomp.svd_truncated_masked(
+        _, s, VH, rank = decomp.svd_truncated_masked(
             mat, max_bond=max_bond, cutoff=cutoff, cutoff_mode=4,
             absorb=None,
         )
@@ -553,18 +554,26 @@ def _vidal_gate_split_batch(G1s, G2s, l_l, l_c, l_r, Us, max_bond,
         err = jnp.sqrt(jnp.clip(total**2 - nrm**2, 0.0, None)) / \
             jnp.where(total > 0, total, 1.0)
         s_n = s / jnp.where(nrm > 0, nrm, 1.0)
-        G1n = jnp.reshape(Uf, (chi, d, chi)) * \
-            _safe_inv(ll)[:, None, None]
-        G2n = jnp.reshape(VH, (chi, d, chi)) * \
-            _safe_inv(lr)[None, None, :]
-        return G1n, G2n, s_n, err
+        B2n = jnp.reshape(VH, (chi, d, chi))
+        # renormalize by the kept weight so the state stays normalized
+        B1n = jnp.reshape(
+            jnp.reshape(ph, (chi * d, d * chi)) @ decomp.dag(VH),
+            (chi, d, chi),
+        ) / jnp.where(nrm > 0, nrm, 1.0).astype(ph.real.dtype)
+        return B1n, B2n, s_n, err
 
-    return jax.vmap(one)(G1s, G2s, l_l, l_c, l_r, Us)
+    return jax.vmap(one)(B1s, B2s, l_l, Us)
 
 
 def _mps_to_vidal(psi, chi):
-    """Convert an (open) MPS to zero-padded uniform Vidal form:
-    Gammas (L, chi, d, chi) and bond weights ls (L+1, chi).
+    """Convert an (open) MPS to zero-padded uniform right-canonical
+    B-form: site tensors Bs (L, chi, d, chi) with ``B_i = Gamma_i .
+    lambda_{i+1}`` (so ``psi = B_0 B_1 ... B_{L-1}`` directly, no
+    weights in the product) plus the Schmidt weights ls (L+1, chi)
+    for forming environment-correct thetas and entropies. Unlike the
+    Gamma-lambda form, extracting B-form needs **no lambda
+    inversions**: right-canonalized tensors *are* the B tensors, and
+    one left-to-right SVD sweep of the carry reads off the weights.
 
     Host-side setup computation (one numpy SVD sweep) — complex
     device arrays are pulled through the TPU-safe transfer shims."""
@@ -600,7 +609,13 @@ def _mps_to_vidal(psi, chi):
                 a = a[..., None]
         arrays.append(np.asarray(a))
 
-    Gs = np.zeros((L, chi, d, chi), dtype=arrays[0].dtype)
+    # normalize: in right-canonical form the state norm is the norm of
+    # the first tensor
+    nrm0 = np.linalg.norm(arrays[0])
+    if nrm0 > 0:
+        arrays[0] = arrays[0] / nrm0
+
+    Bs = np.zeros((L, chi, d, chi), dtype=arrays[0].dtype)
     # bond weights in the matching *real* precision — pushing f64 to
     # an x64-disabled TPU backend can poison the stream
     rdt = np.zeros(1, dtype=arrays[0].dtype).real.dtype
@@ -608,51 +623,36 @@ def _mps_to_vidal(psi, chi):
     ls[0, 0] = 1.0
     ls[L, 0] = 1.0
 
-    # left-to-right SVD sweep to extract bond weights
-    carry = np.asarray(arrays[0])  # (1, d, r) right-canonical tail
-    lam_prev = np.zeros(chi)
-    lam_prev[0] = 1.0
-    for i in range(L):
+    for i, a in enumerate(arrays):
+        l, _, r = a.shape
+        Bs[i, :l, :, :r] = a
+
+    # left-to-right SVD sweep of the carry to read off the Schmidt
+    # weights (the B tensors themselves are left untouched)
+    carry = arrays[0]  # (1, d, r)
+    for i in range(L - 1):
         l, _, r = carry.shape
         mat = carry.reshape(l * d, r)
-        if i < L - 1:
-            U, s, VH = np.linalg.svd(mat, full_matrices=False)
-            k = min(len(s), chi)
-            U, s, VH = U[:, :k], s[:k], VH[:k, :]
-            A = U.reshape(l, d, k)  # left-canonical
-            # Vidal Gamma_i = lam_{i-1}^{-1} A_i
-            inv = np.where(lam_prev[:l] > 1e-12,
-                           1.0 / np.where(lam_prev[:l] > 1e-12,
-                                          lam_prev[:l], 1.0), 0.0)
-            Gs[i, :l, :, :k] = A * inv[:, None, None]
-            nrm = np.linalg.norm(s)
-            s = s / (nrm if nrm > 0 else 1.0)
-            ls[i + 1, :k] = s
-            lam_prev = np.zeros(chi)
-            lam_prev[:k] = s
-            nxt = np.asarray(arrays[i + 1])
-            carry = np.einsum(
-                "kr,rpc->kpc", (np.diag(s) @ VH) * nrm, nxt
-            )
-        else:
-            inv = np.where(lam_prev[:l] > 1e-12,
-                           1.0 / np.where(lam_prev[:l] > 1e-12,
-                                          lam_prev[:l], 1.0), 0.0)
-            nrm = np.linalg.norm(mat)
-            Gs[i, :l, :, 0] = (carry[:, :, 0] / (nrm if nrm else 1.0)
-                               ) * inv[:, None]
-    return to_device(Gs), to_device(ls)
+        _, s, VH = np.linalg.svd(mat, full_matrices=False)
+        k = min(len(s), chi)
+        s, VH = s[:k], VH[:k, :]
+        snrm = np.linalg.norm(s)
+        ls[i + 1, :k] = s / (snrm if snrm > 0 else 1.0)
+        carry = np.einsum("kr,rpc->kpc", s[:, None] * VH,
+                          arrays[i + 1])
+    return to_device(Bs), to_device(ls)
 
 
 @jax.jit
-def _vidal_to_b_stack(Gs, ls):
-    """Vidal form back to the stacked B-form site arrays."""
-    return Gs * ls[1:, None, None, :].astype(Gs.dtype)
+def _vidal_to_b_stack(Bs, ls):
+    """The stacked site arrays are already B-form — identity kept for
+    the (historical) Vidal-named call sites."""
+    return Bs
 
 
-def _vidal_to_mps_arrays(Gs, ls):
-    """Vidal form back to B-form (right-canonical-ish) site arrays."""
-    return list(_vidal_to_b_stack(Gs, ls))
+def _vidal_to_mps_arrays(Bs, ls):
+    """B-form site arrays as a list."""
+    return list(Bs)
 
 
 # tolerance for considering the target time reached (reference
