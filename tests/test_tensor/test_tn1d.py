@@ -345,3 +345,95 @@ class TestTEBDFused:
                 es.append(float(tebd.pt.entropy(L // 2)))
             ents[fused] = es
         assert np.allclose(ents[True], ents[False], atol=1e-5)
+
+    def test_fused_bform_right_canonical(self):
+        """After fused parity sweeps the internal stack must stay
+        right-canonical: sum_{p,r} B[l,p,r] conj(B[l',p,r]) is the
+        identity on the active left block. The Hastings inverse-free
+        update guarantees this without ever dividing by a Schmidt
+        weight."""
+        L = 10
+        psi0 = qtn.MPS_neel_state(L).astype("complex128")
+        tebd = qtn.TEBD(
+            psi0, qtn.ham_1d_heis(L),
+            split_opts={"max_bond": 16, "cutoff": 1e-12},
+            fused=True, progbar=False,
+        )
+        tebd.update_to(0.6, dt=0.05, order=2, progbar=False)
+        assert tebd._vidal is not None, "fused path not exercised"
+        Bs, ls = tebd._vidal
+        Bs = np.asarray(Bs)
+        for i in range(1, L):
+            B = Bs[i]
+            G = np.einsum("lpr,mpr->lm", B, B.conj())
+            # active left-dims have unit diagonal, padded ones zero
+            d = np.real(np.diag(G)).copy()
+            active = d > 0.5
+            assert active.any()
+            want = np.diag(active.astype(float))
+            # drift is O(accumulated truncation error) for Hastings
+            # updates — observed ~4e-6 here; the failure mode guarded
+            # against (Gamma-lambda inversion blow-up) is O(1e-2+)
+            assert np.max(np.abs(G - want)) < 1e-4
+
+    def test_fused_bform_schmidt_weights_match_dense(self):
+        """The stored bond weights are the true Schmidt coefficients
+        of the evolved state (checked against the dense SVD)."""
+        L = 8
+        psi0 = qtn.MPS_neel_state(L).astype("complex128")
+        tebd = qtn.TEBD(
+            psi0, qtn.ham_1d_heis(L),
+            split_opts={"max_bond": 16, "cutoff": 1e-12},
+            fused=True, progbar=False,
+        )
+        tebd.update_to(0.5, dt=0.05, order=2, progbar=False)
+        Bs, ls = tebd._vidal
+        lam = np.sort(np.asarray(ls)[L // 2])[::-1]
+        v = np.asarray(tebd.pt.to_dense()).reshape(2 ** (L // 2), -1)
+        s = np.linalg.svd(v, compute_uv=False)
+        s = s / np.linalg.norm(s)
+        k = min(len(s), np.count_nonzero(lam > 1e-12))
+        assert np.allclose(lam[:k], s[:k], atol=1e-7)
+
+    def test_fused_norm_preserved_under_truncation(self):
+        """Truncating fused evolution renormalizes: |psi| stays 1."""
+        L = 12
+        psi0 = qtn.MPS_neel_state(L).astype("complex128")
+        tebd = qtn.TEBD(
+            psi0, qtn.ham_1d_heis(L),
+            split_opts={"max_bond": 6, "cutoff": 1e-10},
+            fused=True, progbar=False,
+        )
+        tebd.update_to(1.5, dt=0.05, order=2, progbar=False)
+        assert tebd.err > 1e-8  # truncation really happened
+        nrm = float(abs(tebd.pt.norm()))
+        assert abs(nrm - 1.0) < 1e-8
+
+    def test_fused_strong_truncation_tracks_sequential(self):
+        """At binding max_bond the fused B-form path loses no more
+        fidelity than the sequential orthogonality-center path (the
+        old Gamma-lambda form amplified SVD roundoff ~1e3x/sweep)."""
+        import scipy.linalg as sla
+
+        import quimb_tpu as qu
+
+        L = 10
+        T = 1.2
+        psi0 = qtn.MPS_neel_state(L).astype("complex128")
+        H = qtn.ham_1d_heis(L)
+        Hd = np.asarray(qu.ham_heis(L))
+        v_exact = sla.expm(-1j * T * Hd) @ np.asarray(
+            psi0.to_dense()
+        ).ravel()
+
+        fids = {}
+        for fused in (True, False):
+            tebd = qtn.TEBD(
+                psi0, H, split_opts={"max_bond": 8, "cutoff": 1e-12},
+                fused=fused, progbar=False,
+            )
+            tebd.update_to(T, dt=0.05, order=2, progbar=False)
+            v = np.asarray(tebd.pt.to_dense()).ravel()
+            fids[fused] = abs(np.vdot(v, v_exact)) / np.linalg.norm(v)
+        # both truncate hard; fused must not be meaningfully worse
+        assert fids[True] > fids[False] - 1e-4
