@@ -371,3 +371,41 @@ def contract_tn_mesh(tn, mesh=None, output_inds=(), optimize=None,
         tn, sliced_inds, mesh=mesh, output_inds=output_inds,
         optimize=optimize,
     )
+
+
+def get_mesh_2d(shape=None, axis_names=("dl", "dr"), devices=None):
+    """A 2D device mesh for operator-style shardings (e.g. the two
+    virtual axes of DMRG environments). Defaults to the most square
+    factorization of the device count."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        p = int(math.sqrt(n))
+        while n % p:
+            p -= 1
+        shape = (n // p, p)
+    return Mesh(
+        np.array(devices[: shape[0] * shape[1]]).reshape(shape),
+        axis_names,
+    )
+
+
+def mesh_put(x, mesh, spec):
+    """``jax.device_put`` with a divisibility-safe ``PartitionSpec``:
+    any axis whose size does not divide by its assigned mesh-axis size
+    is replicated instead (XLA requires even shards). This lets the
+    same spec be applied across a sweep whose edge tensors have
+    size-1 virtual axes."""
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    safe = []
+    for dim, name in itertools.zip_longest(
+        x.shape, spec, fillvalue=None
+    ):
+        if dim is None:
+            break
+        if name is not None and dim % sizes.get(name, 1) == 0:
+            safe.append(name)
+        else:
+            safe.append(None)
+    return jax.device_put(x, NamedSharding(mesh, P(*safe)))

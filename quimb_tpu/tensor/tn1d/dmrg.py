@@ -29,6 +29,7 @@ import itertools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from ...ops import decomp
 from ...utils import progbar as Progbar
@@ -654,6 +655,8 @@ class DMRG:
         self.local_energies = []
         self.total_energies = []
         self.fused = True
+        self._mesh = None
+        self._mesh_axes = None
         self._Abulk = None
         self._Wbulk = None
         self._stack_key = None
@@ -688,6 +691,60 @@ class DMRG:
     def energy(self):
         return self.energies[-1] if self.energies else None
 
+    # -- device-mesh sharding --------------------------------------------------
+
+    def shard_onto(self, mesh, axes=None):
+        """Distribute the sweep over a :class:`jax.sharding.Mesh`: the
+        two MPS virtual (chi) axes of every site tensor, environment and
+        bulk stack are sharded over the (first two) named mesh axes;
+        physical and MPO-bond axes are replicated. XLA's SPMD
+        partitioner then turns each einsum of the fused sweeps into
+        local matmuls plus ICI collectives (psum / all-gather) — no
+        explicit communication code, the scaling-book recipe. This is
+        the TPU-native scale-out the reference reaches for SLEPc/MPI
+        row slabs for (slepc_linalg.py:105): here it lifts the chi
+        ceiling above one chip's HBM.
+
+        Axes whose size does not divide the mesh-axis size (the chain
+        edges, small warmup bonds) are transparently replicated.
+        """
+        self._mesh = mesh
+        if axes is None:
+            axes = tuple(mesh.axis_names[:2])
+        if len(axes) == 1:
+            axes = (axes[0], None)
+        self._mesh_axes = axes
+        # invalidate cached stacks so they are re-put with shardings
+        self._stack_key = None
+        self._Wbulk_key = None
+        self._A = [self._put_site(a) for a in self._A]
+        return self
+
+    def _put(self, x, spec):
+        if self._mesh is None:
+            return x
+        from ...parallel.mesh import mesh_put
+
+        return mesh_put(x, self._mesh, spec)
+
+    def _put_site(self, a):
+        """Site tensor (chi_l, d, chi_r) or stacked (n, chi, d, chi)."""
+        if self._mesh is None:
+            return a
+        al, ar = self._mesh_axes
+        if a.ndim == 3:
+            return self._put(a, P(al, None, ar))
+        return self._put(a, P(None, al, None, ar))
+
+    def _put_env(self, e):
+        """Environment (chi, w, chi) or stacked (n, chi, w, chi)."""
+        if self._mesh is None:
+            return e
+        al, ar = self._mesh_axes
+        if e.ndim == 3:
+            return self._put(e, P(al, None, ar))
+        return self._put(e, P(None, al, None, ar))
+
     # -- array-level machinery ------------------------------------------------
 
     def _uniform_bulk_range(self):
@@ -718,10 +775,13 @@ class DMRG:
         key = (a, b, self._A[a].shape)
         if getattr(self, "_stack_key", None) != key or \
                 self._Abulk is None:
-            self._Abulk = jnp.stack(self._A[a:b])
+            self._Abulk = self._put_site(jnp.stack(self._A[a:b]))
             self._stack_key = key
         if getattr(self, "_Wbulk_key", None) != (a, b):
             self._Wbulk = jnp.stack(self._W[a:b])
+            if self._mesh is not None:
+                # replicate the MPO stack across the mesh
+                self._Wbulk = self._put(self._Wbulk, P())
             self._Wbulk_key = (a, b)
         return self._Abulk, self._Wbulk
 
@@ -796,6 +856,7 @@ class DMRG:
                 _, renv_bulk = _bulk_env_left(
                     renv[j + 1], Abulk, Wbulk
                 )
+                renv_bulk = self._put_env(renv_bulk)
                 if not return_bulk_stack:
                     for k in range(a, j + 1):
                         renv[k] = renv_bulk[k - a]
@@ -836,6 +897,7 @@ class DMRG:
                 _, lenv_bulk = _bulk_env_right_stack(
                     lenv[a], Abulk, Wbulk
                 )
+                lenv_bulk = self._put_env(lenv_bulk)
                 if not return_bulk_stack:
                     for k in range(a + 1, b + 1):
                         lenv[k] = lenv_bulk[k - a - 1]
