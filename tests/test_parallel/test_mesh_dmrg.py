@@ -89,3 +89,30 @@ class TestShardedDMRG:
                             canonize=(k == 0))
         e_exact = float(groundenergy(ham_heis(L, sparse=True)))
         assert abs(en - e_exact) < 1e-6
+
+
+class TestShardedTEBD:
+    def test_sharded_fused_tebd_matches_single_device(self):
+        from quimb_tpu.parallel.mesh import get_mesh
+
+        L = 16
+        ents = {}
+        for shard in (False, True):
+            psi0 = qtn.MPS_neel_state(L).astype("complex128")
+            tebd = qtn.TEBD(
+                psi0, qtn.ham_1d_heis(L),
+                split_opts={"max_bond": 16, "cutoff": 1e-12},
+                fused=True, progbar=False,
+            )
+            if shard:
+                tebd.shard_onto(get_mesh())
+                # the internal B-form stack really is distributed
+                Bs, ls = tebd._ensure_vidal()
+                assert Bs.sharding.spec[0] == "d"
+            es = []
+            for k in range(1, 4):
+                tebd.update_to(k * 0.1, dt=0.05, order=2,
+                               progbar=False)
+                es.append(float(tebd.pt.entropy(L // 2)))
+            ents[shard] = es
+        assert np.allclose(ents[False], ents[True], atol=1e-12)
