@@ -3772,25 +3772,13 @@ def _wire_parity_methods():
         kwargs.setdefault("backend", "plotly")
         return self.draw(*args, **kwargs)
 
-    def visualize_tensors(self, *args, **kwargs):
-        """Plot the entries of every tensor (reference
-        ``visualize_tensors`` drawing.py)."""
-        import matplotlib.pyplot as plt
+    def visualize_tensors(self, mode="network", **kwargs):
+        """Plot the entries of every tensor, arranged by the graph
+        layout ('network') or tiled ('grid'/'row'/'col') (reference
+        ``visualize_tensors`` drawing.py:1644)."""
+        from .drawing import visualize_tensors
 
-        from .drawing import visualize_tensor
-
-        ts = list(self.tensor_map.values())
-        n = len(ts)
-        ncol = max(int(math.ceil(math.sqrt(n))), 1)
-        nrow = -(-n // ncol)
-        fig, axs = plt.subplots(nrow, ncol,
-                                figsize=(2.2 * ncol, 2.2 * nrow))
-        axs = np.atleast_1d(axs).ravel()
-        for ax_i in axs:
-            ax_i.axis("off")
-        for t, ax_i in zip(ts, axs):
-            visualize_tensor(t, ax=ax_i, **kwargs)
-        return fig
+        return visualize_tensors(self, mode=mode, **kwargs)
 
     TN.draw_3d = draw_3d
     TN.draw_interactive = draw_interactive

@@ -559,10 +559,81 @@ def visualize_tensor(t, max_projections=None, ax=None, figsize=(5, 5),
     return ax
 
 
+def choose_squarest_grid(n):
+    """(rows, cols) of the most square grid holding ``n`` panels
+    (reference ``choose_squarest_grid`` drawing.py:1633)."""
+    m = max(1, int(round(math.sqrt(n))))
+    k = math.ceil(n / m)
+    return m, k
+
+
+def visualize_tensors(tn, mode="network", r=None, r_scale=1.0,
+                      figsize=None, return_fig=False,
+                      **visualize_opts):
+    """Visualize the entries of every tensor in the network (reference
+    ``visualize_tensors`` drawing.py:1644).
+
+    Parameters
+    ----------
+    mode : {'network', 'grid', 'row', 'col'}
+        'network' places each tensor's entry-scatter at the position
+        the graph layout gives it; the others tile the scatters.
+    r : float, optional
+        Panel radius for ``mode='network'`` (fraction of the figure).
+    """
+    import matplotlib.pyplot as plt
+
+    n = tn.num_tensors
+    if figsize is None:
+        s = 2 * max(1.0, n**0.4)
+        figsize = (s, s)
+    fig = plt.figure(figsize=figsize)
+
+    if mode == "network":
+        if r is None:
+            r = 1.0 / max(1.0, n**0.5)
+        r *= r_scale
+        pos = layout_positions(tn)
+        pts = np.asarray([
+            pos[tid][:2] for tid in tn.tensor_map if tid in pos
+        ])
+        lo = pts.min(axis=0) if len(pts) else np.zeros(2)
+        span = (pts.max(axis=0) - lo) if len(pts) else np.ones(2)
+        span[span == 0] = 1.0
+        for tid, t in tn.tensor_map.items():
+            if tid not in pos:
+                continue
+            x, y = (np.asarray(pos[tid][:2]) - lo) / span
+            # map into [0, 1-r] so panels stay inside the figure
+            ax = fig.add_axes((
+                x * (1 - r), y * (1 - r), r, r
+            ))
+            visualize_tensor(t, ax=ax, **visualize_opts)
+    else:
+        if mode == "grid":
+            nr, nc = choose_squarest_grid(n)
+        elif mode == "row":
+            nr, nc = 1, n
+        elif mode == "col":
+            nr, nc = n, 1
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        for i, t in enumerate(tn.tensor_map.values()):
+            ax = fig.add_subplot(nr, nc, i + 1)
+            visualize_tensor(t, ax=ax, **visualize_opts)
+
+    if return_fig:
+        return fig
+    plt.close(fig)
+    return fig
+
+
 __all__ = [
+    "choose_squarest_grid",
     "draw_tn",
     "get_colors",
     "hash_to_color",
     "layout_positions",
     "visualize_tensor",
+    "visualize_tensors",
 ]

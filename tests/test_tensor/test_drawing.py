@@ -269,3 +269,25 @@ class TestSchematic:
         z2 = sch.coo_to_zorder(1, 1, 0)
         # receding along both axes moves away from the viewer
         assert z2 < z1
+
+
+class TestVisualizeTensors:
+    @pytest.mark.parametrize("mode", ["network", "grid", "row", "col"])
+    def test_modes_produce_figures(self, mode):
+        tn = qtn.MPS_rand_state(6, 4, seed=0)
+        fig = tn.visualize_tensors(mode=mode)
+        assert fig is not None
+        assert len(fig.axes) >= tn.num_tensors
+
+    def test_bad_mode_raises(self):
+        tn = qtn.MPS_rand_state(3, 2, seed=0)
+        with pytest.raises(ValueError):
+            tn.visualize_tensors(mode="diagonal")
+
+    def test_choose_squarest_grid(self):
+        from quimb_tpu.tensor.drawing import choose_squarest_grid
+
+        for n in range(1, 40):
+            r, c = choose_squarest_grid(n)
+            assert r * c >= n
+            assert abs(r - c) <= 1 or r * c - n < max(r, c)
