@@ -10,6 +10,7 @@ hash-based coloring, and a configurable axonometric 3D->2D
 projection (reference ``axonometric_project`` schematic.py)."""
 
 import colorsys
+import functools
 import hashlib
 import math
 
@@ -158,7 +159,8 @@ class Drawing:
     ``(a, b)`` angle presets."""
 
     def __init__(self, background=None, drawcolor="#333333",
-                 figsize=(6, 6), ax=None, a=50, b=12, **kwargs):
+                 figsize=(6, 6), ax=None, a=50, b=12, presets=None,
+                 **kwargs):
         import matplotlib.pyplot as plt
 
         if ax is None:
@@ -172,6 +174,21 @@ class Drawing:
         self.drawcolor = drawcolor
         self.proj_a = a
         self.proj_b = b
+        self.presets = dict(presets or {})
+
+    def _parse_preset(self, preset, kwargs):
+        """Merge a named style preset (or sequence of them, later ones
+        winning) under explicit kwargs (reference preset handling,
+        schematic.py): explicit arguments always take precedence."""
+        if preset is None:
+            return kwargs
+        if isinstance(preset, str):
+            preset = (preset,)
+        merged = {}
+        for p in preset:
+            merged.update(self.presets[p])
+        merged.update(kwargs)
+        return merged
 
     def _coo(self, coo):
         """Project 2D or pseudo-3D coordinates into the plane."""
@@ -701,6 +718,69 @@ class Drawing:
             [(xy[0] - pad, xy[1] - pad), (xy[0] + pad, xy[1] + pad)]
         )
         self.ax.autoscale_view()
+
+    def grid(self, cooa, coob, nx=4, ny=4, color=None, linewidth=1.0,
+             **kwargs):
+        """A 2D grid of lines spanning the rectangle ``cooa``–``coob``
+        (reference ``grid`` schematic.py:1659)."""
+        xa, ya = self._coo(cooa)
+        xb, yb = self._coo(coob)
+        out = []
+        for i in range(nx + 1):
+            x = xa + (xb - xa) * i / nx
+            out.append(self.line((x, ya), (x, yb), color=color,
+                                 linewidth=linewidth, **kwargs))
+        for j in range(ny + 1):
+            y = ya + (yb - ya) * j / ny
+            out.append(self.line((xa, y), (xb, y), color=color,
+                                 linewidth=linewidth, **kwargs))
+        return out
+
+    def grid3d(self, coo0=(0, 0, 0), size=1.0, n=2, color=None,
+               linewidth=1.0, **kwargs):
+        """A pseudo-3D cubic wireframe grid: n+1 lines per axis pair,
+        axonometrically projected (reference ``grid3d``
+        schematic.py:1746)."""
+        x0, y0, z0 = coo0
+        s = size
+        out = []
+        rng = [x0 + s * i / n for i in range(n + 1)]
+        for u in rng:
+            for v in rng:
+                out.append(self.line((u, v, z0), (u, v, z0 + s),
+                                     color=color,
+                                     linewidth=linewidth, **kwargs))
+                out.append(self.line((u, y0, v), (u, y0 + s, v),
+                                     color=color,
+                                     linewidth=linewidth, **kwargs))
+                out.append(self.line((x0, u, v), (x0 + s, u, v),
+                                     color=color,
+                                     linewidth=linewidth, **kwargs))
+        return out
+
+
+def _add_preset_support(cls):
+    """Give every public drawing method a ``preset=`` keyword that
+    merges named style dicts (``Drawing(presets={...})``) under the
+    explicit kwargs — the reference's preset system (schematic.py)."""
+    skip = {"savefig", "translate"}
+    for name, fn in list(vars(cls).items()):
+        if (name.startswith("_") or not callable(fn) or name in skip):
+            continue
+
+        def _make(fn):
+            @functools.wraps(fn)
+            def wrapper(self, *args, preset=None, **kwargs):
+                return fn(self, *args,
+                          **self._parse_preset(preset, kwargs))
+
+            return wrapper
+
+        setattr(cls, name, _make(fn))
+    return cls
+
+
+_add_preset_support(Drawing)
 
 
 __all__ = [

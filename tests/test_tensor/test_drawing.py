@@ -291,3 +291,39 @@ class TestVisualizeTensors:
             r, c = choose_squarest_grid(n)
             assert r * c >= n
             assert abs(r - c) <= 1 or r * c - n < max(r, c)
+
+
+class TestSchematicPresets:
+    def test_preset_applied_and_overridden(self):
+        from quimb_tpu.schematic import Drawing
+
+        d = Drawing(presets={"site": {"color": "#cc6644",
+                                      "radius": 0.3}})
+        c = d.circle((0, 0), preset="site")
+        assert abs(c.radius - 0.3) < 1e-12
+        # explicit kwargs always beat the preset
+        c2 = d.circle((1, 0), preset="site", radius=0.5)
+        assert abs(c2.radius - 0.5) < 1e-12
+
+    def test_preset_sequence_later_wins(self):
+        from quimb_tpu.schematic import Drawing
+
+        d = Drawing(presets={"a": {"radius": 0.1},
+                             "b": {"radius": 0.2}})
+        c = d.circle((0, 0), preset=("a", "b"))
+        assert abs(c.radius - 0.2) < 1e-12
+
+    def test_unknown_preset_raises(self):
+        from quimb_tpu.schematic import Drawing
+
+        with pytest.raises(KeyError):
+            Drawing().circle((0, 0), preset="nope")
+
+    def test_grid_and_grid3d(self):
+        from quimb_tpu.schematic import Drawing
+
+        d = Drawing()
+        lines = d.grid((0, 0), (2, 2), nx=3, ny=2)
+        assert len(lines) == (3 + 1) + (2 + 1)
+        lines3 = d.grid3d((0, 0, 0), size=1.0, n=2)
+        assert len(lines3) == 3 * (2 + 1) ** 2
