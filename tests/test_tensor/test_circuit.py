@@ -265,3 +265,69 @@ class TestSampleGateByGate:
         for b, c in cnt.items():
             p_emp[int(b, 2)] = c / 300
         assert 0.5 * np.abs(p_emp - p_exact).sum() < 0.2
+
+
+class TestCircuitPEPSAndPEPO:
+    """Behavior parity of the 2D Schrodinger (CircuitPEPS) and
+    Heisenberg (CircuitPEPOSimpleUpdate) simulators against the dense
+    simulator on a 2x2 grid (reference circuit/peps.py, pepo.py)."""
+
+    GATES = [
+        ("ry", 0.7, 0), ("ry", -0.4, 1), ("ry", 1.1, 2),
+        ("ry", 0.2, 3), ("cz", 0, 1), ("cz", 2, 3), ("cx", 0, 2),
+        ("rx", 0.3, 1), ("rz", 0.5, 3), ("cx", 1, 3), ("ry", 0.9, 3),
+    ]
+
+    def _dense(self):
+        from quimb_tpu.tensor.circuit import CircuitDense
+
+        cd = CircuitDense(4)
+        for g in self.GATES:
+            cd.apply_gate(*g)
+        return cd
+
+    def test_circuit_peps_expectations_and_amplitudes(self):
+        import quimb_tpu as qu
+        from quimb_tpu.tensor.circuit import CircuitPEPS
+
+        cd = self._dense()
+        cp = CircuitPEPS(2, 2, max_bond=8)
+        for g in self.GATES:
+            cp.apply_gate(*g)
+        Z = np.asarray(qu.pauli("Z"))
+        for q in range(4):
+            ed = complex(cd.local_expectation(Z, q)).real
+            ep = complex(cp.local_expectation(Z, q)).real
+            assert abs(ed - ep) < 1e-10
+        for b in ("0000", "0101", "1111"):
+            assert abs(
+                complex(cd.amplitude(b)) - complex(cp.amplitude(b))
+            ) < 1e-10
+
+    def test_circuit_pepo_heisenberg_picture(self):
+        import quimb_tpu as qu
+        from quimb_tpu.tensor.circuit import CircuitPEPOSimpleUpdate
+
+        cd = self._dense()
+        co = CircuitPEPOSimpleUpdate(
+            N=4, edges=[(0, 1), (2, 3), (0, 2), (1, 3)], max_bond=8,
+        )
+        for g in self.GATES:
+            co.apply_gate(*g)
+        Z = np.asarray(qu.pauli("Z"))
+        X = np.asarray(qu.pauli("X"))
+        for q in range(4):
+            for op in (Z, X):
+                ed = complex(cd.local_expectation(op, q)).real
+                eo = complex(co.local_expectation(op, q)).real
+                assert abs(ed - eo) < 1e-10
+
+    def test_circuit_peps_equilibrate_preserves_state(self):
+        from quimb_tpu.tensor.circuit import CircuitPEPS
+
+        cp = CircuitPEPS(2, 2, max_bond=8)
+        for g in self.GATES:
+            cp.apply_gate(*g)
+        a0 = complex(cp.amplitude("0101"))
+        cp.equilibrate()
+        assert abs(complex(cp.amplitude("0101")) - a0) < 1e-10
