@@ -188,15 +188,26 @@ def main():
     tflops = total_flops / dt / 1e12
 
     # physics validation: the timed sweeps must actually converge to
-    # the true groundstate. E_REF measured once by converged f64 CPU
-    # DMRG2 (chi=64, tol=1e-10) on this config — see
-    # docs/performance.md.
+    # the true groundstate. The per-sweep Lanczos estimate assumes the
+    # environments are exactly orthonormal, which canonize-free f32
+    # alternation slowly violates — so validate with the properly
+    # normalized variational energy <psi|H|psi>/<psi|psi> of the final
+    # state instead (an upper bound on E0 up to f32 contraction noise).
+    psi = dmrg.state
+    e_num = complex(qtn.expec_TN_1D(psi.H, H.apply(psi))).real
+    e_den = complex(qtn.expec_TN_1D(psi.H, psi)).real
+    energy_var = e_num / e_den
+
+    # E_REF measured once by converged f64 CPU DMRG2 (chi=64,
+    # tol=1e-10) on this config — see docs/performance.md. chi=256
+    # lowers it by far less than the f32 tolerance below.
     E_REF = {128: -56.535467821834}.get(L)
     energy_ok = None
-    if E_REF is not None and dmrg.energies:
-        rel = abs(dmrg.energies[-1] - E_REF) / abs(E_REF)
-        # f32 on TPU: ~1e-6 relative is the dtype floor; f64 on CPU
-        # should be much tighter but sweeps are capped for time
+    if E_REF is not None:
+        rel = abs(energy_var - E_REF) / abs(E_REF)
+        # f32 on TPU: ~1e-6 relative is the dtype floor per op; the
+        # L=128 contraction accumulates to ~1e-5. f64 on CPU should
+        # be much tighter but sweeps are capped for time.
         energy_ok = bool(rel < (2e-5 if dtype == "float32" else 1e-6))
 
     # the measured reference baseline (jcmgray/quimb itself, run via
@@ -222,7 +233,9 @@ def main():
                         if ref_sweep_seconds else None),
         "ref_sweep_seconds": ref_sweep_seconds,
         "sweep_seconds": round(dt, 3),
-        "energy": dmrg.energies[-1] if dmrg.energies else None,
+        "energy": energy_var,
+        "energy_sweep_estimate": (dmrg.energies[-1]
+                                  if dmrg.energies else None),
         "energy_ref": E_REF,
         "energy_ok": energy_ok,
         "device": str((jax.config.jax_default_device or jax.devices()[0])),

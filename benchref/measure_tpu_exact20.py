@@ -45,7 +45,21 @@ def main():
 
     p0 = qu.computational_state("01" * (N // 2), dtype="complex64"
                                 if on_tpu else "complex128")
-    Z0 = qu.ikron(qu.pauli("Z"), [2] * N, 0, sparse=True)
+    # <Z_0> is diagonal in the computational basis: evaluate it as a
+    # jitted |psi|^2-weighted sum (eager complex matmuls are
+    # UNIMPLEMENTED on the TPU backend; this stays fully compiled)
+    import numpy as np
+    import jax.numpy as jnp
+
+    zdiag = jnp.asarray(
+        1.0 - 2.0 * ((np.arange(2**N) >> (N - 1)) & 1), dtype="float32"
+    )
+
+    @jax.jit
+    def z0_expec(psi):
+        p = jnp.abs(jnp.reshape(psi, (-1,))) ** 2
+        return jnp.sum(p * zdiag) / jnp.sum(p)
+
     evo = qu.Evolution(p0, H, method="expm")
     # warm the expm program with one step, then restart for timing
     evo.update_to(T / NT)
@@ -54,7 +68,7 @@ def main():
     t0 = time.perf_counter()
     for k in range(1, NT + 1):
         evo.update_to(T * k / NT)
-        zs.append(float(qu.expec(Z0, evo.pt).real))
+        zs.append(float(z0_expec(evo.pt)))
         print(f"# t={float(evo.t):.3f}: <Z0>={zs[-1]:.9f} "
               f"({time.perf_counter() - t0:.2f}s cum)",
               file=sys.stderr, flush=True)

@@ -53,6 +53,23 @@ if os.environ.get("QUIMB_TPU_MATMUL_PRECISION", "") != "default":
         os.environ.get("QUIMB_TPU_MATMUL_PRECISION", "highest"),
     )
 
+# -- persistent compilation cache ---------------------------------------------
+# DMRG/TEBD sweep programs at production sizes take minutes of XLA compile
+# time on first trace; caching the compiled executables on disk makes every
+# later process (benchmarks, tests, notebooks) start hot. Opt out with
+# QUIMB_TPU_COMPILATION_CACHE=0 or point it at a different directory.
+_CACHE_ENV = os.environ.get("QUIMB_TPU_COMPILATION_CACHE", "")
+if _CACHE_ENV != "0":
+    try:
+        _cache_dir = _CACHE_ENV or os.path.join(
+            os.path.expanduser("~"), ".cache", "quimb_tpu_jax"
+        )
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # older jax without these flags
+        pass
+
 _thread_local = threading.local()
 
 

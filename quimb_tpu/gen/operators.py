@@ -143,14 +143,18 @@ def Wsqrt(dtype=None, **kwargs):
     return _asdevice(sqrtW, dtype)
 
 
-def swap(dim=2, dtype=None, **kwargs):
-    """SWAP gate for two qudits."""
+def _swap_np(dim=2):
     d = dim
     M = np.zeros((d * d, d * d))
     for a in range(d):
         for b in range(d):
             M[a * d + b, b * d + a] = 1.0
-    return _asdevice(M, dtype)
+    return M
+
+
+def swap(dim=2, dtype=None, **kwargs):
+    """SWAP gate for two qudits."""
+    return _asdevice(_swap_np(dim), dtype)
 
 
 def iswap(dtype=None, **kwargs):
@@ -239,7 +243,9 @@ def ccZ(dtype=None):
 
 
 def fredkin(dtype=None):
-    return ncontrolled_gate(1, np.asarray(swap(2)), dtype)
+    # build from the host-side matrix: np.asarray on a complex device
+    # array is an eager transfer, which the TPU backend cannot do
+    return ncontrolled_gate(1, _swap_np(2), dtype)
 
 
 cswap = fredkin
@@ -438,8 +444,10 @@ def ham_hubbard_hardcore(n, t=0.5, V=1.0, mu=1.0, cyclic=False,
     from ..core import ham_from_terms
 
     dims = (2,) * n
-    b = np.asarray(destroy(2))
-    bd = np.asarray(create(2))
+    # host-side matrices (np.asarray on complex device arrays is an
+    # eager transfer the TPU backend cannot do)
+    b = np.diag(np.sqrt(np.arange(1, 2)), 1)
+    bd = np.diag(np.sqrt(np.arange(1, 2)), -1)
     nop = bd @ b
     terms = []
     pairs = [(i, i + 1) for i in range(n - 1)]
