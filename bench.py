@@ -193,9 +193,19 @@ def main():
     # alternation slowly violates — so validate with the properly
     # normalized variational energy <psi|H|psi>/<psi|psi> of the final
     # state instead (an upper bound on E0 up to f32 contraction noise).
-    psi = dmrg.state
-    e_num = complex(qtn.expec_TN_1D(psi.H, H.apply(psi))).real
-    e_den = complex(qtn.expec_TN_1D(psi.H, psi)).real
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _nrm_step(n, A):
+        return jnp.einsum("bk,bda,kdx->ax", n, jnp.conj(A), A)
+
+    env = jnp.ones((1, 1, 1), dtype=dmrg._A[0].dtype)
+    nrm = jnp.ones((1, 1), dtype=dmrg._A[0].dtype)
+    for A, W in zip(dmrg._A, dmrg._W):
+        env = D._env_step_right(env, jnp.conj(A), W, A)
+        nrm = _nrm_step(nrm, A)
+    e_num = float(jnp.real(env.reshape(())))
+    e_den = float(jnp.real(nrm.reshape(())))
     energy_var = e_num / e_den
 
     # E_REF measured once by converged f64 CPU DMRG2 (chi=64,

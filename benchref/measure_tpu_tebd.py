@@ -51,7 +51,9 @@ def main():
     t0 = time.perf_counter()
     for k in range(1, STEPS + 1):
         tebd.update_to(k * DT, dt=DT, progbar=False)
-        entropies.append(float(tebd.pt.entropy(L // 2)))
+        # O(chi) from the fused Vidal bond weights — no state
+        # materialization / device round-trip inside the timed loop
+        entropies.append(float(tebd.entropy(L // 2)))
         print(
             f"# step {k}: S(L/2)={entropies[-1]:.8f} "
             f"({time.perf_counter() - t0:.1f}s cum)",

@@ -287,6 +287,33 @@ class TEBD:
         self._err = float(value)
         self._err_pending = []
 
+    def schmidt_values(self, i):
+        """Squared Schmidt values across the bond left of site ``i``
+        (same convention as ``MatrixProductState.schmidt_values``).
+        When the fused Vidal form is active this reads the bond weights
+        directly — O(chi), no state materialization or device
+        round-trip of the full MPS (the reference computes these by
+        canonizing + SVD, tensor_1d.py ``schmidt_values``)."""
+        if self._vidal is not None:
+            from ...ops.backend import to_host
+
+            s = np.asarray(to_host(self._vidal[1][i])).astype(np.float64)
+            return np.sort(s[s > 0])[::-1] ** 2
+        return np.asarray(self._pt.schmidt_values(i))
+
+    def entropy(self, i=None):
+        """Von Neumann entanglement entropy (in bits, matching
+        ``MatrixProductState.entropy``) across the bond left of site
+        ``i`` (default: the half chain). O(chi) from the fused Vidal
+        weights when active — the cheap measurement loop for
+        entropy-growth curves on TPU."""
+        if i is None:
+            i = self.L // 2
+        p = np.asarray(self.schmidt_values(i), dtype=np.float64)
+        p = p[p > 1e-300]
+        p = p / p.sum()
+        return float(-(p * np.log2(p)).sum())
+
     def _fused_applicable(self):
         return (
             self.fused
@@ -575,14 +602,21 @@ def _bform_gate_split_batch(B1s, B2s, l_l, Us, max_bond, cutoff):
         # theta = ll . Phi — the physical wavefunction across the bond
         th = ph * ll[:, None, None, None]
         mat = jnp.reshape(th, (chi * d, d * chi))
-        _, s, VH, rank = decomp.svd_truncated_masked(
-            mat, max_bond=max_bond, cutoff=cutoff, cutoff_mode=4,
-            absorb=None,
+        Uf, s_full, VHf = decomp.safe_svd(mat)
+        _, s, VH, rank = decomp._truncate_mask_absorb(
+            Uf, s_full, VHf, max_bond=max_bond, cutoff=cutoff,
+            cutoff_mode=4, renorm=0, absorb=None,
         )
+        # discarded weight summed directly over the dropped values —
+        # exact at f32, unlike total^2 - kept^2 whose cancellation is
+        # noise-dominated (~1e-4 per bond) in single precision
+        sp_full = s_full * s_full
+        drop = jnp.sum(jnp.where(
+            jnp.arange(s_full.shape[-1]) >= rank, sp_full, 0.0
+        ))
+        tot2 = jnp.sum(sp_full)
+        err = jnp.sqrt(drop / jnp.where(tot2 > 0, tot2, 1.0))
         nrm = jnp.linalg.norm(s)
-        total = jnp.linalg.norm(mat)
-        err = jnp.sqrt(jnp.clip(total**2 - nrm**2, 0.0, None)) / \
-            jnp.where(total > 0, total, 1.0)
         s_n = s / jnp.where(nrm > 0, nrm, 1.0)
         B2n = jnp.reshape(VH, (chi, d, chi))
         # renormalize by the kept weight so the state stays normalized

@@ -267,6 +267,46 @@ class TestTEBD:
         assert S[1] > 0.1
         assert S[2] > S[1]
 
+    def test_tebd_vidal_entropy_matches_state(self):
+        """TEBD.entropy/schmidt_values read the fused Vidal bond
+        weights in O(chi); they must agree with canonize+SVD of the
+        materialized state."""
+        L = 8
+        psi0 = qtn.MPS_neel_state(L)
+        tebd = qtn.TEBD(psi0, qtn.ham_1d_heis(L), progbar=False)
+        tebd.split_opts["max_bond"] = 16
+        tebd.update_to(0.6, dt=0.05)
+        assert tebd._vidal is not None
+        # read the O(chi) values for every bond *before* touching .pt
+        # (materializing drops the fused Vidal form)
+        fast_sv = {i: tebd.schmidt_values(i) for i in (2, L // 2, L - 2)}
+        fast_S = {i: tebd.entropy(i) for i in (2, L // 2, L - 2)}
+        # half-chain entropy grows from the Neel state
+        assert fast_S[L // 2] > 0.05
+        psi = tebd.pt
+        for i in (2, L // 2, L - 2):
+            np.testing.assert_allclose(np.sum(fast_sv[i]), 1.0,
+                                       atol=1e-8)
+            sv_state = np.sort(np.asarray(psi.schmidt_values(i)))[::-1]
+            np.testing.assert_allclose(
+                fast_sv[i], sv_state[: len(fast_sv[i])], atol=1e-7
+            )
+            assert abs(fast_S[i] - float(psi.entropy(i))) < 1e-6
+
+    def test_tebd_err_f32_not_noise_dominated(self):
+        """The truncation-error tracker sums the *dropped* singular
+        values directly — at float32 a cutoff-free chi-ample evolution
+        must report (near-)zero err, not norm-cancellation noise."""
+        L = 8
+        psi0 = qtn.MPS_neel_state(L).astype("complex64")
+        tebd = qtn.TEBD(psi0, qtn.ham_1d_heis(L), progbar=False)
+        tebd.split_opts["max_bond"] = 16  # = 2^(L/2), no truncation
+        tebd.split_opts["cutoff"] = 0.0
+        tebd.update_to(0.5, dt=0.05)
+        # direct summation of dropped values: ~1e-7 f32 residue. The
+        # cancellation formula it replaces read ~1e-2 on this config.
+        assert float(tebd.err) < 1e-5
+
     def test_tebd_err_estimate_accumulates(self):
         L = 6
         psi0 = qtn.MPS_rand_state(L, 4, seed=1, dtype="complex128")
