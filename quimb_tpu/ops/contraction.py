@@ -23,6 +23,7 @@ import threading
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import on_tpu
 from ..utils import LRU
@@ -191,16 +192,21 @@ class ContractExpression:
         self.width = _paths.path_width(inputs, output, sizes, path)
 
     def __call__(self, *arrays, backend=None):
+        xp = _einsum_module(arrays, backend)
+        if xp is _np_mod:
+            from .backend import to_host
+
+            arrays = [to_host(a) for a in arrays]
         results = list(arrays)
         for (step, la, lb, lo) in self.steps[:-1]:
             if lb is None:
                 (i,) = step
                 a = results[i]
-                r = jnp.einsum(a, la, lo)
+                r = xp.einsum(a, la, lo)
             else:
                 i, j = step
                 a, b = results[i], results[j]
-                r = jnp.einsum(a, la, b, lb, lo)
+                r = xp.einsum(a, la, b, lb, lo)
             results.append(r)
         final_labels = self.steps[-1][1]
         r = results[-1]
@@ -208,7 +214,7 @@ class ContractExpression:
         last_lo = self.steps[-2][3] if len(self.steps) > 1 else None
         if last_lo is not None and list(final_labels) != list(last_lo):
             perm = [last_lo.index(l) for l in final_labels]
-            r = jnp.transpose(r, perm)
+            r = xp.transpose(r, perm)
         return r
 
     def jitted(self):
@@ -226,7 +232,46 @@ class ContractExpression:
 _EXPR_CACHE = LRU(2**12)
 
 
-def _preprocess_single(array, term):
+def _np_einsum(*args):
+    """np.einsum with per-call compaction of integer axis labels:
+    numpy requires labels < 52, but our expression-wide labelings can
+    exceed that on large networks (jnp relabels internally)."""
+    remap = {}
+    out = []
+    for a in args:
+        if isinstance(a, (list, tuple)):
+            out.append([remap.setdefault(l, len(remap)) for l in a])
+        else:
+            out.append(a)
+    return np.einsum(*out)
+
+
+class _np_mod:
+    """numpy execution module for einsum chains (label-compacting)."""
+
+    einsum = staticmethod(_np_einsum)
+    transpose = staticmethod(np.transpose)
+
+
+def _einsum_module(arrays, backend=None):
+    """Pick the execution module for a chain of einsums: numpy when
+    explicitly requested or when *every* operand is already a host
+    array (setup-time graph rewrites — avoids one XLA compile per
+    tiny op), jnp otherwise. numpy in -> numpy out keeps host-side
+    simplification passes entirely off-device."""
+    if backend is None:
+        backend = get_contract_backend()
+    if backend == "numpy":
+        return _np_mod
+    if backend in ("jax", "jit"):
+        return jnp
+    # backend 'auto'/None: dispatch on operand types
+    if arrays and all(isinstance(a, np.ndarray) for a in arrays):
+        return _np_mod
+    return jnp
+
+
+def _preprocess_single(array, term, xp=jnp):
     """Collapse repeated indices within one tensor via einsum diagonal."""
     if len(set(term)) == len(term):
         return array, tuple(term)
@@ -237,7 +282,7 @@ def _preprocess_single(array, term):
     la = [label[ix] for ix in term]
     out_term = tuple(dict.fromkeys(term))
     lo = [label[ix] for ix in out_term]
-    return jnp.einsum(array, la, lo), out_term
+    return xp.einsum(array, la, lo), out_term
 
 
 def array_contract_expression(
@@ -277,10 +322,16 @@ def array_contract(
     (reference ``array_contract`` contraction.py:272)."""
     arrays = list(arrays)
     inputs = list(map(tuple, inputs))
+    xp = _einsum_module(arrays, backend)
+    if xp is _np_mod:
+        from .backend import to_host
+
+        arrays = [to_host(a) for a in arrays]
+    else:
+        arrays = [jnp.asarray(a) for a in arrays]
     # single-tensor repeated-index preprocessing
     for i, (a, term) in enumerate(zip(arrays, inputs)):
-        a = jnp.asarray(a)
-        a2, t2 = _preprocess_single(a, term)
+        a2, t2 = _preprocess_single(a, term, xp=xp)
         arrays[i], inputs[i] = a2, t2
 
     if output is None:
@@ -293,7 +344,7 @@ def array_contract(
             label.setdefault(ix, len(label))
         for ix in output:
             label.setdefault(ix, len(label))
-        r = jnp.einsum(
+        r = xp.einsum(
             arrays[0], [label[ix] for ix in inputs[0]],
             [label[ix] for ix in output],
         )

@@ -21,7 +21,18 @@ def asarray(x):
     if x.__class__.__name__ == "PArray":
         # lazy parametrized array — keep unmaterialized
         return x
-    return x if isinstance(x, jax.Array) else to_device(x)
+    if isinstance(x, jax.Array):
+        return x
+    if isinstance(x, np.ndarray) and x.dtype != object:
+        # under the numpy contract-backend context (host-side
+        # setup-time graph rewrites: simplification, small circuit
+        # marginals) tensors keep their host arrays — no device
+        # round-trip per rewrite
+        from ..ops.contraction import get_contract_backend
+
+        if get_contract_backend() == "numpy":
+            return x
+    return to_device(x)
 
 
 def ndim(x):

@@ -14,6 +14,7 @@ networks distributes across the device mesh via ``cut_iter`` +
 ``shard_map`` (see quimb_tpu.parallel).
 """
 
+import contextlib
 import functools
 import math
 import numbers
@@ -33,6 +34,34 @@ from .gates import (
     PARAM_GATES,
     Gate,
 )
+
+
+# below this many flops a contraction is latency-bound, not
+# compute-bound: one XLA dispatch (let alone a cold compile) costs more
+# than just running the einsum chain in numpy on the host
+_HOST_CONTRACT_FLOPS = float(
+    __import__("os").environ.get("QUIMB_TPU_HOST_CONTRACT_FLOPS", 2e8)
+)
+
+
+def _auto_host_backend(tn, optimize, backend):
+    """Context manager choosing where a simplified circuit network is
+    contracted: tiny networks (most amplitudes/marginals after
+    lightcone + simplification) run as numpy on the host — zero
+    compiles, zero device round-trips — while genuinely large
+    contractions go to the device as one compiled program."""
+    from ...ops.contraction import contract_backend
+
+    if backend is None:
+        try:
+            flops = tn.contraction_cost(optimize=optimize)
+        except Exception:
+            flops = float("inf")
+        backend = "numpy" if flops < _HOST_CONTRACT_FLOPS else "jax"
+    # explicit 'jax' (not nullcontext): after a host-side simplify the
+    # network's arrays are numpy, and type-dispatch would keep a large
+    # contraction on host — force the device program instead
+    return contract_backend(backend)
 
 
 def parse_to_gate(gate_id, *gate_args, params=None, qubits=None,
@@ -112,6 +141,11 @@ class CircuitBase:
         self._apply_gate(gate, **opts)
         return self
 
+    # lazy TN simulators set this True: gate tensors are microscopic
+    # and stay as host numpy arrays until the final compiled
+    # contraction (zero device dispatches while building the circuit)
+    _host_gate_arrays = False
+
     def _apply_gate(self, gate, **opts):
         tags = [f"GATE_{len(self._gates)}"]
         if gate.round is not None:
@@ -119,7 +153,14 @@ class CircuitBase:
         if isinstance(gate.label, str):
             tags.append(gate.label)
         self._gates.append(gate)
-        U = to_device(gate.build_array(), dtype=self.dtype)
+        if self._host_gate_arrays:
+            from ...ops.backend import to_host
+
+            U = np.asarray(
+                to_host(gate.build_array()), dtype=self.dtype
+            )
+        else:
+            U = to_device(gate.build_array(), dtype=self.dtype)
         where = (*gate.controls, *gate.qubits)
         self._apply_array(U, where, tags=tags, **opts)
 
@@ -541,6 +582,8 @@ class Circuit(CircuitBase):
     computed by lightcone selection + simplification + optimized
     contraction."""
 
+    _host_gate_arrays = True
+
     def __init__(self, N=None, psi0=None, gate_opts=None, tags=None,
                  dtype=None, convert_eager=False):
         gate_opts = dict(gate_opts or {})
@@ -551,6 +594,7 @@ class Circuit(CircuitBase):
         self._qubit_gates = {q: [] for q in range(self.N)}
         self._sample_cache = LRU(2**16)
         self._marginal_cache = LRU(2**12)
+        self._lightcone_cache = LRU(2**8)
 
     def _init_state(self, psi0):
         psi = TensorNetwork(psi0, virtual=False)
@@ -576,12 +620,17 @@ class Circuit(CircuitBase):
         nq = len(where)
         if nq == 1:
             opts["contract"] = True
+        from ...ops.contraction import contract_backend
         from ..gating import tensor_network_gate_inds
 
         inds = tuple(self._psi.site_ind(q) for q in where)
-        tensor_network_gate_inds(
-            self._psi, U, inds, tags=tags, inplace=True, **opts
-        )
+        # host numpy throughout: applying one gate touches only tiny
+        # tensors (the lazy network's leaves), so the whole build phase
+        # runs without a single device dispatch
+        with contract_backend("numpy"):
+            tensor_network_gate_inds(
+                self._psi, U, inds, tags=tags, inplace=True, **opts
+            )
         for q in where:
             self._qubit_gates[q].append(gnum)
 
@@ -650,7 +699,8 @@ class Circuit(CircuitBase):
             from ...parallel import contract_tn_mesh
 
             return maybe_host_scalar(contract_tn_mesh(psi, mesh=mesh))
-        return maybe_host_scalar(psi.contract(..., optimize=optimize))
+        with _auto_host_backend(psi, optimize, backend):
+            return maybe_host_scalar(psi.contract(..., optimize=optimize))
 
     def amplitude_rehearse(self, b=None, **kwargs):
         if b is None:
@@ -714,42 +764,84 @@ class Circuit(CircuitBase):
         cached = self._marginal_cache.get(key)
         if cached is not None:
             return cached
-        cone_qubits = tuple(where) + tuple(fix)
-        psi = self.get_psi_reverse_lightcone(cone_qubits)
-        bra = psi.H
-        # fix the fixed qubits on both layers
-        sel = {}
-        for q, v in fix.items():
-            if psi.site_ind(q) in psi.ind_map:
-                sel[psi.site_ind(q)] = int(v)
-        psi.isel_(sel)
-        bra.isel_(sel)
-        kix = [psi.site_ind(q) for q in where]
-        bix = [rand_uuid() for _ in where]
-        bra.reindex_(dict(zip(kix, bix)))
-        bra.mangle_inner_()
-        rho_tn = psi & bra
-        rho_tn.full_simplify_(
-            seq=simplify_sequence, atol=simplify_atol,
-            output_inds=(*kix, *bix),
+        region = tuple(sorted(set(where) | set(fix)))
+        # the expensive lightcone + simplify is cached per *region* —
+        # across samples only the fixed bit values change, so the
+        # per-sample work is a cheap final simplify + one contraction
+        # with an (expression-cache hot) identical geometry
+        # (reference get_rdm_lightcone_simplified exact.py:356)
+        nm_lc = self._get_norm_lightcone_simplified(
+            region, simplify_sequence, simplify_atol
         )
+        # diagonal trick: bra index = ket index contracts straight to
+        # the probability diagonal p_i = rho_ii (reference exact.py:828)
+        from ...ops.contraction import contract_backend
+
+        kix = tuple(self.ket_site_ind(q) for q in where)
+        with contract_backend("numpy"):
+            nm_lc.reindex_({
+                self.bra_site_ind(q): self.ket_site_ind(q)
+                for q in region
+                if self.bra_site_ind(q) in nm_lc.ind_map
+            })
+            if fix:
+                nm_lc.isel_({
+                    self.ket_site_ind(q): int(v) for q, v in fix.items()
+                    if self.ket_site_ind(q) in nm_lc.ind_map
+                })
+            nm_lc.full_simplify_(
+                seq=simplify_sequence, atol=simplify_atol,
+                output_inds=kix,
+            )
         if mesh is not None:
             from ...parallel import contract_tn_mesh
 
             data = contract_tn_mesh(
-                rho_tn, mesh=mesh, output_inds=(*kix, *bix),
-                optimize=optimize,
+                nm_lc, mesh=mesh, output_inds=kix, optimize=optimize,
             )
         else:
-            data = rho_tn.contract(
-                ..., output_inds=(*kix, *bix), optimize=optimize,
-                preserve_tensor=True, **contract_opts,
-            ).data
-        d = 2 ** len(where)
-        rho = jnp.reshape(data, (d, d))
-        p = np.clip(np.asarray(jnp.real(jnp.diag(rho))), 0, None)
+            with _auto_host_backend(
+                nm_lc, optimize, contract_opts.pop("backend", None)
+            ):
+                data = nm_lc.contract(
+                    ..., output_inds=kix, optimize=optimize,
+                    preserve_tensor=True, **contract_opts,
+                ).data
+        if not isinstance(data, np.ndarray):
+            from ...ops.backend import to_host
+
+            data = to_host(data)
+        p = np.clip(np.real(np.reshape(data, (-1,))), 0, None)
         self._marginal_cache[key] = p
         return p
+
+    def _get_norm_lightcone_simplified(self, region, seq, atol):
+        """Cached: the lightcone norm network <psi|psi> with the ket
+        AND bra indices of ``region`` left open, fully simplified.
+        Returns a fresh copy each call."""
+        key = (region, seq, atol)
+        cached = self._lightcone_cache.get(key)
+        if cached is None:
+            from ...ops.backend import to_host
+            from ...ops.contraction import contract_backend
+
+            psi = self.get_psi_reverse_lightcone(region)
+            bra = psi.H
+            kix = [self.ket_site_ind(q) for q in region]
+            bix = [self.bra_site_ind(q) for q in region]
+            bra.reindex_(dict(zip(kix, bix)))
+            bra.mangle_inner_()
+            tn = psi & bra
+            with contract_backend("numpy"):
+                # fully host-resident: the per-sample isel / final
+                # simplify / small marginal contractions then never
+                # touch the device
+                tn.apply_to_arrays(to_host)
+                tn.full_simplify_(
+                    seq=seq, atol=atol, output_inds=(*kix, *bix),
+                )
+            self._lightcone_cache[key] = cached = tn
+        return cached.copy()
 
     def calc_qubit_ordering(self, qubits=None, method="greedy-lightcone"):
         """Order qubits by increasing reverse-lightcone size
@@ -762,7 +854,7 @@ class Circuit(CircuitBase):
             sizes[q] = len(cone)
         return tuple(sorted(sizes, key=sizes.get))
 
-    def sample(self, C, qubits=None, order=None, group_size=1,
+    def sample(self, C, qubits=None, order=None, group_size=10,
                seed=None, optimize="auto", simplify_sequence="ADCR",
                simplify_atol=1e-12, mesh=None, **contract_opts):
         """Generate ``C`` samples via chain-rule marginals with caching

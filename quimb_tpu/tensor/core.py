@@ -537,7 +537,12 @@ class Tensor:
 
     @property
     def shape(self):
-        return tuple(jnp.shape(self._data))
+        # hot accessor: jax and numpy arrays both expose .shape as a
+        # tuple of ints directly (PArray too); avoid jnp dispatch
+        try:
+            return self._data.shape
+        except AttributeError:
+            return tuple(jnp.shape(self._data))
 
     @property
     def ndim(self):
@@ -545,7 +550,7 @@ class Tensor:
 
     @property
     def size(self):
-        return int(np.prod(self.shape)) if self.shape else 1
+        return math.prod(self.shape)
 
     @property
     def dtype(self):

@@ -28,11 +28,15 @@ from .core import Tensor, bonds, rand_uuid, tags_to_oset, tensor_contract
 
 
 def _gate_to_tensor(G, dp_out, dp_in):
-    """Reshape a raw gate array to (out..., in...) tensor form."""
-    G = jnp.asarray(G)
+    """Reshape a raw gate array to (out..., in...) tensor form.
+    Host (numpy) gate arrays stay on host — the lazy circuit
+    simulators keep tiny gate tensors off-device until the final
+    compiled contraction."""
+    xp = np if isinstance(G, np.ndarray) else jnp
+    G = xp.asarray(G)
     n = len(dp_out)
     if G.ndim == 2:
-        G = jnp.reshape(G, (*dp_out, *dp_in))
+        G = xp.reshape(G, (*dp_out, *dp_in))
     elif G.ndim != 2 * n:
         raise ValueError(
             f"gate with {G.ndim} dims doesn't match {n} indices"
@@ -44,6 +48,22 @@ def gate_split_gate(G, n, dp, cutoff=1e-12):
     """Spatially factor a 2-site gate G into two site operators connected
     by a new bond (reference 'split-gate' mode)."""
     # G has inds (o0, o1, i0, i1); group (o0,i0),(o1,i1)
+    if isinstance(G, np.ndarray):
+        # host path: a (d^2, d^2) SVD is microscopic — numpy beats an
+        # XLA dispatch by orders of magnitude
+        G4 = np.reshape(G, (dp[0], dp[1], dp[0], dp[1]))
+        Gm = np.reshape(np.transpose(G4, (0, 2, 1, 3)),
+                        (dp[0] * dp[0], dp[1] * dp[1]))
+        u, s, vh = np.linalg.svd(Gm, full_matrices=False)
+        keep = int(np.sum(s > cutoff * s[0])) if s.size else 0
+        keep = max(keep, 1)
+        ss = np.sqrt(s[:keep])
+        l = u[:, :keep] * ss
+        r = ss[:, None] * vh[:keep]
+        Gl = np.reshape(l, (dp[0], dp[0], keep))
+        Gr = np.reshape(np.ascontiguousarray(r.T),
+                        (dp[1], dp[1], keep))
+        return Gl, Gr, keep
     G4 = jnp.reshape(jnp.asarray(G), (dp[0], dp[1], dp[0], dp[1]))
     Gm = jnp.reshape(jnp.transpose(G4, (0, 2, 1, 3)),
                      (dp[0] * dp[0], dp[1] * dp[1]))

@@ -40,45 +40,68 @@ def rank_simplify(tn, output_inds=None, inplace=False, equalize_norms=False,
     This absorbs scalars, vectors, and 'free' matmuls."""
     tn = tn if inplace else tn.copy()
     output_inds = _output_inds_of(tn, output_inds)
+    output_set = set(output_inds)
 
-    queue = list(tn.tensor_map)
+    # local index-size cache: sizes are immutable per index name, and
+    # tn.ind_size is a multi-lookup chain — this loop is the hottest
+    # host-side path in circuit sampling
+    sizes = {}
+
+    def ind_size(ix):
+        sz = sizes.get(ix)
+        if sz is None:
+            sizes[ix] = sz = tn.ind_size(ix)
+        return sz
+
+    ind_map = tn.ind_map
+    tensor_map = tn.tensor_map
+
+    queue = list(tensor_map)
     while queue:
         tid = queue.pop()
-        if tid not in tn.tensor_map:
+        if tid not in tensor_map:
             continue
-        t = tn.tensor_map[tid]
+        t = tensor_map[tid]
+        t_inds = t.inds
 
         # rank-0/1 tensors: absorb into any neighbor
-        neighbors = oset()
-        for ix in t.inds:
-            neighbors.update(tn.ind_map[ix])
+        neighbors = set()
+        for ix in t_inds:
+            neighbors.update(ind_map[ix])
         neighbors.discard(tid)
 
-        if not t.inds and tn.num_tensors > 1:
+        if not t_inds and tn.num_tensors > 1:
             # scalar: multiply into any tensor
             tn._pop_tensor(tid)
-            other = next(iter(tn.tensor_map.values()))
+            other = next(iter(tensor_map.values()))
             other.modify(apply=lambda d: d * t.data)
             continue
 
+        t_ind_set = set(t_inds)
+        t_size = t.size
         best = None
         for otid in neighbors:
-            o = tn.tensor_map[otid]
-            shared = [ix for ix in t.inds if ix in o.inds]
+            o = tensor_map[otid]
+            o_inds = o.inds
+            o_ind_set = set(o_inds)
+            shared = t_ind_set & o_ind_set
+            cap = max(t_size, o.size)
             # output size of the contraction
             out_sz = 1
-            out_nd = 0
-            for ix in dict.fromkeys(t.inds + o.inds):
-                cnt = (ix in t.inds) + (ix in o.inds)
-                keep = (
-                    ix in output_inds
-                    or len(tn.ind_map[ix]) > cnt
-                    or t.inds.count(ix) + o.inds.count(ix) > cnt
-                )
-                if keep or ix not in shared:
-                    out_sz *= tn.ind_size(ix)
-                    out_nd += 1
-            if out_sz <= max(t.size, o.size):
+            for ix in dict.fromkeys(t_inds + o_inds):
+                if ix in shared:
+                    # shared index: only contributes to the output if
+                    # kept (output / hyper / intra-tensor repeat)
+                    if not (
+                        ix in output_set
+                        or len(ind_map[ix]) > 2
+                        or t_inds.count(ix) + o_inds.count(ix) > 2
+                    ):
+                        continue
+                out_sz *= ind_size(ix)
+                if out_sz > cap:
+                    break
+            else:
                 if best is None or out_sz < best[0]:
                     best = (out_sz, otid)
         if best is not None:
@@ -142,7 +165,7 @@ def diagonal_reduce(tn, output_inds=None, atol=1e-12, inplace=False,
             la = [label[ix] if k != j else label[ixi]
                   for k, ix in enumerate(t.inds)]
             lo = [label[ix] for ix in new_inds]
-            new_data = jnp.einsum(t.data, la, lo)
+            new_data = np.einsum(ar.to_host(t.data), la, lo)
             t.modify(data=new_data, inds=new_inds, left_inds=None)
             # reindex all other tensors ixj -> ixi (making a hyper edge)
             for otid in tuple(tn.ind_map.get(ixj, ())):
@@ -381,23 +404,29 @@ def full_simplify(
     """Repeatedly apply the rewrites in ``seq`` until the network stops
     shrinking (reference ``full_simplify`` tensor_core.py:11467).
     Default sequence 'ADCR'; use 'ADCRS' / 'ADCRSL' for more effort."""
+    from ..ops.contraction import contract_backend
+
     tn = tn if inplace else tn.copy()
     if output_inds is None:
         output_inds = tn.outer_inds()
 
     old_nt, old_ni = -1, -1
     nt, ni = tn.num_tensors, tn.num_indices
-    while (nt, ni) != (old_nt, old_ni) and nt > 1:
-        for meth in seq:
-            fn = _FULL_SIMPLIFY_FUNCS[meth]
-            opts = {}
-            if meth in "DAC":
-                opts["atol"] = atol
-            if meth in "DRACP":
-                opts["output_inds"] = output_inds
-            fn(tn, inplace=True, **opts)
-        old_nt, old_ni = nt, ni
-        nt, ni = tn.num_tensors, tn.num_indices
+    # the rewrites are host-side setup-time graph surgery on small
+    # tensors: run their arithmetic through numpy (one host fetch per
+    # touched tensor) rather than compiling an XLA program per tiny op
+    with contract_backend("numpy"):
+        while (nt, ni) != (old_nt, old_ni) and nt > 1:
+            for meth in seq:
+                fn = _FULL_SIMPLIFY_FUNCS[meth]
+                opts = {}
+                if meth in "DAC":
+                    opts["atol"] = atol
+                if meth in "DRACP":
+                    opts["output_inds"] = output_inds
+                fn(tn, inplace=True, **opts)
+            old_nt, old_ni = nt, ni
+            nt, ni = tn.num_tensors, tn.num_indices
     if equalize_norms:
         tn.equalize_norms_()
     return tn

@@ -225,6 +225,17 @@ class LRU(collections.abc.MutableMapping):
     def __contains__(self, key):
         return key in self._store
 
+    def copy(self):
+        """Independent LRU with the same contents and capacity.
+        Important: objects holding LRU caches (e.g. circuits) copy
+        attribute-wise — without this the *same* cache would be shared
+        between the copies and stale entries would leak across them."""
+        new = type(self)(self.maxsize)
+        new._store = dict(self._store)
+        return new
+
+    __copy__ = copy
+
     def __repr__(self):
         return f"LRU(maxsize={self.maxsize}, size={len(self._store)})"
 
