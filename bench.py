@@ -149,8 +149,12 @@ def main():
         # rank cap; one more fills the bonds, one settles
         schedule += [CHI] * (3 if on_tpu else 2)
     for mb in schedule:
+        tw = time.perf_counter()
         en = dmrg.sweep("R", max_bond=mb, cutoff=0.0)
         dmrg.energies.append(en)
+        print(f"[bench] warmup sweep max_bond={mb}: "
+              f"{time.perf_counter() - tw:.1f}s en={en:.6f}",
+              file=sys.stderr, flush=True)
     jax.block_until_ready(dmrg._A[0])
 
     # flop count per sweep from the actual bond dimensions
@@ -173,9 +177,12 @@ def main():
     # fused left-scan), then time alternating R/L sweeps: alternation
     # keeps the state canonical so no re-canonization pass is needed
     # between sweeps — the production sweep loop
+    tw = time.perf_counter()
     en = dmrg.sweep("L", max_bond=CHI, cutoff=0.0, canonize=False)
     dmrg.energies.append(en)
     jax.block_until_ready(dmrg._A[0])
+    print(f"[bench] warmup L sweep: {time.perf_counter() - tw:.1f}s",
+          file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     for k in range(NSWEEP):
