@@ -202,17 +202,24 @@ def main():
     # state instead (an upper bound on E0 up to f32 contraction noise).
     import jax.numpy as jnp
 
+    # one jitted program for the whole <psi|H|psi> / <psi|psi> chain:
+    # an eager per-site loop would dispatch ~2L kernels through the
+    # remote TPU tunnel and compile ~2x(distinct edge shapes) tiny
+    # programs, which costs more wall time than the timed sweeps.
     @jax.jit
-    def _nrm_step(n, A):
-        return jnp.einsum("bk,bda,kdx->ax", n, jnp.conj(A), A)
+    def _variational_energy(As, Ws):
+        env = jnp.ones((1, 1, 1), dtype=As[0].dtype)
+        nrm = jnp.ones((1, 1), dtype=As[0].dtype)
+        for A, W in zip(As, Ws):
+            env = D._env_step_right.__wrapped__(env, jnp.conj(A), W, A)
+            nrm = jnp.einsum("bk,bda,kdx->ax", nrm, jnp.conj(A), A)
+        return jnp.real(env.reshape(())), jnp.real(nrm.reshape(()))
 
-    env = jnp.ones((1, 1, 1), dtype=dmrg._A[0].dtype)
-    nrm = jnp.ones((1, 1), dtype=dmrg._A[0].dtype)
-    for A, W in zip(dmrg._A, dmrg._W):
-        env = D._env_step_right(env, jnp.conj(A), W, A)
-        nrm = _nrm_step(nrm, A)
-    e_num = float(jnp.real(env.reshape(())))
-    e_den = float(jnp.real(nrm.reshape(())))
+    tw = time.perf_counter()
+    e_num, e_den = map(float, _variational_energy(
+        tuple(dmrg._A), tuple(dmrg._W)))
+    print(f"[bench] energy validation: {time.perf_counter() - tw:.1f}s",
+          file=sys.stderr, flush=True)
     energy_var = e_num / e_den
 
     # E_REF measured once by converged f64 CPU DMRG2 (chi=64,
