@@ -40,10 +40,11 @@ _VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def pallas_enabled():
-    # default-off until the kernel is A/B-validated on the real chip
-    # for a given build (flip with QUIMB_TPU_PALLAS=1; the TPU watch
-    # script benches both paths)
-    return HAS_PALLAS and os.environ.get("QUIMB_TPU_PALLAS", "0") == "1"
+    # default-on: the grid-streamed kernel is A/B-validated on the real
+    # chip at the production χ=256 config (0.26 ms vs 1.28 ms for the
+    # einsum sandwich, rel err 2e-7 vs the highest-precision path —
+    # docs/performance.md). QUIMB_TPU_PALLAS=0 disables.
+    return HAS_PALLAS and os.environ.get("QUIMB_TPU_PALLAS", "1") != "0"
 
 
 def _on_tpu_backend():
@@ -65,27 +66,38 @@ def _on_tpu_backend():
 
 
 def _sandwich_kernel(a_ref, th_ref, b_ref, out_ref):
-    """out = sum_x a[x] @ th @ b[x], fully VMEM-resident.
+    """One grid step of ``out = sum_x a[x] @ th @ b[x]``.
 
-    a: (w, M, K1), th: (K1, K2), b: (w, K2, N), out: (M, N).
-    The x-loop is unrolled at trace time (w is small: the MPO bond),
-    each step two MXU dots; the accumulator lives in registers/VMEM.
+    The grid runs over the MPO bond ``x`` (sequential on TPU), so only
+    one ``(M, K1)`` / ``(K2, N)`` slab pair is VMEM-resident at a time
+    — Mosaic double-buffers the next pair in from HBM while the MXU
+    works — and the output block is revisited as the accumulator.
+    Holding all ``w`` slabs at once (the previous design) blows the
+    16 MB scoped-VMEM limit at the χ=256 production sizes.
     """
-    w = a_ref.shape[0]
-    th = th_ref[:]
-    acc = jnp.zeros(out_ref.shape, dtype=jnp.float32)
-    for x in range(w):
-        t = jnp.dot(a_ref[x], th, preferred_element_type=jnp.float32)
-        acc = acc + jnp.dot(
-            t, b_ref[x], preferred_element_type=jnp.float32
-        )
-    out_ref[:] = acc.astype(out_ref.dtype)
+    x = pl.program_id(0)
+    t = jnp.dot(a_ref[0], th_ref[...],
+                preferred_element_type=jnp.float32)
+    contrib = jnp.dot(t, b_ref[0],
+                      preferred_element_type=jnp.float32)
+
+    @pl.when(x == 0)
+    def _init():
+        out_ref[...] = contrib.astype(out_ref.dtype)
+
+    @pl.when(x != 0)
+    def _accum():
+        out_ref[...] = (
+            out_ref[...].astype(jnp.float32) + contrib
+        ).astype(out_ref.dtype)
 
 
 def _vmem_bytes(w, M, K1, K2, N, itemsize):
-    # a + th + b + out + one (M, K2) intermediate
+    # per-grid-step footprint: one a-slab + one b-slab (x2 for Mosaic
+    # double buffering of the streamed inputs), resident th + out, and
+    # the (M, K2) intermediate
     return itemsize * (
-        w * M * K1 + K1 * K2 + w * K2 * N + M * N + M * K2
+        2 * M * K1 + K1 * K2 + 2 * K2 * N + M * N + M * K2
     )
 
 
@@ -110,13 +122,14 @@ def sandwich_matvec(a, theta, b, interpret=False):
     K2, N = theta.shape[1], b.shape[2]
     return pl.pallas_call(
         _sandwich_kernel,
+        grid=(w,),
         out_shape=jax.ShapeDtypeStruct((M, N), theta.dtype),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, K1), lambda x: (x, 0, 0)),
+            pl.BlockSpec((K1, K2), lambda x: (0, 0)),
+            pl.BlockSpec((1, K2, N), lambda x: (x, 0, 0)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((M, N), lambda x: (0, 0)),
         cost_estimate=pl.CostEstimate(
             flops=2 * w * (M * K1 * K2 + M * K2 * N),
             bytes_accessed=_vmem_bytes(
