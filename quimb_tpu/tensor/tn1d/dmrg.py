@@ -57,6 +57,11 @@ def get_default_opts(cyclic=False):
         "bond_expand_rand_strength": 1e-6,
         "local_eig_tol": 1e-3,
         "local_eig_ncv": 4,
+        # ncv used by a sweep is max(2*local_eig_ncv, local_eig_ncv_floor):
+        # the floor keeps early (far-from-converged) sweeps robust;
+        # steady-state loops may lower it to shrink the serial Lanczos
+        # chain, the dominant cost of a converged f32 sweep
+        "local_eig_ncv_floor": 8,
         "local_eig_backend": None,
         "local_eig_maxiter": None,
         # with per-sweep warm starts a single ncv~8 Lanczos pass
@@ -928,7 +933,8 @@ class DMRG:
             # no cutoff masking requested: the pure subspace split
             # (no Rayleigh-Ritz rotation) is sufficient and cheapest
             split_method = "svd:sub0"
-        ncv = max(self.opts["local_eig_ncv"] * 2, 8)
+        ncv = max(self.opts["local_eig_ncv"] * 2,
+                  self.opts.get("local_eig_ncv_floor", 8))
         restarts = self.opts["local_eig_restarts"]
         dtype = self._A[0].dtype
         mbd = max_bond if max_bond is not None else -1
@@ -1035,7 +1041,8 @@ class DMRG:
             # no cutoff masking requested: the pure subspace split
             # (no Rayleigh-Ritz rotation) is sufficient and cheapest
             split_method = "svd:sub0"
-        ncv = max(self.opts["local_eig_ncv"] * 2, 8)
+        ncv = max(self.opts["local_eig_ncv"] * 2,
+                  self.opts.get("local_eig_ncv_floor", 8))
         restarts = self.opts["local_eig_restarts"]
         dtype = self._A[0].dtype
         mbd = max_bond if max_bond is not None else -1
