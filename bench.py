@@ -34,11 +34,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _tpu_tunnel_alive(timeout=240):
+def _tpu_tunnel_alive(timeout=150):
     """Probe the TPU tunnel in a subprocess: if the backend wedges (the
     tunnel worker can crash and hang every jax init for a while), the
-    probe times out and we fall back to CPU rather than hanging the
-    whole benchmark."""
+    probe times out and we retry rather than hanging the whole
+    benchmark."""
     try:
         r = subprocess.run(
             [sys.executable, "-c",
@@ -51,13 +51,37 @@ def _tpu_tunnel_alive(timeout=240):
         return False
 
 
-def _reexec_cpu_fallback():
+def _wait_for_tpu_tunnel(max_wait=25 * 60, retry_sleep=120):
+    """Retry-probe the tunnel for up to ``max_wait`` seconds before
+    giving up: the tunnel's known failure mode is a multi-minute wedge
+    that recovers by itself (docs/performance.md "Measurement
+    caveats"), so a single probe throws away a perfectly good chip.
+    Returns (alive, probe_history)."""
+    history = []
+    t0 = time.time()
+    while True:
+        tp = time.time()
+        ok = _tpu_tunnel_alive()
+        history.append(
+            f"t+{tp - t0:.0f}s {'ok' if ok else 'timeout'}"
+        )
+        print(f"[bench] tpu probe: {history[-1]}", file=sys.stderr,
+              flush=True)
+        if ok:
+            return True, history
+        if time.time() - t0 + retry_sleep > max_wait:
+            return False, history
+        time.sleep(retry_sleep)
+
+
+def _reexec_cpu_fallback(history):
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["PYTHONPATH"] = ""
     env["JAX_PLATFORMS"] = "cpu"
     env["BENCH_FORCE_CPU"] = "1"
     env["BENCH_TPU_UNAVAILABLE"] = "1"
+    env["BENCH_PROBE_HISTORY"] = "; ".join(history)
     env.setdefault("BENCH_SWEEPS", "1")
     os.execve(sys.executable, [sys.executable, *sys.argv], env)
 
@@ -65,9 +89,13 @@ def _reexec_cpu_fallback():
 if (
     not os.environ.get("BENCH_FORCE_CPU")
     and os.environ.get("PALLAS_AXON_POOL_IPS")
-    and not _tpu_tunnel_alive()
 ):
-    _reexec_cpu_fallback()
+    _alive, _history = _wait_for_tpu_tunnel(
+        max_wait=int(os.environ.get("BENCH_TPU_MAX_WAIT", 25 * 60))
+    )
+    if not _alive:
+        _reexec_cpu_fallback(_history)
+    os.environ["BENCH_PROBE_HISTORY"] = "; ".join(_history)
 
 
 def flops_2site_matvec(cl, cm, cr, d, w):
@@ -206,12 +234,15 @@ def main():
     # an eager per-site loop would dispatch ~2L kernels through the
     # remote TPU tunnel and compile ~2x(distinct edge shapes) tiny
     # programs, which costs more wall time than the timed sweeps.
+    _env_step = getattr(D._env_step_right, "__wrapped__",
+                        D._env_step_right)
+
     @jax.jit
     def _variational_energy(As, Ws):
         env = jnp.ones((1, 1, 1), dtype=As[0].dtype)
         nrm = jnp.ones((1, 1), dtype=As[0].dtype)
         for A, W in zip(As, Ws):
-            env = D._env_step_right.__wrapped__(env, jnp.conj(A), W, A)
+            env = _env_step(env, jnp.conj(A), W, A)
             nrm = jnp.einsum("bk,bda,kdx->ax", nrm, jnp.conj(A), A)
         return jnp.real(env.reshape(())), jnp.real(nrm.reshape(()))
 

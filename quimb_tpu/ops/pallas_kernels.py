@@ -65,15 +65,19 @@ def _on_tpu_backend():
         return False
 
 
-def _sandwich_kernel(a_ref, th_ref, b_ref, out_ref):
+def _sandwich_kernel(a_ref, th_ref, b_ref, out_ref, acc_ref):
     """One grid step of ``out = sum_x a[x] @ th @ b[x]``.
 
     The grid runs over the MPO bond ``x`` (sequential on TPU), so only
     one ``(M, K1)`` / ``(K2, N)`` slab pair is VMEM-resident at a time
     — Mosaic double-buffers the next pair in from HBM while the MXU
-    works — and the output block is revisited as the accumulator.
-    Holding all ``w`` slabs at once (the previous design) blows the
-    16 MB scoped-VMEM limit at the χ=256 production sizes.
+    works. Holding all ``w`` slabs at once (the previous design) blows
+    the 16 MB scoped-VMEM limit at the χ=256 production sizes.
+
+    Partial sums accumulate in an f32 VMEM scratch (``acc_ref``) and
+    are cast to the output dtype exactly once on the last grid step —
+    with bf16 inputs/outputs, round-tripping the accumulator through
+    ``out_ref`` every step would lose the single-rounding guarantee.
     """
     x = pl.program_id(0)
     t = jnp.dot(a_ref[0], th_ref[...],
@@ -83,22 +87,31 @@ def _sandwich_kernel(a_ref, th_ref, b_ref, out_ref):
 
     @pl.when(x == 0)
     def _init():
-        out_ref[...] = contrib.astype(out_ref.dtype)
+        acc_ref[...] = contrib
 
     @pl.when(x != 0)
     def _accum():
-        out_ref[...] = (
-            out_ref[...].astype(jnp.float32) + contrib
-        ).astype(out_ref.dtype)
+        acc_ref[...] += contrib
+
+    @pl.when(x == pl.num_programs(0) - 1)
+    def _store():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
 def _vmem_bytes(w, M, K1, K2, N, itemsize):
     # per-grid-step footprint: one a-slab + one b-slab (x2 for Mosaic
-    # double buffering of the streamed inputs), resident th + out, and
-    # the (M, K2) intermediate
+    # double buffering of the streamed inputs), resident th + out, the
+    # (M, K2) intermediate, and the f32 accumulator scratch
     return itemsize * (
         2 * M * K1 + K1 * K2 + 2 * K2 * N + M * N + M * K2
-    )
+    ) + 4 * M * N
+
+
+def _hbm_bytes(w, M, K1, K2, N, itemsize):
+    # total HBM traffic over the whole grid: every a/b slab streamed
+    # once, theta read once, output written once (the accumulator
+    # lives in VMEM scratch)
+    return itemsize * (w * (M * K1 + K2 * N) + K1 * K2 + M * N)
 
 
 def sandwich_fits_vmem(w, M, K1, K2, N, itemsize=4):
@@ -130,9 +143,10 @@ def sandwich_matvec(a, theta, b, interpret=False):
             pl.BlockSpec((1, K2, N), lambda x: (x, 0, 0)),
         ],
         out_specs=pl.BlockSpec((M, N), lambda x: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((M, N), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * w * (M * K1 * K2 + M * K2 * N),
-            bytes_accessed=_vmem_bytes(
+            bytes_accessed=_hbm_bytes(
                 w, M, K1, K2, N, theta.dtype.itemsize
             ),
             transcendentals=0,

@@ -166,10 +166,45 @@ def _heff_matvec_1site(LW, R, theta):
     return jnp.einsum("auxr,bxr->aub", T, R)
 
 
-@functools.partial(jax.jit, static_argnames=("ncv", "restarts"))
-def _local_solve_2site(L, W1, W2, R, theta0, ncv, restarts):
+def _overlap_norm_2site(L, R, v):
+    """Exact ⟨ψ|ψ⟩ of the full MPS with 2-site tensor ``v`` (k,p,q,r),
+    read off the environments' MPO *identity channels*: for a
+    Schur-form MPO (W[0,0] = I upper-left, W[-1,-1] = I lower-right —
+    the form every FSM/SpinHam builder here emits), the left
+    H-environment's channel 0 is exactly the pure-identity string,
+    i.e. the norm environment, and the right environment's last
+    channel likewise. Zero extra environment bookkeeping."""
+    nL = L[:, 0, :]    # (bra_bond a, ket_bond k)
+    nR = R[:, -1, :]   # (bra_bond b, ket_bond r)
+    t = jnp.einsum("ak,kpqr->apqr", nL, v)
+    t = jnp.einsum("apqr,br->apqb", t, nR)
+    return jnp.real(jnp.einsum("apqb,apqb->", jnp.conj(v), t))
+
+
+def _overlap_norm_1site(L, R, v):
+    """1-site variant of :func:`_overlap_norm_2site`; v is (k,p,r)."""
+    nL = L[:, 0, :]
+    nR = R[:, -1, :]
+    t = jnp.einsum("ak,kpr->apr", nL, v)
+    t = jnp.einsum("apr,br->apb", t, nR)
+    return jnp.real(jnp.einsum("apb,apb->", jnp.conj(v), t))
+
+
+@functools.partial(jax.jit, static_argnames=("ncv", "restarts",
+                                             "norm_energy"))
+def _local_solve_2site(L, W1, W2, R, theta0, ncv, restarts,
+                       norm_energy=True):
     """Restarted-Lanczos ground state of the 2-site effective
-    Hamiltonian. Returns (energy, theta)."""
+    Hamiltonian. Returns (energy, theta).
+
+    With ``norm_energy`` (default) the returned energy is the exact
+    variational Rayleigh quotient ⟨ψ|H|ψ⟩/⟨ψ|ψ⟩ of the full updated
+    MPS: the Lanczos Ritz value equals ⟨θ|Heff|θ⟩ = ⟨ψ|H|ψ⟩ for the
+    normalized Ritz vector θ, and ⟨ψ|ψ⟩ is read off the environments'
+    identity channels (:func:`_overlap_norm_2site`). Without it, the
+    raw Ritz value silently assumes orthonormal environments, which
+    canonize-free f32 sweep alternation violates — the reported
+    energies then break the variational bound (can dip *below* E0)."""
     from ...linalg.lanczos import _lanczos_basis, _tridiag_eigh
     from ...ops import pallas_kernels as pk
 
@@ -211,11 +246,15 @@ def _local_solve_2site(L, W1, W2, R, theta0, ncv, restarts):
         vflat = coeff @ V
         vflat = vflat / jnp.linalg.norm(vflat)
         v = jnp.reshape(vflat, theta0.shape)
+    if norm_energy:
+        lam = lam / _overlap_norm_2site(L, R, v)
     return lam, v
 
 
-@functools.partial(jax.jit, static_argnames=("ncv", "restarts"))
-def _local_solve_1site(L, W, R, theta0, ncv, restarts):
+@functools.partial(jax.jit, static_argnames=("ncv", "restarts",
+                                             "norm_energy"))
+def _local_solve_1site(L, W, R, theta0, ncv, restarts,
+                       norm_energy=True):
     from ...linalg.lanczos import _lanczos_basis, _tridiag_eigh
     from ...ops import pallas_kernels as pk
 
@@ -249,6 +288,8 @@ def _local_solve_1site(L, W, R, theta0, ncv, restarts):
         vflat = coeff @ V
         vflat = vflat / jnp.linalg.norm(vflat)
         v = jnp.reshape(vflat, theta0.shape)
+    if norm_energy:
+        lam = lam / _overlap_norm_1site(L, R, v)
     return lam, v
 
 
@@ -293,9 +334,11 @@ def _split_2site(theta, max_bond, cutoff, absorb, method="svd"):
 
 
 @functools.partial(jax.jit, static_argnames=("ncv", "restarts",
-                                             "max_bond", "method"))
+                                             "max_bond", "method",
+                                             "norm_energy"))
 def _bulk_sweep_right(lenv0, A0, Anexts, W1s, W2s, renvs, cutoff, ncv,
-                      restarts, max_bond, method="svd"):
+                      restarts, max_bond, method="svd",
+                      norm_energy=True):
     """Scan the 2-site update over a uniform-shape site range, moving
     right. Returns (lenv, A_carry, stacked new left tensors,
     energies)."""
@@ -305,7 +348,8 @@ def _bulk_sweep_right(lenv0, A0, Anexts, W1s, W2s, renvs, cutoff, ncv,
         W1, W2, Anext, renv = x
         theta0 = jnp.einsum("kpc,cqr->kpqr", Acur, Anext)
         en, theta = _local_solve_2site(
-            lenv, W1, W2, renv, theta0, ncv=ncv, restarts=restarts
+            lenv, W1, W2, renv, theta0, ncv=ncv, restarts=restarts,
+            norm_energy=norm_energy,
         )
         N1, N2, _ = _split_2site(
             theta, max_bond=max_bond, cutoff=cutoff, absorb="right",
@@ -321,9 +365,11 @@ def _bulk_sweep_right(lenv0, A0, Anexts, W1s, W2s, renvs, cutoff, ncv,
 
 
 @functools.partial(jax.jit, static_argnames=("ncv", "restarts",
-                                             "max_bond", "method"))
+                                             "max_bond", "method",
+                                             "norm_energy"))
 def _bulk_sweep_left(renv0, A0, Aprevs, W1s, W2s, lenvs, cutoff, ncv,
-                     restarts, max_bond, method="svd"):
+                     restarts, max_bond, method="svd",
+                     norm_energy=True):
     """Scan the 2-site update over a uniform range, moving left."""
 
     def body(carry, x):
@@ -331,7 +377,8 @@ def _bulk_sweep_left(renv0, A0, Aprevs, W1s, W2s, lenvs, cutoff, ncv,
         W1, W2, Aprev, lenv = x
         theta0 = jnp.einsum("kpc,cqr->kpqr", Aprev, Acur)
         en, theta = _local_solve_2site(
-            lenv, W1, W2, renv, theta0, ncv=ncv, restarts=restarts
+            lenv, W1, W2, renv, theta0, ncv=ncv, restarts=restarts,
+            norm_energy=norm_energy,
         )
         N1, N2, _ = _split_2site(
             theta, max_bond=max_bond, cutoff=cutoff, absorb="left",
@@ -626,6 +673,38 @@ def _right_canonize_step(A_next, A):
     return newAnext, newA
 
 
+def _mpo_has_identity_channels(Ws, tol=1e-10):
+    """True when every MPO tensor has Schur (triangular FSM) form —
+    first column ``[I, 0, ..]``ᵀ and last row ``[.., 0, I]`` — so that
+    left environments' channel 0 and right environments' channel -1
+    are exactly the pure-identity (norm) environments. Every builder
+    here (SpinHam1D, the FSM ``operator.builder``) emits this form.
+
+    The first-column condition is only needed on sites feeding a left
+    environment (all but the last); the last-row condition on sites
+    feeding a right environment (all but the first) — the boundary
+    row/column vectors hold the accumulated terms in the other slot.
+    """
+    n = len(Ws)
+    for i, W in enumerate(Ws):
+        Wn = np.asarray(W)
+        d = Wn.shape[2]
+        eye = np.eye(d, dtype=Wn.dtype)
+        if i < n - 1:
+            col0 = Wn[:, 0]
+            if not np.allclose(col0[0], eye, atol=tol):
+                return False
+            if col0.shape[0] > 1 and np.abs(col0[1:]).max() > tol:
+                return False
+        if i > 0:
+            rowl = Wn[-1, :]
+            if not np.allclose(rowl[-1], eye, atol=tol):
+                return False
+            if rowl.shape[0] > 1 and np.abs(rowl[:-1]).max() > tol:
+                return False
+    return True
+
+
 class DMRG:
     """Flexible DMRG solver (reference ``DMRG`` dmrg.py:501).
 
@@ -674,6 +753,11 @@ class DMRG:
         self._W = [a.astype(dtype) for a in self._W]
         self._A = [a.astype(dtype)
                    for a in _mps_uniform_arrays(self._k)]
+        # Schur/FSM MPO structure check (host-side, once): with it the
+        # environments' identity channels give ⟨ψ|ψ⟩ for free and the
+        # reported sweep energies are exact variational Rayleigh
+        # quotients; without it fall back to the raw Ritz values.
+        self._norm_energy = _mpo_has_identity_channels(self._W)
 
     def _set_bond_dim_seq(self, bond_dims):
         if isinstance(bond_dims, int):
@@ -978,6 +1062,7 @@ class DMRG:
                         jnp.asarray(cutoff, dtype=rdtype),
                         ncv=ncv, restarts=restarts, max_bond=mbd,
                         method=split_method,
+                        norm_energy=self._norm_energy,
                     )
                     # keep the new bulk stacked; only the two tensors
                     # at the seam need list form
@@ -996,6 +1081,7 @@ class DMRG:
                 en, theta = _local_solve_2site(
                     lenv, self._W[i], self._W[i + 1], renv[i + 2],
                     theta0, ncv=ncv, restarts=restarts,
+                    norm_energy=self._norm_energy,
                 )
                 N1, N2, rank = _split_2site(
                     theta, max_bond=max_bond, cutoff=cutoff,
@@ -1013,6 +1099,7 @@ class DMRG:
                 en, theta = _local_solve_1site(
                     lenv, self._W[i], renv[i + 1], A1,
                     ncv=ncv, restarts=restarts,
+                    norm_energy=self._norm_energy,
                 )
                 if i < self.L - 1:
                     l, p, r = theta.shape
@@ -1087,6 +1174,7 @@ class DMRG:
                         lenvs_in, jnp.asarray(cutoff, dtype=rdtype),
                         ncv=ncv, restarts=restarts, max_bond=mbd,
                         method=split_method,
+                        norm_energy=self._norm_energy,
                     )
                     # emitted right tensors sit at positions i+1 down
                     # to a+2; the carried tensor at a+1
@@ -1107,6 +1195,7 @@ class DMRG:
                 en, theta = _local_solve_2site(
                     lenvs[i], self._W[i], self._W[i + 1], renv,
                     theta0, ncv=ncv, restarts=restarts,
+                    norm_energy=self._norm_energy,
                 )
                 N1, N2, rank = _split_2site(
                     theta, max_bond=max_bond, cutoff=cutoff,
@@ -1124,6 +1213,7 @@ class DMRG:
                 en, theta = _local_solve_1site(
                     lenvs[i], self._W[i], renv, A1,
                     ncv=ncv, restarts=restarts,
+                    norm_energy=self._norm_energy,
                 )
                 if i > 0:
                     l, p, r = theta.shape
