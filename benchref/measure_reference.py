@@ -42,26 +42,47 @@ def main():
     print(f"# warmup sweep: {warm:.1f}s", file=sys.stderr, flush=True)
 
     energies = []
-    t0 = time.perf_counter()
+    sweep_times = []
     for _ in range(NSWEEP):
+        t0 = time.perf_counter()
         energies.append(dmrg.sweep("R"))
+        sweep_times.append(time.perf_counter() - t0)
         print(
             f"# sweep {len(energies)}: E={energies[-1]:.12f} "
-            f"({time.perf_counter() - t0:.1f}s cum)",
+            f"({sweep_times[-1]:.1f}s)",
             file=sys.stderr,
             flush=True,
         )
-    dt = (time.perf_counter() - t0) / NSWEEP
 
+    st = sorted(sweep_times)
+    median = st[len(st) // 2] if len(st) % 2 else (
+        0.5 * (st[len(st) // 2 - 1] + st[len(st) // 2])
+    )
     print(json.dumps({
         "what": "reference jcmgray/quimb DMRG2 sweep (vendor-stub run)",
         "L": L,
         "chi": CHI,
         "nsweep": NSWEEP,
-        "sweep_seconds": round(dt, 3),
+        "sweep_seconds": round(median, 3),
+        "sweep_seconds_each": [round(t, 1) for t in sweep_times],
+        "warmup_seconds": round(warm, 1),
         "energy": energies[-1],
         "dtype": "float64",
         "device": "cpu",
+        "environment": {
+            "nproc": os.cpu_count(),
+            "blas_threads": {
+                k: os.environ.get(k)
+                for k in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                          "MKL_NUM_THREADS")
+            },
+            "numpy": np.__version__,
+            "blas": (np.show_config(mode="dicts")
+                     .get("Build Dependencies", {})
+                     .get("blas", {}).get("name")),
+            "note": ("vendor stubs: numba->noop jit, autoray->numpy, "
+                     "cotengra->opt_einsum; single-core host"),
+        },
     }))
 
 

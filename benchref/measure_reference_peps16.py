@@ -46,7 +46,8 @@ def main():
     psi = su.get_state()
     t0 = time.perf_counter()
     e = psi.compute_local_expectation(
-        ham.terms, max_bond=chi, normalized=True, optimize="greedy",
+        ham.terms, max_bond=chi, normalized=True,
+        contract_optimize="greedy",
     )
     t_en = time.perf_counter() - t0
 
