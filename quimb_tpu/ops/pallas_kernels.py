@@ -100,11 +100,15 @@ def _sandwich_kernel(a_ref, th_ref, b_ref, out_ref, acc_ref):
 
 def _vmem_bytes(w, M, K1, K2, N, itemsize):
     # per-grid-step footprint: one a-slab + one b-slab (x2 for Mosaic
-    # double buffering of the streamed inputs), resident th + out, the
-    # (M, K2) intermediate, and the f32 accumulator scratch
+    # double buffering of the streamed inputs), resident th, the
+    # double-buffered out block, the f32 (M, K2) dot intermediate and
+    # (M, N) contribution, and the f32 accumulator scratch. Mosaic's
+    # scoped-VMEM accounting measured 17.5M for (w=5, M=K1=1024,
+    # K2=N=256, f32) — a model that omits the intermediates/out
+    # double-buffer passes that shape and OOMs at compile time.
     return itemsize * (
-        2 * M * K1 + K1 * K2 + 2 * K2 * N + M * N + M * K2
-    ) + 4 * M * N
+        2 * M * K1 + K1 * K2 + 2 * K2 * N + 2 * M * N
+    ) + 4 * (M * K2 + 2 * M * N)
 
 
 def _hbm_bytes(w, M, K1, K2, N, itemsize):

@@ -3041,6 +3041,12 @@ def _tn_insert_operator(self, A, where1, where2, tags=None,
     (tid2,) = tn._get_tids_from_tags(where2, "all")
     t1, t2 = tn.tensor_map[tid1], tn.tensor_map[tid2]
     (ix,) = bonds(t1, t2)
+    db = t1.ind_size(ix)
+    if A.shape[0] != db:
+        raise ValueError(
+            f"This operator has dimension {A.shape[0]} but needs "
+            f"dimension {db}."
+        )
     new_ix = rand_uuid()
     t1.reindex_({ix: new_ix})
     tn.add_tensor(
@@ -3966,7 +3972,9 @@ def _t_entropy(self, left_inds, method="svd"):
     """Von Neumann entropy of the bipartition (reference
     ``Tensor.entropy``)."""
     s = _t_singular_values(self, left_inds, method=method)
-    p = s**2
+    # some split drivers (e.g. eig on complex input) hand back the
+    # values in a complex container — the spectrum itself is real
+    p = jnp.real(s * jnp.conj(s))
     p = p / jnp.sum(p)
     p = jnp.where(p > 1e-300, p, 1.0)
     return -jnp.sum(p * jnp.log2(p))
@@ -4075,8 +4083,10 @@ def _t_new_ind_pair_with_identity(self, new_left_ind, new_right_ind,
 
 def _t_new_ind_pair_diag(self, ind, new_left_ind, new_right_ind,
                          inplace=False):
-    """Turn index ``ind`` into a diagonal pair of indices (reference
-    ``new_ind_pair_diag``)."""
+    """Turn index ``ind`` into a diagonal pair of indices, inserted at
+    the position of ``ind`` (reference ``new_ind_pair_diag``
+    tensor_core.py:2531 — the docstring example there shows the pair
+    replacing the old index in place, not appended)."""
     from ..ops.contraction import array_contract
 
     t = self if inplace else self.copy()
@@ -4085,14 +4095,16 @@ def _t_new_ind_pair_diag(self, ind, new_left_ind, new_right_ind,
     diag3 = diag3.at[
         jnp.arange(d), jnp.arange(d), jnp.arange(d)
     ].set(1.0)
-    rest = tuple(ix for ix in self.inds if ix != ind)
-    new_data = array_contract(
-        [self.data, diag3],
-        [self.inds, (ind, new_left_ind, new_right_ind)],
-        output=rest + (new_left_ind, new_right_ind),
+    ax = t.inds.index(ind)
+    new_inds = (
+        t.inds[:ax] + (new_left_ind, new_right_ind) + t.inds[ax + 1:]
     )
-    t.modify(data=new_data,
-             inds=rest + (new_left_ind, new_right_ind))
+    new_data = array_contract(
+        [t.data, diag3],
+        [t.inds, (ind, new_left_ind, new_right_ind)],
+        output=new_inds,
+    )
+    t.modify(data=new_data, inds=new_inds)
     return t
 
 
@@ -4423,9 +4435,10 @@ def _tn_reduce_inds_onto_bond(self, inda, indb, tags=None,
 
 
 def _tn_drape_bond_between(self, tagsa, tagsb, tags_target,
+                           left_ind=None, right_ind=None,
                            inplace=False):
     """Reroute the bond between two tensors so it passes through a
-    third (reference ``drape_bond_between``)."""
+    third (reference ``drape_bond_between`` tensor_core.py:8938)."""
     tn = self if inplace else self.copy()
     (tida,) = tn._get_tids_from_tags(tagsa, "all")
     (tidb,) = tn._get_tids_from_tags(tagsb, "all")
@@ -4434,11 +4447,18 @@ def _tn_drape_bond_between(self, tagsa, tagsb, tags_target,
     tt = tn.tensor_map[tidt]
     (ix,) = bonds(ta, tb)
     d = ta.ind_size(ix)
-    mid = rand_uuid()
-    tb.reindex_({ix: mid})
-    tt.new_ind_pair_with_identity_(ix, mid, d)
-    # move the two new axes' names so they connect ta -(ix)- tt and
-    # tt -(mid)- tb: already named so by construction
+    if left_ind is None:
+        left_ind = ix
+    elif left_ind != ix:
+        ta.reindex_({ix: left_ind})
+    if right_ind is None:
+        right_ind = rand_uuid()
+    elif right_ind == left_ind:
+        raise ValueError("right_ind cannot be the same as left_ind")
+    tb.reindex_({ix: right_ind})
+    # the target picks up the identity pair connecting a -(left)- t
+    # and t -(right)- b
+    tt.new_ind_pair_with_identity_(left_ind, right_ind, d)
     return tn
 
 

@@ -148,9 +148,10 @@ def sweep_series(chis, results):
             "executed_tflops": round(tf, 3),
             "per_site_ms": round(dt / (L - 1) * 1e3, 2),
             "energy": float(en),
-            "pallas": pk.use_pallas(),
+            "pallas": pk.pallas_enabled(),
         }
-        results["sweeps"][str(CHI)] = row
+        results["sweeps"][
+            f"chi{CHI}_pallas{int(pk.pallas_enabled())}"] = row
         print(f"[chi={CHI}] {row}", flush=True)
         _save(results)
         del dm, H, p0
@@ -208,7 +209,8 @@ def main():
     print("device:", jax.devices(), flush=True)
     if "matmul_ceiling_tflops" not in results:
         matmul_ceiling(results)
-    kernel_ab(chis, results)
+    if not os.environ.get("CHISCALE_SKIP_KERNEL_AB"):
+        kernel_ab(chis, results)
     sweep_series(chis, results)
     print(json.dumps(results, indent=1))
 
