@@ -655,15 +655,21 @@ class _OpenQasm3(_OpenQasmEngine):
                 f"The following instruction is not supported: {stmt}"
             )
 
-        # assignment to a classical variable (declared or not)
-        m = re.match(r"(\w+)\s*=(?!=)\s*(.+)$", stmt)
+        # assignment to a classical variable (declared or not),
+        # including indexed targets like qiskit's per-qubit
+        # `c[0] = measure q[0];` form
+        m = re.match(r"(\w+)\s*(\[[^\]]+\])?\s*=(?!=)\s*(.+)$", stmt)
         if m:
-            if m.group(2).lstrip().startswith("measure "):
+            name, idx, rhs = m.groups()
+            if rhs.lstrip().startswith("measure "):
                 self.warn_once("measure")
                 return True
-            self.env[m.group(1)] = _eval_expr(
-                m.group(2), self.env, defer=True
-            )
+            if idx is not None:
+                raise NotImplementedError(
+                    f"Indexed classical assignment is not supported: "
+                    f"{stmt}"
+                )
+            self.env[name] = _eval_expr(rhs, self.env, defer=True)
             return True
 
         return False

@@ -1270,6 +1270,16 @@ class Dense1D(TensorNetwork1DVector):
         )
         TensorNetwork.__init__(self, (t,), virtual=True, **tn_opts)
 
+    @classmethod
+    def rand(cls, n, phys_dim=2, dtype="float64", seed=None, **kwargs):
+        """A random normalized dense state on ``n`` sites (reference
+        ``Dense1D.rand`` tn1d/core.py:4467)."""
+        from ...gen.rand import randn
+
+        array = randn((phys_dim,) * n, dtype=dtype, seed=seed)
+        array = array / jnp.linalg.norm(jnp.reshape(array, (-1,)))
+        return cls(array, phys_dim=phys_dim, **kwargs)
+
 
 def gate_TN_1D(tn, G, where, contract=False, tags=None, inplace=False,
                **compress_opts):

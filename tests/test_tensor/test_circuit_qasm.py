@@ -475,6 +475,25 @@ class TestOpenQASM3:
             )
         assert info["n_gates"] == 1
 
+    def test_indexed_measure_assignment_warns(self):
+        # qiskit emits per-qubit measurement as `c[i] = measure q[i];`
+        with pytest.warns(SyntaxWarning) as record:
+            info = parse_openqasm3_str(
+                """
+                OPENQASM 3.0;
+                bit[2] c;
+                qubit[2] q;
+                h q[0];
+                cx q[0], q[1];
+                c[0] = measure q[0];
+                c[1] = measure q[1];
+                """
+            )
+        assert info["n_gates"] == 2
+        # the measure warning fires once, not per statement
+        msgs = [str(w.message) for w in record]
+        assert sum("measure" in m for m in msgs) == 1
+
     def test_gphase_ignored(self):
         with pytest.warns(SyntaxWarning):
             info = parse_openqasm3_str(
