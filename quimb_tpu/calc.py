@@ -558,8 +558,11 @@ def qid(p, dims, inds, precomp_func=False, sparse_comp=True,
 
     p = jnp.asarray(p)
     if norm_func is None:
-        norm_func = lambda x: float(jnp.linalg.norm(
-            jnp.reshape(x, (-1,))))
+        # reference default is the spectral (operator-2) norm
+        # (calc.py:1360 ``norm_func=norm`` with ntype=2)
+        from .linalg.base_linalg import norm_2
+
+        norm_func = lambda x: float(norm_2(x))
 
     def fn(state):
         rho = dop(state)
