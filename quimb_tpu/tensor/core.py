@@ -1159,7 +1159,10 @@ class TensorNetwork:
             tids.discard(tid)
             if not tids:
                 del self.tag_map[tag]
-        for ix in t.inds:
+        # dedupe: a tensor may carry the same index twice (e.g. a
+        # pending self-trace, or a diagonal output of simplification) —
+        # the map entry must only be removed once
+        for ix in dict.fromkeys(t.inds):
             tids = self.ind_map[ix]
             tids.discard(tid)
             if not tids:

@@ -36,6 +36,25 @@ class TestDMRGEnergies:
         want = exact_heis_gs(10, cyclic=True)
         assert dmrg.energy == pytest.approx(want, abs=1e-6)
 
+    @pytest.mark.slow
+    def test_cyclic_L150_with_obc_conversion(self):
+        """PBC at scale (reference
+        test_cyclic_solve_big_with_segmenting, test_dmrg.py:283-289:
+        L=150 ring vs the analytic Bethe energy to rel 1e-3). The
+        reference compresses segment transfer matrices; here the ring
+        MPO is converted to its exact OBC form once (bond 5 -> 8,
+        L-independent) and the standard fused sweeps run unchanged."""
+        from quimb_tpu.calc import heisenberg_energy
+
+        Hm = qtn.MPO_ham_heis(150, cyclic=True)
+        dmrg = qtn.DMRG2(Hm, bond_dims=list(range(10, 30, 2)))
+        # conversion is exact and the bond growth is fixed, not O(L)
+        assert dmrg.ham.max_bond() == 8
+        assert not dmrg.ham.cyclic
+        dmrg.solve(tol=1e-6, max_sweeps=12, verbosity=0)
+        want = heisenberg_energy(150)
+        assert dmrg.energy == pytest.approx(want, rel=1e-3)
+
     def test_energy_monotone_decrease(self):
         """Per-sweep energies decrease monotonically (variational
         property; reference test_dmrg.py:142-181)."""
