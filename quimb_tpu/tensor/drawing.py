@@ -165,6 +165,11 @@ def layout_positions(tn, layout="spring", fix=None, seed=42,
     all_nodes = list(dict.fromkeys(
         itertools.chain(nodes, hyper, outer)
     ))
+    if tn.num_tensors == 1 and fix is None:
+        # single tensor: arrange its dangling indices around it in a
+        # circle (2D) or phyllotaxis sphere (3D) — reference
+        # ``layout_single_tensor`` drawing.py:1267
+        return layout_single_tensor(tn, dim=dim)
     if layout == "circular":
         return _circular_layout(all_nodes, dim)
     if layout == "random":
@@ -198,6 +203,70 @@ def layout_positions(tn, layout="spring", fix=None, seed=42,
         all_nodes, edges, dim=dim, seed=seed, iterations=iterations,
         k=k, fix=fix,
     )
+
+
+def phyllotaxis_points(n):
+    """``n`` roughly equispaced points on the unit sphere (Kogan's
+    phyllotaxis construction — reference ``phyllotaxis_points``
+    drawing.py:1240)."""
+    if n == 1:
+        return [(1.0, 0.0, 0.0)]
+    x = 0.1 + 1.2 * n
+    pts = []
+    start = -1.0 + 1.0 / (n - 1.0)
+    increment = (2.0 - 2.0 / (n - 1.0)) / (n - 1.0)
+    for j in range(n):
+        s = start + j * increment
+        lat = (
+            math.pi / 2.0 * math.copysign(1, s)
+            * (1.0 - math.sqrt(1.0 - abs(s)))
+        )
+        lon = s * x
+        pts.append((
+            math.cos(lon) * math.cos(lat),
+            math.sin(lon) * math.cos(lat),
+            math.sin(lat),
+        ))
+    return pts
+
+
+def layout_single_tensor(tn, dim=2):
+    """Layout the indices of a single-tensor network around it in a
+    circle (2D) or phyllotaxis sphere (3D) — reference
+    ``layout_single_tensor`` drawing.py:1267."""
+    ((tid, t),) = tn.tensor_map.items()
+    pos = {tid: (0.0,) * dim}
+    names = [f"__outer__{ix}" for ix in t.inds]
+    if dim == 2:
+        angles = np.linspace(0, 2 * np.pi, max(t.ndim, 1),
+                             endpoint=False)
+        for name, angle in zip(names, angles):
+            pos[name] = (-math.cos(angle), math.sin(angle))
+    else:
+        for name, coo in zip(names, phyllotaxis_points(t.ndim)):
+            pos[name] = coo
+    return pos
+
+
+def massage_pos(pos, nangles=360, flatten=False):
+    """Rotate a 2D position dict to minimize its vertical span
+    (reference ``_massage_pos`` drawing.py:1220)."""
+    xy = np.array([v[:2] for v in pos.values()], dtype=float)
+    best = None
+    for theta in np.linspace(0, 2 * np.pi, nangles, endpoint=False):
+        c, s = math.cos(theta), math.sin(theta)
+        ys = s * xy[:, 0] + c * xy[:, 1]
+        span = ys.max() - ys.min() if len(ys) else 0.0
+        if best is None or span < best[0]:
+            best = (span, theta)
+    _, theta = best
+    c, s = math.cos(theta), math.sin(theta)
+    rxy = np.empty_like(xy)
+    rxy[:, 0] = c * xy[:, 0] - s * xy[:, 1]
+    rxy[:, 1] = s * xy[:, 0] + c * xy[:, 1]
+    if flatten:
+        rxy[:, 1] /= 2
+    return {k: tuple(v) for k, v in zip(pos, rxy)}
 
 
 # --------------------------------------------------------------------------
@@ -320,32 +389,65 @@ def draw_tn(
         p = pos[node]
         return tuple(p[:dim]) + (0.0,) * max(0, dim - len(p))
 
-    # -- edges
-    for (a, b, d, ix) in edges:
-        pa, pb = _p(a), _p(b)
-        lw = edge_scale * (0.8 + math.log2(d) / 2)
-        if ix in highlight_inds:
-            c, z = highlight_inds_color, 1.5
+    # -- edges: group by endpoint pair so multibonds render as
+    # separate offset curves rather than overdrawn lines (reference
+    # multi-edge handling, drawing.py:736-772 ``multi_edge_spread``)
+    multi_edge_spread = kwargs.pop("multi_edge_spread", 0.1)
+    pair_groups = {}
+    for e in edges:
+        a, b = e[0], e[1]
+        pair_groups.setdefault(frozenset((a, b)), []).append(e)
+
+    for group in pair_groups.values():
+        multiplicity = len(group)
+        if multiplicity > 1:
+            offs = np.linspace(
+                -multiplicity * multi_edge_spread / 2,
+                +multiplicity * multi_edge_spread / 2,
+                multiplicity,
+            )
         else:
-            c, z = edge_color, 1
-        if dim == 3:
-            ax.plot(*zip(pa, pb), "-", color=c, lw=lw, alpha=edge_alpha)
-        else:
-            ax.plot([pa[0], pb[0]], [pa[1], pb[1]], "-", color=c,
-                    lw=lw, alpha=edge_alpha, zorder=z)
-        label_it = (
-            show_inds == "all"
-            or (show_inds in ("outer", True)
-                and (str(b).startswith("__outer__")))
-            or ix in highlight_inds
-        )
-        if label_it:
-            mid = [(x + y) / 2 for x, y in zip(pa, pb)]
-            if dim == 3:
-                ax.text(*mid, ix, fontsize=6, color="0.3")
+            offs = [0.0]
+        for off, (a, b, d, ix) in zip(offs, group):
+            pa, pb = _p(a), _p(b)
+            lw = edge_scale * (0.8 + math.log2(d) / 2)
+            if ix in highlight_inds:
+                c, z = highlight_inds_color, 1.5
             else:
-                ax.text(mid[0], mid[1], ix, fontsize=6, color="0.3",
-                        zorder=4)
+                c, z = edge_color, 1
+            if dim == 3:
+                ax.plot(*zip(pa, pb), "-", color=c, lw=lw,
+                        alpha=edge_alpha)
+            elif off == 0.0:
+                ax.plot([pa[0], pb[0]], [pa[1], pb[1]], "-", color=c,
+                        lw=lw, alpha=edge_alpha, zorder=z)
+            else:
+                # quadratic bezier bowed perpendicular to the chord
+                mx, my = (pa[0] + pb[0]) / 2, (pa[1] + pb[1]) / 2
+                dx, dy = pb[0] - pa[0], pb[1] - pa[1]
+                nrm = math.hypot(dx, dy) or 1.0
+                cx = mx - off * dy / nrm * 4
+                cy = my + off * dx / nrm * 4
+                ts = np.linspace(0.0, 1.0, 20)
+                xs = ((1 - ts) ** 2 * pa[0] + 2 * (1 - ts) * ts * cx
+                      + ts**2 * pb[0])
+                ys = ((1 - ts) ** 2 * pa[1] + 2 * (1 - ts) * ts * cy
+                      + ts**2 * pb[1])
+                ax.plot(xs, ys, "-", color=c, lw=lw, alpha=edge_alpha,
+                        zorder=z)
+            label_it = (
+                show_inds == "all"
+                or (show_inds in ("outer", True)
+                    and (str(b).startswith("__outer__")))
+                or ix in highlight_inds
+            )
+            if label_it:
+                mid = [(x + y) / 2 for x, y in zip(pa, pb)]
+                if dim == 3:
+                    ax.text(*mid, ix, fontsize=6, color="0.3")
+                else:
+                    ax.text(mid[0], mid[1], ix, fontsize=6,
+                            color="0.3", zorder=4)
 
     # -- isometry arrows
     if arrow_isometries:

@@ -327,3 +327,69 @@ class TestSchematicPresets:
         assert len(lines) == (3 + 1) + (2 + 1)
         lines3 = d.grid3d((0, 0, 0), size=1.0, n=2)
         assert len(lines3) == 3 * (2 + 1) ** 2
+
+
+class TestMultiEdgeAndSingleTensor:
+    def test_multibond_pair_draws_separate_curves(self):
+        from quimb_tpu.tensor.core import Tensor, TensorNetwork
+
+        rng = np.random.default_rng(0)
+        # two tensors sharing THREE bonds
+        ta = Tensor(rng.standard_normal((2, 3, 4, 2)),
+                    inds=("a", "b", "c", "k"), tags="A")
+        tb = Tensor(rng.standard_normal((2, 3, 4, 2)),
+                    inds=("a", "b", "c", "q"), tags="B")
+        tn = TensorNetwork([ta, tb])
+        fig, ax = plt.subplots()
+        draw_tn(tn, ax=ax, legend=False)
+        # one straight line + two bowed bezier curves (20 pts) for the
+        # triple bond, plus two dangling-edge lines
+        lines = ax.get_lines()
+        assert len(lines) >= 5
+        assert any(len(ln.get_xdata()) == 20 for ln in lines)
+        plt.close(fig)
+
+    def test_single_tensor_circle_layout(self):
+        from quimb_tpu.tensor.core import Tensor, TensorNetwork
+        from quimb_tpu.tensor.drawing import layout_single_tensor
+
+        t = Tensor(np.zeros((2, 3, 4)), inds=("a", "b", "c"))
+        tn = TensorNetwork([t])
+        pos = layout_positions(tn)
+        # tensor at origin, indices on the unit circle
+        tid = next(iter(tn.tensor_map))
+        assert np.allclose(pos[tid], 0.0)
+        for ix in "abc":
+            assert np.hypot(*pos[f"__outer__{ix}"]) == pytest.approx(
+                1.0, abs=1e-9
+            )
+        # 3d phyllotaxis points sit on the unit sphere
+        pos3 = layout_single_tensor(tn, dim=3)
+        for ix in "abc":
+            assert np.linalg.norm(
+                pos3[f"__outer__{ix}"]
+            ) == pytest.approx(1.0, abs=1e-9)
+
+    def test_phyllotaxis_points_spread(self):
+        from quimb_tpu.tensor.drawing import phyllotaxis_points
+
+        pts = np.array(phyllotaxis_points(20))
+        assert pts.shape == (20, 3)
+        assert np.allclose(np.linalg.norm(pts, axis=1), 1.0,
+                           atol=1e-9)
+        # reasonably spread: min pairwise distance not tiny
+        d2 = ((pts[None] - pts[:, None]) ** 2).sum(-1)
+        d2[np.arange(20), np.arange(20)] = np.inf
+        assert np.sqrt(d2.min()) > 0.3
+
+    def test_massage_pos_reduces_vertical_span(self):
+        from quimb_tpu.tensor.drawing import massage_pos
+
+        rng = np.random.default_rng(1)
+        # a diagonal line of points: rotation should flatten it
+        pos = {i: (float(i), float(i) + rng.normal() * 0.01)
+               for i in range(10)}
+        out = massage_pos(pos)
+        ys0 = np.array([v[1] for v in pos.values()])
+        ys1 = np.array([v[1] for v in out.values()])
+        assert ys1.max() - ys1.min() < 0.2 * (ys0.max() - ys0.min())
