@@ -1570,8 +1570,11 @@ class TensorNetwork:
 
     def multiply(self, x, spread_over=8, inplace=False):
         """Multiply the whole network by scalar ``x``, spread over
-        several tensors to avoid under/overflow."""
+        several tensors to avoid under/overflow (``spread_over='all'``
+        spreads across every tensor, reference tensor_core.py)."""
         tn = self if inplace else self.copy()
+        if spread_over == "all":
+            spread_over = tn.num_tensors
         n = min(spread_over, tn.num_tensors)
         xi = x ** (1 / n) if (np.isrealobj(np.asarray(x)) and x >= 0) \
             else complex(x) ** (1 / n)

@@ -25,6 +25,7 @@ of edge shapes plus the bulk shape; later sweeps are pure cached execution
 
 import functools
 import itertools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -305,9 +306,15 @@ def _split_2site(theta, max_bond, cutoff, absorb, method="svd"):
     mat = jnp.reshape(theta, (k * d1, d2 * r))
     if method == "svd:sub0":
         # pure subspace split: cheapest rank-max_bond truncation —
-        # cutoff is IGNORED (callers select this only with cutoff=0)
+        # cutoff is IGNORED (callers select this only with cutoff=0).
+        # oversample=0 skips the (k+p)-sized Rayleigh-Ritz eigh inside
+        # — measured 2.5 ms vs 5.8 ms per split at chi=256 on v5e at
+        # a ~5% higher truncation residual (scripts/_cutprof.py);
+        # QUIMB_TPU_SUB0_OVERSAMPLE restores the padded variant.
         U, s, VH, rank = decomp.split_truncated_subspace(
             mat, max_bond=max_bond, absorb=absorb,
+            oversample=int(os.environ.get(
+                "QUIMB_TPU_SUB0_OVERSAMPLE", "0")),
         )
     else:
         split_fn = {
@@ -459,11 +466,11 @@ class MovingEnvironment:
     in a 1D-structured TN, with O(1) moves (reference
     ``MovingEnvironment`` dmrg.py:105). Open boundary conditions."""
 
-    def __init__(self, tn, begin, bsz, ssz=0.5, cyclic=False, **kwargs):
-        if cyclic:
-            raise NotImplementedError(
-                "periodic MovingEnvironment segments TODO"
-            )
+    def __init__(self, tn, begin, bsz, ssz=0.5, **kwargs):
+        # Cyclic networks never reach here: ring Hamiltonians are
+        # converted to exact OBC form up front (``MPO.to_obc``, used by
+        # ``DMRG.__init__``), so the reference's periodic segment
+        # machinery (dmrg.py:149-465) has no analogue to dispatch to.
         self.tn = tn
         self.begin = begin
         self.bsz = bsz

@@ -43,7 +43,16 @@ def PEPS_rand(Lx, Ly, bond_dim, phys_dim=2, normalize=False, dtype=None,
 
 
 def PEPS_product_state(site_map, Lx=None, Ly=None, **peps_opts):
-    """PEPS from a map of (i, j) -> single-site vector."""
+    """PEPS from a map of (i, j) -> single-site vector, or a 2D
+    nested sequence of vectors (reference ``PEPS.product_state``
+    tn2d/core.py:4980 accepts both)."""
+    if not isinstance(site_map, dict):
+        rows = list(site_map)
+        site_map = {
+            (i, j): v
+            for i, row in enumerate(rows)
+            for j, v in enumerate(row)
+        }
     if Lx is None:
         Lx = max(c[0] for c in site_map) + 1
     if Ly is None:

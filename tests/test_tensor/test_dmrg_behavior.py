@@ -47,11 +47,16 @@ class TestDMRGEnergies:
         from quimb_tpu.calc import heisenberg_energy
 
         Hm = qtn.MPO_ham_heis(150, cyclic=True)
-        dmrg = qtn.DMRG2(Hm, bond_dims=list(range(10, 30, 2)))
+        # an OBC MPS carries BOTH boundaries of each ring cut, so it
+        # needs a higher chi than the reference's true ring ansatz:
+        # measured rel errors on this exact setup — ramp to 28: 2.7e-3,
+        # ramp to 128: 4.5e-5. The ramp to 64 keeps the test in budget
+        # at the reference's own 1e-3 target.
+        dmrg = qtn.DMRG2(Hm, bond_dims=[16, 32, 64, 64, 64])
         # conversion is exact and the bond growth is fixed, not O(L)
         assert dmrg.ham.max_bond() == 8
         assert not dmrg.ham.cyclic
-        dmrg.solve(tol=1e-6, max_sweeps=12, verbosity=0)
+        dmrg.solve(tol=1e-7, max_sweeps=8, verbosity=0)
         want = heisenberg_energy(150)
         assert dmrg.energy == pytest.approx(want, rel=1e-3)
 
