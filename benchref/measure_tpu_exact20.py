@@ -45,6 +45,12 @@ def main():
 
     p0 = qu.computational_state("01" * (N // 2), dtype="complex64"
                                 if on_tpu else "complex128")
+    if on_tpu:
+        # complex host->device transfers are UNIMPLEMENTED through
+        # the tunnel: route explicitly
+        from quimb_tpu.ops.backend import to_device
+
+        p0 = to_device(p0)
     # <Z_0> is diagonal in the computational basis: evaluate it as a
     # jitted |psi|^2-weighted sum (eager complex matmuls are
     # UNIMPLEMENTED on the TPU backend; this stays fully compiled)

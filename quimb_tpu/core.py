@@ -15,6 +15,7 @@ XLA fuses the equivalent elementwise/matmul graphs. Sparse operators are
 import functools
 import itertools
 import math
+import numbers
 import operator
 
 import jax
@@ -170,7 +171,13 @@ def dag(qob):
 
 
 def mul(x, y):
-    return x @ y
+    """Element-wise multiplication (reference ``mul`` core.py:618 —
+    NOT a matrix product; that is ``dot``)."""
+    if sp.issparse(x) or sp.issparse(y):
+        if sp.issparse(x):
+            return x.multiply(y)
+        return y.multiply(x)
+    return jnp.asarray(x) * jnp.asarray(y)
 
 
 def dot(x, y):
@@ -249,8 +256,19 @@ def trace(a):
 
 
 def itrace(a, axes=(0, 1)):
-    """General tensor trace."""
-    return jnp.trace(a, axis1=axes[0], axis2=axes[1])
+    """General tensor trace: a single axis pair, or two sequences of
+    axes traced pairwise (reference ``itrace`` core.py:2250)."""
+    if isinstance(axes[0], numbers.Integral):
+        return jnp.trace(a, axis1=axes[0], axis2=axes[1])
+    if len(axes[0]) == 1:
+        return jnp.trace(a, axis1=axes[0][0], axis2=axes[1][0])
+    gone = set()
+    for axis1, axis2 in zip(*axes):
+        mod1 = sum(x < axis1 for x in gone)
+        mod2 = sum(x < axis2 for x in gone)
+        gone |= {axis1, axis2}
+        a = jnp.trace(a, axis1=axis1 - mod1, axis2=axis2 - mod2)
+    return a
 
 
 def nmlz(qob, inplace=False):
