@@ -93,6 +93,11 @@ def make_immutable(x):
     return x
 
 
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _jcast(x, dtype):
+    return x.astype(dtype)
+
+
 def quimbify(
     data,
     qtype=None,
@@ -111,7 +116,17 @@ def quimbify(
         data = data.toarray()
     from .ops.backend import to_device
 
-    x = to_device(np.asarray(data), dtype=dtype)
+    if isinstance(data, jnp.ndarray):
+        # already device-resident: round-tripping through numpy would
+        # fetch complex data to host (UNIMPLEMENTED through the TPU
+        # tunnel) just to push it back; cast compiled for the same
+        # reason
+        if dtype is None or data.dtype == jnp.dtype(dtype):
+            x = data
+        else:
+            x = _jcast(data, jnp.dtype(dtype))
+    else:
+        x = to_device(np.asarray(data), dtype=dtype)
 
     if qtype is not None:
         if qtype in ("k", "ket"):

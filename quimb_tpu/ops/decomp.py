@@ -75,10 +75,13 @@ def _tpu_qr2(x):
     return Q, R2 @ R
 
 
+@jax.jit
 def safe_qr(x):
     """QR of (batch of) matrices, routing rectangular inputs through a
     zero-padded square QR on TPU (with a reorthogonalization pass —
-    see :func:`_tpu_qr2`)."""
+    see :func:`_tpu_qr2`). Jitted: *eager* factorizations of complex
+    arrays are UNIMPLEMENTED on the TPU backend, compiled they work
+    (docs/tpu_architecture.md)."""
     m, n = x.shape[-2:]
     if not _use_square_shims():
         return jnp.linalg.qr(x)
@@ -97,14 +100,18 @@ def safe_qr(x):
         return Q, jnp.concatenate([R1, R2], axis=-1)
 
 
+@jax.jit
 def safe_eigh(x):
-    """Hermitian eigendecomposition (square — no shim needed)."""
+    """Hermitian eigendecomposition (square — no shim needed). Jitted
+    so eager complex inputs work on the TPU backend."""
     return jnp.linalg.eigh(x)
 
 
+@jax.jit
 def safe_svd(x):
     """Thin SVD of (batch of) matrices, routing rectangular inputs
-    through a zero-padded square SVD on TPU."""
+    through a zero-padded square SVD on TPU. Jitted so eager complex
+    inputs work on the TPU backend."""
     m, n = x.shape[-2:]
     if m == n or not _use_square_shims():
         return jnp.linalg.svd(x, full_matrices=False)

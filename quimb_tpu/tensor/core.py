@@ -3806,14 +3806,25 @@ def _wire_parity_methods():
 _wire_parity_methods()
 
 
+@functools.partial(jax.jit, static_argnames=("ax",))
+def _jflip(x, ax):
+    # under jit: eager flip (lax.rev) of complex arrays is
+    # UNIMPLEMENTED on the TPU backend, compiled it is fine
+    return jnp.flip(x, ax)
+
+
 def _tensor_flip(self, ind, inplace=False):
     """Reverse the data along one index's axis (reference
     ``Tensor.flip`` tensor_core.py:3622)."""
+    from ..ops.backend import to_device
+
     if ind not in self.inds:
         raise ValueError(f"can't find index {ind}")
     t = self if inplace else self.copy()
     ax = t.inds.index(ind)
-    t.modify(apply=lambda x: jnp.flip(x, ax))
+    # to_device first: jit's implicit device_put of complex HOST data
+    # is UNIMPLEMENTED through the TPU tunnel
+    t.modify(apply=lambda x: _jflip(to_device(x), ax))
     return t
 
 

@@ -19,11 +19,15 @@ def TN_from_edges_and_fill_fn(
     site_ind_id="k{}",
 ):
     """Build a TN from a list of edges, one tensor per site with bond
-    dimension ``D`` (reference ``TN_from_edges_and_fill_fn``)."""
+    dimension ``D``. A tuple ``site_ind_id=(upper, lower)`` builds an
+    operator network (two physical indices per site) — reference
+    ``TN_from_edges_and_fill_fn`` tensor_builder.py:392 returns
+    ``TensorNetworkGenOperator`` in that case."""
     sites = tuple(sorted(set(itertools.chain.from_iterable(edges))))
     bond_names = {
         tuple(sorted(e, key=str)): rand_uuid() for e in map(tuple, edges)
     }
+    as_operator = isinstance(site_ind_id, (tuple, list))
     ts = {}
     for site in sites:
         inds = []
@@ -33,15 +37,29 @@ def TN_from_edges_and_fill_fn(
                 inds.append(name)
                 shape.append(D)
         if phys_dim is not None:
-            inds.append(site_ind_id.format(site))
-            shape.append(phys_dim)
+            if as_operator:
+                for ind_id in site_ind_id:
+                    inds.append(ind_id.format(site))
+                    shape.append(phys_dim)
+            else:
+                inds.append(site_ind_id.format(site))
+                shape.append(phys_dim)
         data = fill_fn(tuple(shape))
         ts[site] = Tensor(data, inds=inds,
                           tags=oset((site_tag_id.format(site),)))
     tn = TensorNetwork(
         [ts[s] for s in sites], virtual=True, check_collisions=False
     )
-    if phys_dim is not None:
+    if phys_dim is not None and as_operator:
+        from .core import TensorNetworkGenOperator
+
+        upper_ind_id, lower_ind_id = site_ind_id
+        tn.view_as_(
+            TensorNetworkGenOperator, sites=sites,
+            site_tag_id=site_tag_id, upper_ind_id=upper_ind_id,
+            lower_ind_id=lower_ind_id,
+        )
+    elif phys_dim is not None:
         tn.view_as_(
             TensorNetworkGenVector, sites=sites,
             site_tag_id=site_tag_id, site_ind_id=site_ind_id,

@@ -184,13 +184,18 @@ class TensorNetworkGenVector(TensorNetworkGen):
 
     def to_dense(self, *inds_seq, **contract_opts):
         if not inds_seq:
+            # default: one group -> a ket-shaped column vector
             inds_seq = (self.site_inds,)
-        t = self.contract(
-            ..., output_inds=tuple(
-                ix for g in inds_seq for ix in g
-            ), preserve_tensor=True, **contract_opts,
-        )
-        return jnp.reshape(t.data, (-1, 1))
+            t = self.contract(
+                ..., output_inds=tuple(
+                    ix for g in inds_seq for ix in g
+                ), preserve_tensor=True, **contract_opts,
+            )
+            return jnp.reshape(t.data, (-1, 1))
+        # explicit groups: honor them exactly (reference delegates to
+        # the base TensorNetwork.to_dense, tnag/core.py:1815)
+        return TensorNetwork.to_dense(self, *inds_seq,
+                                      **contract_opts)
 
     def gate(self, G, where, contract="reduce-split", tags=None,
              inplace=False, **opts):
@@ -734,13 +739,10 @@ class TensorNetworkGenOperator(TensorNetworkGen):
                 tuple(map(self.upper_ind, self._sites)),
                 tuple(map(self.lower_ind, self._sites)),
             )
-        t = self.contract(
-            ..., output_inds=tuple(
-                ix for g in inds_seq for ix in g
-            ), preserve_tensor=True, **contract_opts,
-        )
-        d = int(np.prod([self.ind_size(ix) for ix in inds_seq[0]]))
-        return jnp.reshape(t.data, (d, -1))
+        # honor the groups exactly (reference delegates to the base
+        # TensorNetwork.to_dense, tnag/core.py:3841)
+        return TensorNetwork.to_dense(self, *inds_seq,
+                                      **contract_opts)
 
 
 # ---------------------------------------------------------------------------
