@@ -328,7 +328,13 @@ def array_contract(
 
         arrays = [to_host(a) for a in arrays]
     else:
-        arrays = [jnp.asarray(a) for a in arrays]
+        # to_device rather than bare asarray: implicit device_put of
+        # complex HOST arrays (e.g. expm'd gate matrices) is
+        # UNIMPLEMENTED through the TPU tunnel — transfer as two real
+        # planes and recombine compiled
+        from .backend import to_device
+
+        arrays = [to_device(a) for a in arrays]
     # single-tensor repeated-index preprocessing
     for i, (a, term) in enumerate(zip(arrays, inputs)):
         a2, t2 = _preprocess_single(a, term, xp=xp)
