@@ -590,6 +590,26 @@ class SparseHam:
         return out.at[self.rows, self.cols].add(self.vals)
 
 
+def _sparseham_flatten(h):
+    return (h.rows, h.cols, h.vals), (h.shape, h.dtype)
+
+
+def _sparseham_unflatten(aux, children):
+    h = SparseHam.__new__(SparseHam)
+    h.rows, h.cols, h.vals = children
+    h.shape, h.dtype = aux
+    return h
+
+
+# pytree registration lets a SparseHam be passed as a jit OPERAND, so
+# iterative solvers (Lanczos groundstate, Krylov expm) compile once per
+# (nnz, n) shape instead of once per fresh matvec closure — the
+# difference between seconds and many minutes through the TPU tunnel.
+jax.tree_util.register_pytree_node(
+    SparseHam, _sparseham_flatten, _sparseham_unflatten
+)
+
+
 __all__ = [
     "prod", "isket", "isbra", "isop", "isvec", "isdense", "issparse",
     "isreal", "isherm", "ispos", "isscalarish", "make_immutable",

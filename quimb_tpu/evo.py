@@ -202,6 +202,20 @@ class Evolution:
                     "expm method doesn't support time-dependent H"
                 )
             self._mv = _matvec_of(ham)
+            # a pytree operator (SparseHam / dense array) can be a jit
+            # OPERAND: exp(-i dt H) v runs via the hermitian-Lanczos
+            # program compiled once per shape. Otherwise keep ONE
+            # stable rhs closure for the whole Evolution so the
+            # Arnoldi program also compiles exactly once.
+            from .linalg.lanczos import as_pytree_operator
+
+            self._ham_op = ham if isinstance(ham, SparseHam) else (
+                SparseHam(ham) if sp.issparse(ham)
+                else as_pytree_operator(ham)
+            )
+            if self._ham_op is None:
+                mv = self._mv
+                self._expm_rhs = lambda x: -1j * mv(x)
             self._update_method = self._update_to_expm_ket
         else:
             raise ValueError(f"unknown method {method}")
@@ -298,10 +312,16 @@ class Evolution:
         v = jnp.reshape(self._pt, (-1,)).astype(
             "complex128" if jax.config.jax_enable_x64 else "complex64"
         )
-        out = expm_multiply_krylov(
-            lambda x: -1j * self._mv(x), v, t=dt, ncv=ncv,
-            hermitian=False,
-        )
+        if self._ham_op is not None:
+            # hermitian H as a jit operand: Lanczos projection with
+            # complex time — exp((-i dt) H) v — compiled once
+            out = expm_multiply_krylov(
+                self._ham_op, v, t=-1j * dt, ncv=ncv, hermitian=True,
+            )
+        else:
+            out = expm_multiply_krylov(
+                self._expm_rhs, v, t=dt, ncv=ncv, hermitian=False,
+            )
         self._pt = jnp.reshape(out, self._pt.shape)
         self._t = t
 

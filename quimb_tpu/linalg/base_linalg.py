@@ -137,6 +137,10 @@ def eigensystem_partial(A, k, isherm=True, B=None, which=None, return_vecs=True,
                 else jnp.asarray(vk)
         return jnp.asarray(lk)
 
+    if sp.issparse(A):
+        # device-resident operator: also makes A a jit-operand pytree
+        # so the Lanczos program compiles once per shape
+        A = SparseHam(A)
     mv, n, dtype, _ = _as_operator(A)
 
     if sigma is not None:
@@ -188,7 +192,7 @@ def eigensystem_partial(A, k, isherm=True, B=None, which=None, return_vecs=True,
         return lams
 
     lams, vecs = eigsh_device(mv, v0, k, which=which, ncv=ncv, tol=tol,
-                              **backend_opts)
+                              A=A, **backend_opts)
     if return_vecs:
         return lams, _vecs_as_cols(vecs)
     return lams
@@ -201,18 +205,39 @@ def _vecs_as_cols(vecs):
 
 
 def eigsh_device(mv, v0, k=1, which="SA", ncv=None, tol=1e-10,
-                 restarts=None, **_):
-    """Device Lanczos for k extremal eigenpairs with deflation."""
-    from .lanczos import eigh_lanczos
+                 restarts=None, A=None, **_):
+    """Device Lanczos for k extremal eigenpairs with deflation.
+
+    When the original operator ``A`` is supplied and is a pytree
+    (SparseHam / dense array), the k=1 solve passes it as a jit
+    operand — one compile per operator shape instead of one per call.
+    """
+    from .lanczos import as_pytree_operator, eigh_lanczos
 
     if ncv is None:
         ncv = max(20, 2 * k + 10)
     if restarts is None:
         restarts = 60
     which_l = "SA" if which in ("SA", "SR", "SM") else "LA"
+    Aop = None if A is None else as_pytree_operator(A)
     lams, vecs = [], []
     v = v0
     for j in range(k):
+        if j == 0:
+            # lam is already the Ritz value of the unshifted operator
+            lam, vj = eigh_lanczos(
+                mv if Aop is None else Aop, v, ncv=ncv,
+                restarts=restarts, tol=tol, which=which_l,
+            )
+            lams.append(lam)
+            vecs.append(vj)
+            if k > 1:
+                key = jax.random.PRNGKey(0)
+                v = jax.random.normal(
+                    key, v0.shape, dtype=v0.real.dtype
+                ).astype(v0.dtype)
+            continue
+
         def mv_defl(x, vecs=tuple(vecs)):
             y = mv(x)
             for lam_i, v_i in zip(lams, vecs):

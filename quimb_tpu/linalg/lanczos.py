@@ -30,8 +30,39 @@ def _identity_like_matvec(A):
     tensor-shaped vectors."""
     if callable(A):
         return A
-    Aa = jnp.asarray(A)
-    return lambda x: Aa @ x
+    if isinstance(A, (jax.Array, np.ndarray)) or not hasattr(A, "__matmul__"):
+        Aa = jnp.asarray(A)
+        return lambda x: Aa @ x
+    # operator object with ``@`` (e.g. SparseHam — possibly holding
+    # tracers when passed as a jit operand)
+    return lambda x: A @ x
+
+
+def as_pytree_operator(A):
+    """Return ``A`` if it can be passed as a jit *operand* (a pytree of
+    jax arrays supporting ``A @ x`` under trace), else ``None``.
+
+    Dense jax arrays and registered pytree operators (``SparseHam``)
+    qualify; bare matvec callables and unregistered objects do not.
+    This is what lets the iterative solvers compile ONCE per operator
+    shape instead of once per fresh closure — through the remote TPU
+    tunnel a recompile costs minutes."""
+    if isinstance(A, jax.Array):
+        return A
+    if isinstance(A, np.ndarray):
+        return jnp.asarray(A)
+    if callable(A) and not hasattr(A, "__matmul__"):
+        return None
+    try:
+        leaves = jax.tree_util.tree_leaves(A)
+    except Exception:
+        return None
+    if not leaves or any(l is A for l in leaves):
+        return None
+    if all(isinstance(l, (jax.Array, np.ndarray)) for l in leaves) and \
+            hasattr(A, "__matmul__"):
+        return A
+    return None
 
 
 def _norm(v):
@@ -115,9 +146,16 @@ def eigh_lanczos(
     Returns ``(eigenvalue, eigenvector)`` with the vector shaped like
     ``v0``.
     """
+    Aop = as_pytree_operator(A)
+    if Aop is not None:
+        # operator passed as a jit OPERAND: one compile per
+        # (operator-structure, shape, ncv, restarts) — repeat calls
+        # (e.g. two groundenergy() calls, every Evolution step) hit
+        # the cache instead of re-tracing a fresh closure.
+        return _eigh_lanczos_op(Aop, v0, ncv=ncv, restarts=restarts,
+                                which=which)
+
     matvec = _identity_like_matvec(A)
-    shape = jnp.shape(v0)
-    sign = 1.0 if which in ("SA", "SR") else -1.0
 
     # jit the ENTIRE restart loop: run eagerly, ncv*restarts matvecs
     # each pay a dispatch round-trip through the TPU tunnel (~1 ms+)
@@ -127,22 +165,35 @@ def eigh_lanczos(
     # eigsh_device) dominate this path.
     @jax.jit
     def run(v0_):
-        def one_restart(v, _):
-            V, alpha, beta = _lanczos_basis(matvec, v, ncv)
-            w, S = _tridiag_eigh(alpha, beta)
-            # w ascending; smallest first
-            idx = 0 if sign == 1.0 else ncv - 1
-            lam = w[idx]
-            coeff = S[:, idx].astype(V.dtype)
-            vec = jnp.reshape(coeff @ V, shape)
-            vec = vec / _norm(vec)
-            return vec, lam
-
-        v, lams = jax.lax.scan(one_restart, v0_, None,
-                               length=restarts)
-        return lams[-1], v
+        return _eigh_lanczos_body(matvec, v0_, ncv, restarts, which)
 
     return run(v0)
+
+
+def _eigh_lanczos_body(matvec, v0, ncv, restarts, which):
+    shape = jnp.shape(v0)
+    sign = 1.0 if which in ("SA", "SR") else -1.0
+
+    def one_restart(v, _):
+        V, alpha, beta = _lanczos_basis(matvec, v, ncv)
+        w, S = _tridiag_eigh(alpha, beta)
+        # w ascending; smallest first
+        idx = 0 if sign == 1.0 else ncv - 1
+        lam = w[idx]
+        coeff = S[:, idx].astype(V.dtype)
+        vec = jnp.reshape(coeff @ V, shape)
+        vec = vec / _norm(vec)
+        return vec, lam
+
+    v, lams = jax.lax.scan(one_restart, v0, None, length=restarts)
+    return lams[-1], v
+
+
+@partial(jax.jit, static_argnames=("ncv", "restarts", "which"))
+def _eigh_lanczos_op(Aop, v0, ncv=20, restarts=4, which="SA"):
+    return _eigh_lanczos_body(
+        _identity_like_matvec(Aop), v0, ncv, restarts, which
+    )
 
 
 @partial(jax.jit, static_argnames=("matvec", "ncv", "restarts", "which"))
@@ -220,18 +271,35 @@ def expm_multiply_krylov(A, v, t=1.0, ncv=30, hermitian=True):
     hold a stable operator (``Evolution`` keeps one matvec for its
     lifetime) compile once and stream updates.
     """
+    from ..ops.backend import to_device
+
+    # complex and 0-d host scalars can't be device_put directly
+    # through the TPU tunnel
+    t = to_device(t) if not isinstance(t, jax.Array) else t
+
+    Aop = as_pytree_operator(A)
+    if Aop is not None:
+        return _expm_multiply_krylov_op(
+            Aop, v, t, ncv=ncv, hermitian=hermitian
+        )
     if callable(A) and not hasattr(A, "shape"):
         return _expm_multiply_krylov_jit(
-            A, v, jnp.asarray(t), ncv=ncv, hermitian=hermitian
+            A, v, t, ncv=ncv, hermitian=hermitian
         )
     return _expm_multiply_krylov_impl(
-        A, v, jnp.asarray(t), ncv=ncv, hermitian=hermitian
+        A, v, t, ncv=ncv, hermitian=hermitian
     )
 
 
 @partial(jax.jit, static_argnames=("A", "ncv", "hermitian"))
 def _expm_multiply_krylov_jit(A, v, t, ncv=30, hermitian=True):
     return _expm_multiply_krylov_impl(A, v, t, ncv=ncv,
+                                      hermitian=hermitian)
+
+
+@partial(jax.jit, static_argnames=("ncv", "hermitian"))
+def _expm_multiply_krylov_op(Aop, v, t, ncv=30, hermitian=True):
+    return _expm_multiply_krylov_impl(Aop, v, t, ncv=ncv,
                                       hermitian=hermitian)
 
 
