@@ -147,13 +147,26 @@ def eigh_lanczos(
     ``v0``.
     """
     Aop = as_pytree_operator(A)
-    if Aop is not None:
+    if Aop is not None and not isinstance(v0, jax.core.Tracer):
         # operator passed as a jit OPERAND: one compile per
-        # (operator-structure, shape, ncv, restarts) — repeat calls
-        # (e.g. two groundenergy() calls, every Evolution step) hit
-        # the cache instead of re-tracing a fresh closure.
-        return _eigh_lanczos_op(Aop, v0, ncv=ncv, restarts=restarts,
-                                which=which)
+        # (operator-structure, shape, ncv) — repeat calls (e.g. two
+        # groundenergy() calls, every Evolution step) hit the cache
+        # instead of re-tracing a fresh closure. Restarts run as a
+        # host loop over the compiled single-restart program: each
+        # dispatch stays small (the giant fused 60-restart program
+        # can fault the remote TPU worker) and the Ritz value is
+        # checked on host for early exit, ARPACK-style.
+        lam_prev = None
+        v = v0
+        for _ in range(max(restarts, 1)):
+            lam, v = _eigh_lanczos_op(Aop, v, ncv=ncv, restarts=1,
+                                      which=which)
+            lamf = float(lam)
+            if lam_prev is not None and \
+                    abs(lamf - lam_prev) <= tol * max(1.0, abs(lamf)):
+                break
+            lam_prev = lamf
+        return lam, v
 
     matvec = _identity_like_matvec(A)
 

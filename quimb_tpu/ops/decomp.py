@@ -409,7 +409,123 @@ def array_split(
     if "info" in accepts:
         opts["info"] = info
 
-    return fn(jnp.asarray(x), **opts)
+    if isinstance(x, np.ndarray) and x.dtype != object and \
+            method in ("svd", "qr"):
+        from .contraction import get_contract_backend
+
+        if get_contract_backend() == "numpy":
+            # setup-time host phase (circuit building, simplification
+            # rewrites under the numpy contract backend): split the
+            # tiny host tensors with numpy so the graph surgery never
+            # dispatches through the device
+            return _array_split_host(x, method, **opts)
+
+    # to_device rather than bare asarray: implicit device_put of
+    # complex HOST arrays is UNIMPLEMENTED through the TPU tunnel
+    from .backend import to_device
+
+    return fn(to_device(x), **opts)
+
+
+def _sgn_host(x):
+    return np.where(x == 0, np.ones_like(x), x / np.abs(x))
+
+
+def _nchi_host(sabs, cutoff, cutoff_mode):
+    """Host mirror of ``_nchi_kernel`` (same cumulative-spectrum
+    semantics, reference decomp.py:684-722)."""
+    if cutoff_mode == 1:  # abs
+        n_chi = np.sum(sabs > cutoff, axis=-1)
+    elif cutoff_mode == 2:  # rel
+        n_chi = np.sum(sabs > cutoff * sabs[..., 0:1], axis=-1)
+    else:
+        sp = sabs * sabs if cutoff_mode in (3, 4) else sabs
+        csp = np.cumsum(sp, axis=-1)
+        tot = csp[..., -1:]
+        if cutoff_mode in (4, 6):
+            above = csp < tot * (1 - cutoff)
+        else:
+            above = csp < tot - cutoff
+        n_chi = np.sum(above, axis=-1) + 1
+    return int(np.max(n_chi))
+
+
+def _do_absorb_host(U, s, VH, absorb):
+    if absorb is None:
+        return U, s, VH
+    if absorb == "both":
+        sq = np.sqrt(s)
+        return U * sq[..., None, :], None, sq[..., :, None] * VH
+    if absorb == "right":
+        return U, None, s[..., :, None] * VH
+    if absorb == "left":
+        return U * s[..., None, :], None, VH
+    if absorb == "rfactor":
+        return None, None, s[..., :, None] * VH
+    if absorb == "lfactor":
+        return U * s[..., None, :], None, None
+    if absorb == "lorthog":
+        return U, None, None
+    if absorb == "rorthog":
+        return None, None, VH
+    if absorb == "lsqrt":
+        return U * np.sqrt(s)[..., None, :], None, None
+    if absorb == "rsqrt":
+        return None, None, np.sqrt(s)[..., :, None] * VH
+    if absorb == "s":
+        return None, s, None
+    raise ValueError(f"Invalid absorb mode: {absorb}")
+
+
+def _array_split_host(x, method, absorb="both", max_bond=-1, cutoff=-1.0,
+                      cutoff_mode=4, renorm=0, info=None):
+    """Numpy split drivers matching the device drivers' semantics
+    exactly, for host-resident setup-time tensors."""
+    if method == "qr":
+        if absorb == "left":
+            # LQ via QR of the transpose, sign-stabilized like
+            # ``lq_stabilized``
+            Qt, Rt = np.linalg.qr(np.swapaxes(x, -2, -1))
+            sg = _sgn_host(np.diagonal(Rt, axis1=-2, axis2=-1))
+            Qt = Qt * sg[..., None, :]
+            Rt = Rt * np.conj(sg)[..., :, None]
+            return np.swapaxes(Rt, -2, -1), None, np.swapaxes(Qt, -2, -1)
+        Q, R = np.linalg.qr(x)
+        sg = _sgn_host(np.diagonal(R, axis1=-2, axis2=-1))
+        Q = Q * sg[..., None, :]
+        R = R * np.conj(sg)[..., :, None]
+        return Q, None, R
+
+    # svd
+    U, s, VH = np.linalg.svd(x, full_matrices=False)
+    d = s.shape[-1]
+    if (cutoff is not None and cutoff > 0.0) or (renorm and renorm > 0):
+        n_chi = max(_nchi_host(s, cutoff if cutoff else 0.0, cutoff_mode), 1)
+        if max_bond and max_bond > 0:
+            n_chi = min(n_chi, max_bond)
+    elif max_bond and max_bond > 0:
+        n_chi = min(max_bond, d)
+    else:
+        n_chi = d
+    if n_chi < d:
+        if info is not None and "error" in info:
+            info["error"] = float(
+                np.sqrt(np.sum(s[..., n_chi:] ** 2, axis=-1))
+            )
+        if renorm:
+            pw = RENORM_LOOKUP.get(cutoff_mode, 2) if renorm is True \
+                else int(renorm)
+            sp = s**pw
+            csp = np.cumsum(sp, axis=-1)
+            f = (csp[..., -1] / csp[..., n_chi - 1]) ** (1.0 / pw)
+            s = s[..., :n_chi] * f[..., None]
+        else:
+            s = s[..., :n_chi]
+        U = U[..., :, :n_chi]
+        VH = VH[..., :n_chi, :]
+    elif info is not None and "error" in info:
+        info["error"] = 0.0
+    return _do_absorb_host(U, s, VH, absorb)
 
 
 # --------------------------------------------------------------------------

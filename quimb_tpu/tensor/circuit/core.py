@@ -601,6 +601,20 @@ class Circuit(CircuitBase):
         psi.view_like_(psi0)
         for i in range(psi0.L):
             psi[psi0.site_tag(i)].add_tag("PSI0")
+        # host numpy leaves, like the gate tensors: the whole lazy
+        # network stays host-side so later eager graph surgery
+        # (``isel_`` of fixed outputs, simplification rewrites) never
+        # dispatches tiny ops through the TPU tunnel — only the final
+        # optimized contraction runs compiled on device
+        from ...ops.backend import to_host
+        from ...ops.contraction import contract_backend
+
+        # the numpy context stops Tensor.modify's asarray from pushing
+        # the freshly fetched host arrays straight back to the device
+        with contract_backend("numpy"):
+            psi.apply_to_arrays(
+                lambda a: np.asarray(to_host(a), dtype=self.dtype)
+            )
         return psi
 
     @property

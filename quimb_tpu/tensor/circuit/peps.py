@@ -31,7 +31,11 @@ class CircuitPEPS(CircuitBase):
                 "0" * (Lx * Ly), Lx=Lx, Ly=Ly,
             )
         self.N = Lx * Ly
-        self.dtype = dtype or str(psi0.dtype)
+        from ...config import get_default_dtype
+
+        # circuits need a complex working dtype regardless of the
+        # (real, reference-parity) default of the PEPS builders
+        self.dtype = dtype or get_default_dtype()
         self._psi = psi0.copy().astype_(self.dtype)
         self.gate_opts = gate_opts
         self.gates = []

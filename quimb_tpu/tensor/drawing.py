@@ -317,22 +317,37 @@ def draw_tn(
     highlight_inds=(),
     highlight_tids=(),
     highlight_inds_color=(1.0, 0.2, 0.2),
+    highlight_tids_color=None,
     custom_colors=None,
     legend=True,
     dim=2,
     layout="spring",
     initial_layout=None,
     fix=None,
+    pos=None,
     k=None,
     iterations=200,
     seed=42,
+    node_color=None,
+    node_scale=1.0,
     node_size=None,
+    node_alpha=1.0,
+    node_shape="o",
     node_outline_darkness=0.4,
+    node_hatch="",
     edge_scale=1.0,
     edge_alpha=0.8,
     edge_color="0.5",
+    multi_edge_spread=0.1,
     arrow_isometries=True,
+    font_size=6,
+    font_size_inner=6,
+    label_color="0.3",
+    isdark=None,
     figsize=(6, 6),
+    margin=None,
+    xlims=None,
+    ylims=None,
     ax=None,
     title=None,
     backend="matplotlib",
@@ -351,12 +366,23 @@ def draw_tn(
     layout only, ``'fig'`` or ``'ax'``.
     """
     nodes, edges, hyper_nodes, outer_nodes = _build_graph(tn)
-    pos = layout_positions(
-        tn, layout=layout, fix=fix, seed=seed, iterations=iterations,
-        k=k, dim=dim, initial_layout=initial_layout,
-    )
+    if pos is None:
+        pos = layout_positions(
+            tn, layout=layout, fix=fix, seed=seed, iterations=iterations,
+            k=k, dim=dim, initial_layout=initial_layout,
+        )
     if get == "pos":
         return pos
+
+    if highlight_tids_color is None:
+        highlight_tids_color = highlight_inds_color
+    if isdark:
+        # dark-background styling (reference ``isdark``): light
+        # neutrals for edges/labels
+        if edge_color == "0.5":
+            edge_color = "0.75"
+        if label_color == "0.3":
+            label_color = "0.85"
 
     if backend == "plotly":
         return _draw_plotly(
@@ -392,7 +418,6 @@ def draw_tn(
     # -- edges: group by endpoint pair so multibonds render as
     # separate offset curves rather than overdrawn lines (reference
     # multi-edge handling, drawing.py:736-772 ``multi_edge_spread``)
-    multi_edge_spread = kwargs.pop("multi_edge_spread", 0.1)
     pair_groups = {}
     for e in edges:
         a, b = e[0], e[1]
@@ -443,11 +468,14 @@ def draw_tn(
             )
             if label_it:
                 mid = [(x + y) / 2 for x, y in zip(pa, pb)]
+                if show_inds == "bond-size":
+                    ix = str(d)
                 if dim == 3:
-                    ax.text(*mid, ix, fontsize=6, color="0.3")
+                    ax.text(*mid, ix, fontsize=font_size_inner,
+                            color=label_color)
                 else:
-                    ax.text(mid[0], mid[1], ix, fontsize=6,
-                            color="0.3", zorder=4)
+                    ax.text(mid[0], mid[1], ix, fontsize=font_size_inner,
+                            color=label_color, zorder=4)
 
     # -- isometry arrows
     if arrow_isometries:
@@ -478,27 +506,31 @@ def draw_tn(
     # -- nodes
     tag_colors = get_colors(color, custom_colors)
     P, cs, ss, outl = [], [], [], []
+    default_c = node_color if node_color is not None else (0.6, 0.6, 0.6)
     for tid in nodes:
         t = tn.tensor_map[tid]
-        c = (0.6, 0.6, 0.6)
+        c = default_c
         for tag, col in tag_colors.items():
             if tag in t.tags:
                 c = col[:3] if len(col) > 3 else col
                 break
         if tid in highlight_tids:
-            c = highlight_inds_color
+            c = highlight_tids_color
         P.append(_p(tid))
         cs.append(c)
-        ss.append(node_size or (120 + 60 * t.ndim))
+        ss.append(node_scale * (node_size or (120 + 60 * t.ndim)))
         outl.append(tuple(x * node_outline_darkness for x in c))
     P = np.asarray(P)
     if len(P):
+        scatter_opts = dict(c=cs, s=ss, edgecolors=outl,
+                            alpha=node_alpha, marker=node_shape)
+        if node_hatch:
+            scatter_opts["hatch"] = node_hatch
         if dim == 3:
-            ax.scatter(P[:, 0], P[:, 1], P[:, 2], c=cs, s=ss,
-                       edgecolors=outl, depthshade=True)
+            ax.scatter(P[:, 0], P[:, 1], P[:, 2], depthshade=True,
+                       **scatter_opts)
         else:
-            ax.scatter(P[:, 0], P[:, 1], c=cs, s=ss, zorder=2,
-                       edgecolors=outl)
+            ax.scatter(P[:, 0], P[:, 1], zorder=2, **scatter_opts)
     # hyper junction dots
     for node in hyper_nodes:
         p = _p(node)
@@ -515,10 +547,11 @@ def draw_tn(
             p = _p(tid)
             txt = ",".join(map(str, list(t.tags)[:2]))
             if dim == 3:
-                ax.text(*p, txt, fontsize=6, ha="center", va="center")
+                ax.text(*p, txt, fontsize=font_size, ha="center",
+                        va="center", color=label_color)
             else:
-                ax.text(p[0], p[1], txt, fontsize=6, ha="center",
-                        va="center", zorder=3)
+                ax.text(p[0], p[1], txt, fontsize=font_size, ha="center",
+                        va="center", zorder=3, color=label_color)
 
     if legend and tag_colors:
         handles = [
@@ -529,6 +562,14 @@ def draw_tn(
         ax.legend(handles=handles, loc="upper right", fontsize=8)
     if title:
         ax.set_title(title)
+    if dim == 2:
+        if xlims is not None:
+            ax.set_xlim(*xlims)
+        if ylims is not None:
+            ax.set_ylim(*ylims)
+        if margin is not None and len(P):
+            ax.set_xlim(P[:, 0].min() - margin, P[:, 0].max() + margin)
+            ax.set_ylim(P[:, 1].min() - margin, P[:, 1].max() + margin)
     if get == "fig" or return_fig:
         return fig
     if get == "ax":

@@ -13,7 +13,7 @@ from numbers import Integral
 import jax.numpy as jnp
 import numpy as np
 
-from ...config import get_default_dtype
+from ...config import get_default_dtype, get_default_real_dtype
 from ...gen.operators import spin_operator
 from ...gen.rand import randn
 from ...ops.backend import to_device
@@ -31,7 +31,7 @@ def MPS_rand_state(
     seed=None, trans_invar=False, **mps_opts
 ):
     """Random MPS with bond dimension ``bond_dim``."""
-    dtype = dtype or get_default_dtype()
+    dtype = dtype or get_default_real_dtype()
 
     arrays = []
     for i in range(L):
@@ -78,7 +78,7 @@ def MPS_product_state(arrays, cyclic=False, **mps_opts):
 
 def MPS_computational_state(binary, dtype=None, **mps_opts):
     """MPS for a computational basis state like '01101'."""
-    dtype = dtype or get_default_dtype()
+    dtype = dtype or get_default_real_dtype()
     if isinstance(binary, (tuple, list)):
         binary = "".join(map(str, binary))
     vecs = []
@@ -91,7 +91,7 @@ def MPS_computational_state(binary, dtype=None, **mps_opts):
 
 def MPS_zero_state(L, bond_dim=1, phys_dim=2, dtype=None, **mps_opts):
     """All-zeros-amplitude MPS (for building into)."""
-    dtype = dtype or get_default_dtype()
+    dtype = dtype or get_default_real_dtype()
     arrays = []
     for i in range(L):
         shape = []
@@ -117,7 +117,7 @@ def MPS_rand_computational_state(L, dtype=None, seed=None, **mps_opts):
 
 def MPS_ghz_state(L, dtype=None, **mps_opts):
     """GHZ state as a bond-dimension 2 MPS."""
-    dtype = dtype or get_default_dtype()
+    dtype = dtype or get_default_real_dtype()
     isq2 = 1 / math.sqrt(2)
     arrays = []
     for i in range(L):
@@ -145,7 +145,7 @@ def MPS_ghz_state(L, dtype=None, **mps_opts):
 
 def MPS_w_state(L, dtype=None, **mps_opts):
     """W state as a bond-dimension 2 MPS."""
-    dtype = dtype or get_default_dtype()
+    dtype = dtype or get_default_real_dtype()
     sq = 1 / math.sqrt(L)
     arrays = []
     for i in range(L):
@@ -186,7 +186,7 @@ def MPS_sampler(L, dtype=None, seed=None, **mps_opts):
 def MPO_identity(L, phys_dim=2, dtype=None, sites=None, cyclic=False,
                  **mpo_opts):
     """Identity MPO."""
-    dtype = dtype or get_default_dtype()
+    dtype = dtype or get_default_real_dtype()
     II = jnp.eye(phys_dim, dtype=dtype)
     arrays = []
     for i in range(L):
@@ -207,7 +207,7 @@ def MPO_identity_like(mpo, **mpo_opts):
 
 
 def MPO_zeros(L, phys_dim=2, dtype=None, **mpo_opts):
-    dtype = dtype or get_default_dtype()
+    dtype = dtype or get_default_real_dtype()
     Z = jnp.zeros((phys_dim, phys_dim), dtype=dtype)
     arrays = []
     for i in range(L):
@@ -244,7 +244,7 @@ def MPO_product_operator(arrays, cyclic=False, **mpo_opts):
 def MPO_rand(L, bond_dim, phys_dim=2, normalize=True, herm=False,
              dtype=None, seed=None, **mpo_opts):
     """Random MPO."""
-    dtype = dtype or get_default_dtype()
+    dtype = dtype or get_default_real_dtype()
     arrays = []
     for i in range(L):
         shape = []

@@ -353,8 +353,12 @@ class TEBD:
     def _ensure_vidal(self):
         if self._vidal is None:
             chi = int(self.split_opts["max_bond"])
+            # real-time evolution applies complex gates: promote a
+            # real initial state up front so the scan carry dtype is
+            # stable (a real carry would reject — or worse, truncate —
+            # the complex thetas)
             self._vidal = self._shard_vidal(
-                _mps_to_vidal(self._pt, chi)
+                _mps_to_vidal(self._pt, chi, complex_=not self.imag)
             )
         return self._vidal
 
@@ -636,7 +640,7 @@ def _bform_gate_split_batch(B1s, B2s, l_l, Us, max_bond, cutoff):
     return jax.vmap(one)(B1s, B2s, l_l, Us)
 
 
-def _mps_to_vidal(psi, chi):
+def _mps_to_vidal(psi, chi, complex_=False):
     """Convert an (open) MPS to zero-padded uniform right-canonical
     B-form: site tensors Bs (L, chi, d, chi) with ``B_i = Gamma_i .
     lambda_{i+1}`` (so ``psi = B_0 B_1 ... B_{L-1}`` directly, no
@@ -686,7 +690,10 @@ def _mps_to_vidal(psi, chi):
     if nrm0 > 0:
         arrays[0] = arrays[0] / nrm0
 
-    Bs = np.zeros((L, chi, d, chi), dtype=arrays[0].dtype)
+    bdt = arrays[0].dtype
+    if complex_ and not np.issubdtype(bdt, np.complexfloating):
+        bdt = np.result_type(bdt, np.complex64)
+    Bs = np.zeros((L, chi, d, chi), dtype=bdt)
     # bond weights in the matching *real* precision — pushing f64 to
     # an x64-disabled TPU backend can poison the stream
     rdt = np.zeros(1, dtype=arrays[0].dtype).real.dtype

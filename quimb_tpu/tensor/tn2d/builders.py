@@ -5,7 +5,7 @@ import itertools
 import jax.numpy as jnp
 import numpy as np
 
-from ...config import get_default_dtype
+from ...config import get_default_dtype, get_default_real_dtype
 from ...gen.rand import randn
 from .core import PEPO, PEPS
 
@@ -13,7 +13,7 @@ from .core import PEPO, PEPS
 def PEPS_rand(Lx, Ly, bond_dim, phys_dim=2, normalize=False, dtype=None,
               seed=None, **peps_opts):
     """Random PEPS of shape (Lx, Ly) with given bond dimension."""
-    dtype = dtype or get_default_dtype()
+    dtype = dtype or get_default_real_dtype()
     rng_seed = seed
     arrays = []
     s = 0
@@ -74,7 +74,7 @@ def PEPS_computational_state(binary, Lx=None, Ly=None, dtype=None,
                              **peps_opts):
     """PEPS for a computational product state. ``binary`` may be a
     string (row-major) or 2D array of 0/1."""
-    dtype = dtype or get_default_dtype()
+    dtype = dtype or get_default_real_dtype()
     if isinstance(binary, str):
         if Lx is None or Ly is None:
             raise ValueError("need Lx, Ly for a flat string")
@@ -91,7 +91,7 @@ def PEPS_computational_state(binary, Lx=None, Ly=None, dtype=None,
 
 
 def PEPS_zeros(Lx, Ly, bond_dim, phys_dim=2, dtype=None, **peps_opts):
-    dtype = dtype or get_default_dtype()
+    dtype = dtype or get_default_real_dtype()
     arrays = []
     for i in range(Lx):
         row = []
@@ -113,7 +113,7 @@ def PEPS_zeros(Lx, Ly, bond_dim, phys_dim=2, dtype=None, **peps_opts):
 
 def PEPO_identity(Lx, Ly, phys_dim=2, dtype=None, **pepo_opts):
     """Identity PEPO."""
-    dtype = dtype or get_default_dtype()
+    dtype = dtype or get_default_real_dtype()
     II = jnp.eye(phys_dim, dtype=dtype)
     arrays = []
     for i in range(Lx):
@@ -129,7 +129,7 @@ def PEPO_identity(Lx, Ly, phys_dim=2, dtype=None, **pepo_opts):
 
 def PEPO_rand(Lx, Ly, bond_dim, phys_dim=2, herm=False, dtype=None,
               seed=None, **pepo_opts):
-    dtype = dtype or get_default_dtype()
+    dtype = dtype or get_default_real_dtype()
     arrays = []
     s = 0
     for i in range(Lx):

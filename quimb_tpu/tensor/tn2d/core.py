@@ -1732,9 +1732,9 @@ def _pepo_rand(cls, Lx, Ly, bond_dim, phys_dim=2, herm=False,
     """A random (optionally hermitian) PEPO (reference ``PEPO.rand``
     tn2d/core.py:5291)."""
     from ...gen.rand import randn
-    from ...config import get_default_dtype
+    from ...config import get_default_real_dtype
 
-    dtype = dtype or get_default_dtype()
+    dtype = dtype or get_default_real_dtype()
     counter = itertools.count()
 
     def fill_fn(shape):
@@ -1752,9 +1752,9 @@ def _pepo_rand(cls, Lx, Ly, bond_dim, phys_dim=2, herm=False,
 
 def _pepo_zeros(cls, Lx, Ly, bond_dim, phys_dim=2, dtype=None,
                 **pepo_opts):
-    from ...config import get_default_dtype
+    from ...config import get_default_real_dtype
 
-    dtype = dtype or get_default_dtype()
+    dtype = dtype or get_default_real_dtype()
     return _pepo_from_fill_fn(
         cls, lambda s: jnp.zeros(s, dtype=dtype), Lx, Ly, bond_dim,
         phys_dim=phys_dim, **pepo_opts,

@@ -91,7 +91,13 @@ class LocalHam2D:
         try:
             return self._gate_cache[key]
         except KeyError:
-            U = _expm_herm(self.get_term(where), jnp.asarray(complex(x)))
+            # keep a real factor real: expm(x H) of a real-symmetric H
+            # with real x is real, and keeping the whole imaginary-time
+            # pipeline in f32 avoids complex SVDs (UNIMPLEMENTED on the
+            # TPU tunnel) and halves gate bandwidth
+            xc = complex(x)
+            factor = jnp.asarray(xc.real if xc.imag == 0 else xc)
+            U = _expm_herm(self.get_term(where), factor)
             self._gate_cache[key] = U
             return U
 

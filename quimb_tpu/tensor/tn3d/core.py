@@ -261,9 +261,9 @@ class PEPS3D(TensorNetwork3DVector):
     @classmethod
     def rand(cls, Lx, Ly, Lz, bond_dim, phys_dim=2, dtype=None,
              seed=None, **kwargs):
-        from ...config import get_default_dtype
+        from ...config import get_default_real_dtype
 
-        dtype = dtype or get_default_dtype()
+        dtype = dtype or get_default_real_dtype()
         arrays = []
         s = 0
         for i in range(Lx):

@@ -89,9 +89,15 @@ class LocalHamGen:
         except KeyError:
             from ...ops.backend import to_device as _td
 
+            # keep a real factor real: expm(x H) of a real-symmetric H
+            # with real x is real, avoiding complex SVDs downstream
+            # (UNIMPLEMENTED on the TPU tunnel)
+            xc = complex(x)
+            factor = (_td(np.asarray(xc.real)) if xc.imag == 0
+                      else _cplx_scalar(xc))
             U = _expm_herm(
                 _td(np.asarray(self.get_term(where))),
-                _cplx_scalar(complex(x)),
+                factor,
             )
             self._gate_cache[key] = U
             return U
