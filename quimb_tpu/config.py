@@ -122,6 +122,13 @@ def on_tpu():
     return plat not in ("cpu", "gpu", "cuda", "rocm")
 
 
+def fused_su_enabled():
+    """Whether 2D SimpleUpdate uses the batched colour-class sweep
+    kernel (one compiled program per ``evolve`` call) when eligible.
+    Disable with QUIMB_TPU_FUSED_SU=0."""
+    return os.environ.get("QUIMB_TPU_FUSED_SU", "1") != "0"
+
+
 NUM_THREAD_WORKERS = int(
     os.environ.get(
         "QUIMB_TPU_NUM_THREAD_WORKERS",

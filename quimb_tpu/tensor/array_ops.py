@@ -42,11 +42,19 @@ def ndim(x):
 
 
 def do_conj(x):
+    # host numpy in -> host numpy out: eagerly jnp-ing a host array
+    # implicitly device_puts it, which for complex/f64 data is
+    # UNIMPLEMENTED through the TPU tunnel (and a pointless round trip
+    # during setup-time graph surgery regardless)
+    if isinstance(x, np.ndarray):
+        return np.conj(x)
     return jnp.conj(x)
 
 
 def norm_fro(x):
     """Frobenius norm."""
+    if isinstance(x, np.ndarray):
+        return np.linalg.norm(x.reshape(-1))
     return jnp.linalg.norm(jnp.reshape(x, (-1,)))
 
 
@@ -98,10 +106,14 @@ def fuse(x, *axes_groups):
     perm, new_shape = calc_fuse_perm_and_shape(
         tuple(jnp.shape(x)), tuple(map(tuple, axes_groups))
     )
+    if isinstance(x, np.ndarray):
+        return np.transpose(x, perm).reshape(new_shape)
     return jnp.reshape(jnp.transpose(x, perm), new_shape)
 
 
 def reshape(x, shape):
+    if isinstance(x, np.ndarray):
+        return x.reshape(shape)
     return jnp.reshape(x, shape)
 
 
@@ -110,6 +122,8 @@ def multiply_diagonal(x, v, axis):
     contract a diagonal matrix diag(v) into that axis."""
     shape = [1] * ndim(x)
     shape[axis] = -1
+    if isinstance(x, np.ndarray) and isinstance(v, np.ndarray):
+        return x * v.astype(x.dtype).reshape(shape)
     return x * jnp.reshape(v.astype(x.dtype), shape)
 
 

@@ -697,13 +697,20 @@ class Circuit(CircuitBase):
         over ICI (the multi-chip large-circuit path)."""
         if isinstance(b, str):
             b = tuple(int(x) for x in b)
-        psi = self._psi.copy()
-        for q in range(self.N):
-            ind = psi.site_ind(q)
-            psi.isel_({ind: int(b[q])})
-        psi.full_simplify_(
-            seq=simplify_sequence, atol=simplify_atol, output_inds=(),
-        )
+        from ...ops.contraction import contract_backend
+
+        # the whole setup phase (output selection + simplification) is
+        # host-side graph surgery: pin it to numpy so no tiny tensor
+        # round-trips through the device
+        with contract_backend("numpy"):
+            psi = self._psi.copy()
+            for q in range(self.N):
+                ind = psi.site_ind(q)
+                psi.isel_({ind: int(b[q])})
+            psi.full_simplify_(
+                seq=simplify_sequence, atol=simplify_atol,
+                output_inds=(),
+            )
         if rehearse:
             return {
                 "tn": psi,

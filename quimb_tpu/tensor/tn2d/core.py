@@ -753,6 +753,13 @@ class TensorNetwork2DVector(TensorNetwork2D):
         via boundary environments (reference
         ``compute_local_expectation`` tn2d/core.py:4223)."""
         norm = self.make_norm()
+        if normalized:
+            # every (value, norm) pair below contracts the SAME strip
+            # tensors, so their ratio is invariant to per-tensor
+            # rescaling — equalize norms up front so a long-evolved
+            # state (e.g. unit-conditioned SimpleUpdate tensors whose
+            # global norm is ~1e-24) cannot underflow f32 mid-strip
+            norm.equalize_norms_(1.0)
         if max_bond is None:
             max_bond = max(8, 2 * (self.max_bond() or 2) ** 2)
         x_envs = norm.compute_x_environments(

@@ -280,6 +280,85 @@ class SimpleUpdate(TEBD2D):
         bs = list(bonds(ta, tb))
         return bs[0] if bs else None
 
+    def _can_fuse(self):
+        """Whether the batched colour-class sweep kernel applies: a
+        rectangular PEPS, nearest-neighbour-only terms, fixed-D
+        truncation. See ``su_fused`` for the design."""
+        from ...config import fused_su_enabled
+        from .core import PEPS
+
+        if not fused_su_enabled():
+            return False
+        psi = self.state
+        if not isinstance(psi, PEPS) or psi.Lx < 2 or psi.Ly < 2:
+            return False
+        if self.gate_opts.get("max_bond") != self._D:
+            return False
+        # every term must be a NN bond of the lattice
+        nn = set()
+        for i in range(psi.Lx):
+            for j in range(psi.Ly):
+                if j + 1 < psi.Ly:
+                    nn.add(((i, j), (i, j + 1)))
+                if i + 1 < psi.Lx:
+                    nn.add(((i, j), (i + 1, j)))
+        for w in self.ham.terms:
+            a, b = w
+            if (tuple(a), tuple(b)) not in nn and \
+                    (tuple(b), tuple(a)) not in nn:
+                return False
+        return True
+
+    def _evolve_fused(self, steps):
+        """Run ``steps`` full sweeps as one compiled scan program
+        (one device dispatch per call)."""
+        from .su_fused import (
+            _axis_masks, _su_evolve, class_gate_stacks, peps_to_stacks,
+            stacks_to_peps,
+        )
+        from ...ops.backend import to_device
+
+        psi = self.state
+        Lx, Ly, D = psi.Lx, psi.Ly, self._D
+        p = psi.phys_dim()
+        S, GH, GV = peps_to_stacks(psi, self.gauges, D)
+        rdt = np.zeros(1, dtype=np.dtype(str(S.dtype))).real.dtype
+        gates = class_gate_stacks(
+            self.ham, Lx, Ly, -self.tau, p, rdt
+        )
+        masks_h = tuple(
+            to_device(m) for m in _axis_masks(Lx, Ly, D, rdt)
+        )
+        # the vertical pass runs on the transposed lattice
+        mv = _axis_masks(Ly, Lx, D, rdt)
+        masks_v = tuple(to_device(m) for m in mv)
+        S, GH, GV = _su_evolve(
+            S, GH, GV, *gates, masks_h, masks_v,
+            nsteps=int(steps), smudge=float(self.gauge_smudge),
+        )
+        self.state, self.gauges = stacks_to_peps(S, GH, GV, psi)
+
+    def evolve(self, steps, tau=None, progbar=None, fused=None):
+        """Evolve ``steps`` sweeps. Uses the fused batched kernel when
+        eligible (``fused=None`` -> auto), else the per-bond path."""
+        if tau is not None:
+            self.tau = tau
+        use_fused = self._can_fuse() if fused is None else fused
+        if not use_fused:
+            return super().evolve(steps, progbar=progbar)
+        self._evolve_fused(steps)
+        for _ in range(int(steps)):
+            self.n += 1
+            self.its.append(self.n)
+            self.taus.append(self.tau)
+        if self.compute_energy_every and steps:
+            self.energies.append(self.compute_energy())
+            if self.callback is not None:
+                self.callback(self)
+        if self.compute_energy_final:
+            self.energies.append(self.compute_energy())
+        return self
+
     def gate(self, U, where):
         psi = self.state
         a, b = where
