@@ -542,12 +542,18 @@ def bcoo_matvec_fn(H_bcoo):
 
 
 class SparseHam:
-    """A sparse Hamiltonian living on device as gather/segment-sum data.
+    """A sparse Hamiltonian living on device in ELL (padded-row) format.
 
     The TPU-native replacement for CSR matvec kernels
-    (reference ``par_dot_csr_matvec`` core.py:779): stores COO
-    (rows, cols, vals) padded to fixed size; ``matvec`` gathers source
-    amplitudes and segment-sums into rows — both native XLA TPU ops.
+    (reference ``par_dot_csr_matvec`` core.py:779). Every row is padded
+    to the maximum nnz-per-row ``K`` so the matvec is a (N, K) gather
+    followed by a *dense* row reduction — no scatter. XLA lowers
+    scatter-adds (``segment_sum``) on TPU to a serialized update loop,
+    which made 2^20-dim Lanczos iterations hundreds of times slower
+    than this formulation; the gather+reduce is purely bandwidth-bound.
+
+    Falls back to sorted-COO + ``segment_sum`` only when row skew would
+    make the ELL padding blow up memory (>4x the raw nnz).
     """
 
     def __init__(self, H, dtype=None):
@@ -562,14 +568,46 @@ class SparseHam:
                          "complex64": "float32"}.get(str(dtype), dtype)
         from .ops.backend import to_device
 
-        order = np.argsort(Hc.row, kind="stable")
-        self.rows = jnp.asarray(Hc.row[order].astype(np.int32))
-        self.cols = jnp.asarray(Hc.col[order].astype(np.int32))
-        self.vals = to_device(Hc.data[order], dtype=dtype)
         self.shape = Hc.shape
         self.dtype = np.dtype(str(dtype))
 
+        n = Hc.shape[0]
+        nnz = len(Hc.data)
+        counts = np.bincount(Hc.row, minlength=n) if nnz else np.zeros(
+            n, np.int64
+        )
+        k = int(counts.max()) if nnz else 1
+        self._ell = nnz == 0 or n * k <= 4 * nnz
+
+        order = np.argsort(Hc.row, kind="stable")
+        r = Hc.row[order].astype(np.int64)
+        c = Hc.col[order].astype(np.int32)
+        v = Hc.data[order]
+        if np.iscomplexobj(v) and not np.issubdtype(
+            self.dtype, np.complexfloating
+        ):
+            v = v.real
+
+        if self._ell:
+            starts = np.zeros(n + 1, np.int64)
+            np.cumsum(counts, out=starts[1:])
+            pos = np.arange(nnz, dtype=np.int64) - starts[r]
+            cols2 = np.zeros((n, k), np.int32)
+            vals2 = np.zeros((n, k), v.dtype)
+            cols2[r, pos] = c
+            vals2[r, pos] = v
+            self.rows = None
+            self.cols = jnp.asarray(cols2)
+            self.vals = to_device(vals2, dtype=dtype)
+        else:
+            self.rows = jnp.asarray(r.astype(np.int32))
+            self.cols = jnp.asarray(c)
+            self.vals = to_device(v, dtype=dtype)
+
     def matvec(self, x):
+        if self._ell:
+            src = jnp.take(x, self.cols, axis=0)  # (N, K) gather
+            return jnp.sum(self.vals * src, axis=1)
         src = jnp.take(x, self.cols, axis=0)
         contrib = self.vals * src
         return jax.ops.segment_sum(
@@ -587,17 +625,22 @@ class SparseHam:
 
     def to_dense(self):
         out = jnp.zeros(self.shape, dtype=self.dtype.name)
+        if self._ell:
+            rows = jnp.arange(self.shape[0], dtype=jnp.int32)[:, None]
+            return out.at[
+                jnp.broadcast_to(rows, self.cols.shape), self.cols
+            ].add(self.vals)
         return out.at[self.rows, self.cols].add(self.vals)
 
 
 def _sparseham_flatten(h):
-    return (h.rows, h.cols, h.vals), (h.shape, h.dtype)
+    return (h.rows, h.cols, h.vals), (h.shape, h.dtype, h._ell)
 
 
 def _sparseham_unflatten(aux, children):
     h = SparseHam.__new__(SparseHam)
     h.rows, h.cols, h.vals = children
-    h.shape, h.dtype = aux
+    h.shape, h.dtype, h._ell = aux
     return h
 
 

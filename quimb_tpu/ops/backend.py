@@ -7,6 +7,7 @@ choke-point every host<->device boundary in the framework goes
 through."""
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -17,6 +18,23 @@ from ..config import on_tpu
 
 def _needs_split():
     return on_tpu()
+
+
+def _retry_transient(fn, *args):
+    """Run a raw host<->device transfer, retrying transient tunnel
+    failures. The remote TPU transport sporadically returns
+    UNIMPLEMENTED under sustained small-transfer load even though the
+    identical call succeeds moments later; a genuine unsupported-op
+    error keeps failing and is re-raised after the last attempt."""
+    delay = 0.5
+    for attempt in range(4):
+        try:
+            return fn(*args)
+        except jax.errors.JaxRuntimeError as e:
+            if "UNIMPLEMENTED" not in str(e) or attempt == 3:
+                raise
+            time.sleep(delay)
+            delay *= 2.0
 
 
 def to_device(x, dtype=None):
@@ -32,16 +50,18 @@ def to_device(x, dtype=None):
         # backend: ship as shape (1,) and squeeze compiled
         xa = xa.reshape(1)
         if np.iscomplexobj(xa):
-            re = jnp.asarray(np.ascontiguousarray(xa.real))
-            im = jnp.asarray(np.ascontiguousarray(xa.imag))
+            re = _retry_transient(jnp.asarray, np.ascontiguousarray(xa.real))
+            im = _retry_transient(jnp.asarray, np.ascontiguousarray(xa.imag))
             return _combine_complex0(re, im, xa.dtype.name)
-        return _squeeze0(jnp.asarray(xa))
+        return _squeeze0(_retry_transient(jnp.asarray, xa))
     if np.iscomplexobj(xa) and _needs_split():
-        re = jnp.asarray(np.ascontiguousarray(xa.real))
-        im = jnp.asarray(np.ascontiguousarray(xa.imag))
+        re = _retry_transient(jnp.asarray, np.ascontiguousarray(xa.real))
+        im = _retry_transient(jnp.asarray, np.ascontiguousarray(xa.imag))
         # the combine must itself run compiled: eager lax.complex on
         # arrays is UNIMPLEMENTED on this TPU backend
         return _combine_complex(re, im, xa.dtype.name)
+    if _needs_split():
+        return _retry_transient(jnp.asarray, xa)
     return jnp.asarray(xa)
 
 
@@ -69,7 +89,10 @@ def to_host(x):
         # .real/.imag must be *computed* inside jit — eager complex
         # ops are UNIMPLEMENTED on this TPU backend
         re, im = _split_reim(x)
-        return np.asarray(re) + 1j * np.asarray(im)
+        return (_retry_transient(np.asarray, re)
+                + 1j * _retry_transient(np.asarray, im))
+    if _needs_split():
+        return _retry_transient(np.asarray, x)
     return np.asarray(x)
 
 

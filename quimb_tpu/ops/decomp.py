@@ -245,8 +245,13 @@ def _resolve_nchi(sabs, cutoff, cutoff_mode, max_bond, renorm):
     """Resolve the number of singular values to keep. Returns host int."""
     d = sabs.shape[-1]
     if (cutoff is not None and cutoff > 0.0) or (renorm and renorm > 0):
-        n_chi = int(_nchi_kernel(sabs, jnp.asarray(cutoff if cutoff else 0.0,
-                                                   sabs.dtype), cutoff_mode))
+        from .backend import to_host
+
+        # route the scalar sync through the retrying transfer shim —
+        # the tunnel sporadically fails one-off small transfers
+        n_chi = int(to_host(_nchi_kernel(
+            sabs, jnp.asarray(cutoff if cutoff else 0.0, sabs.dtype),
+            cutoff_mode)))
         n_chi = max(n_chi, 1)
         if max_bond and max_bond > 0:
             n_chi = min(n_chi, max_bond)

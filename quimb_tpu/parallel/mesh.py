@@ -47,9 +47,12 @@ class ShardedSparseHam:
     """Sparse hermitian operator in contiguous row slabs across a mesh
     (the PETSc-Mat analogue, slepc_linalg.py:105).
 
-    COO entries are bucketed by owner row-slab and padded to equal
-    count, giving a fully static sharded matvec:
-    ``y_local = segment_sum(vals_local * x_gathered[cols_local])``.
+    Entries are bucketed by owner row-slab and stored in ELL format
+    (every local row padded to the global max nnz-per-row), giving a
+    fully static sharded matvec with no scatter:
+    ``y_local = sum(vals_local * x_gathered[cols_local], axis=-1)``
+    — XLA lowers scatter-adds on TPU to a serialized loop, while the
+    gather + dense row-reduce is purely bandwidth-bound.
     """
 
     def __init__(self, H, mesh=None, dtype=None):
@@ -81,49 +84,46 @@ class ShardedSparseHam:
         self.n_pad = -(-n // nd) * nd
         self.rows_per = self.n_pad // nd
 
-        owner = Hc.row // self.rows_per
-        buckets_r, buckets_c, buckets_v = [], [], []
-        max_nnz = 0
-        for k in range(nd):
-            m = owner == k
-            buckets_r.append(Hc.row[m] - k * self.rows_per)
-            buckets_c.append(Hc.col[m])
-            buckets_v.append(Hc.data[m])
-            max_nnz = max(max_nnz, int(m.sum()))
-        # pad each bucket to max_nnz with zeros pointing at row 0
-        R = np.zeros((nd, max_nnz), dtype=np.int32)
-        C = np.zeros((nd, max_nnz), dtype=np.int32)
-        V = np.zeros((nd, max_nnz), dtype=self.dtype)
-        for k in range(nd):
-            m = buckets_r[k].size
-            R[k, :m] = buckets_r[k]
-            C[k, :m] = buckets_c[k]
-            V[k, :m] = buckets_v[k]
+        # ELL: pad every row to the global max nnz-per-row so each
+        # shard holds a static (rows_per, kmax) block
+        counts = np.bincount(Hc.row, minlength=self.n_pad)
+        kmax = max(int(counts.max()) if Hc.nnz else 1, 1)
+        order = np.argsort(Hc.row, kind="stable")
+        r = Hc.row[order].astype(np.int64)
+        c = Hc.col[order].astype(np.int32)
+        v = Hc.data[order]
+        if np.iscomplexobj(v) and not np.issubdtype(
+            self.dtype, np.complexfloating
+        ):
+            v = v.real
+        starts = np.zeros(self.n_pad + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        pos = np.arange(len(r), dtype=np.int64) - starts[r]
+        cols2 = np.zeros((self.n_pad, kmax), np.int32)
+        vals2 = np.zeros((self.n_pad, kmax), dtype=self.dtype)
+        cols2[r, pos] = c
+        vals2[r, pos] = v
+        C = cols2.reshape(nd, self.rows_per, kmax)
+        V = vals2.reshape(nd, self.rows_per, kmax)
 
-        shard = NamedSharding(mesh, P(self.axis, None))
-        self.R = jax.device_put(R, shard)
+        shard = NamedSharding(mesh, P(self.axis, None, None))
         self.C = jax.device_put(C, shard)
         self.V = jax.device_put(V, shard)
         self.shape = (n, n)
-        rows_per = self.rows_per
         axis = self.axis
-        n_real = n
 
-        def _mv_local(R, C, V, x_shard):
+        def _mv_local(C, V, x_shard):
             # gather the full vector over the mesh (ICI all_gather)
             x_full = jax.lax.all_gather(
                 x_shard, axis, axis=0, tiled=True
             )
-            src = jnp.take(x_full, C[0], axis=0)
-            contrib = V[0] * src
-            return jax.ops.segment_sum(
-                contrib, R[0], num_segments=rows_per
-            )
+            src = jnp.take(x_full, C[0], axis=0)  # (rows_per, kmax)
+            return jnp.sum(V[0] * src, axis=-1)
 
         self._mv_sharded = jax.jit(jax.shard_map(
             _mv_local,
             mesh=mesh,
-            in_specs=(P(axis, None), P(axis, None), P(axis, None),
+            in_specs=(P(axis, None, None), P(axis, None, None),
                       P(axis)),
             out_specs=P(axis),
         ))
@@ -141,7 +141,7 @@ class ShardedSparseHam:
 
     def matvec(self, x):
         """Sharded matvec; accepts and returns mesh-sharded vectors."""
-        return self._mv_sharded(self.R, self.C, self.V, x)
+        return self._mv_sharded(self.C, self.V, x)
 
     def __matmul__(self, x):
         if np.shape(x)[0] != self.n_pad:
