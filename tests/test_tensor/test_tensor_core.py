@@ -241,6 +241,7 @@ class TestContractCompressed:
         z_comp = float(tn.contract_compressed(max_bond=8))
         assert abs(z_comp - z_exact) / z_exact < 1e-6
 
+    @pytest.mark.slow
     def test_peps_norm_truncating(self):
         import quimb_tpu.tensor as full
 

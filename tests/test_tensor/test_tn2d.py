@@ -103,6 +103,7 @@ class TestSimpleUpdate:
 
 
 class TestFullUpdate:
+    @pytest.mark.slow
     def test_heis_3x3_beats_simple_update_bound(self):
         ham = t2.ham_2d_heis(3, 3)
         psi0 = t2.PEPS_rand(3, 3, 2, seed=2, dtype="float64")
