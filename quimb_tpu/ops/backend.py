@@ -87,18 +87,29 @@ def to_host(x):
         return np.asarray(x)
     if jnp.iscomplexobj(x) and _needs_split():
         # .real/.imag must be *computed* inside jit — eager complex
-        # ops are UNIMPLEMENTED on this TPU backend
+        # ops are UNIMPLEMENTED on this TPU backend; 0-d transfers are
+        # too, so the split also lifts scalars to shape (1,)
+        shape = x.shape
         re, im = _split_reim(x)
-        return (_retry_transient(np.asarray, re)
-                + 1j * _retry_transient(np.asarray, im))
+        out = (_retry_transient(np.asarray, re)
+               + 1j * _retry_transient(np.asarray, im))
+        return out.reshape(shape)
     if _needs_split():
+        if x.ndim == 0:
+            return _retry_transient(np.asarray, _unsqueeze0(x)).reshape(())
         return _retry_transient(np.asarray, x)
     return np.asarray(x)
 
 
 @jax.jit
 def _split_reim(x):
+    x = jnp.reshape(x, (-1,)) if x.ndim == 0 else x
     return jnp.real(x), jnp.imag(x)
+
+
+@jax.jit
+def _unsqueeze0(x):
+    return jnp.reshape(x, (1,))
 
 
 def maybe_host_scalar(x):

@@ -243,7 +243,11 @@ def _np_einsum(*args):
             out.append([remap.setdefault(l, len(remap)) for l in a])
         else:
             out.append(a)
-    return np.einsum(*out)
+    # np.einsum returns a *numpy scalar* (not ndarray) for 0-d outputs;
+    # keep it an ndarray so downstream type dispatch ("is this a host
+    # array?") stays host-side — a scalar slipping through here used to
+    # get device_put mid-simplify, poisoning the whole host pass
+    return np.asarray(np.einsum(*out))
 
 
 class _np_mod:

@@ -282,6 +282,28 @@ def _trim_and_renorm(
     absorb = parse_absorb(absorb)
     sabs = jnp.abs(s) if use_abs else s
     d = s.shape[-1]
+
+    if (
+        on_tpu()
+        and info is None
+        and not use_abs
+        and max_bond is not None and max_bond > 0
+        and ((cutoff is not None and cutoff > 0.0) or (renorm and renorm > 0))
+    ):
+        # TPU path: resolving the surviving rank under ``cutoff`` is a
+        # device->host scalar sync *per split* — a round trip through
+        # the remote tunnel inside every hot loop (the round-3 peps16
+        # timeout). Instead keep the static shape min(max_bond, d) and
+        # zero-mask values failing the cutoff entirely on device:
+        # numerically identical downstream, no sync, jit-stable shapes.
+        rn = (RENORM_LOOKUP.get(cutoff_mode, 2) if renorm is True
+              else int(renorm or 0))
+        return _trim_mask_kernel(
+            U, s, VH, jnp.asarray(cutoff if cutoff else 0.0, s.dtype),
+            max_bond=int(max_bond), cutoff_mode=cutoff_mode, renorm=rn,
+            absorb=absorb,
+        )
+
     n_chi = _resolve_nchi(sabs, cutoff, cutoff_mode, max_bond, renorm)
 
     if n_chi < d:
@@ -1037,6 +1059,23 @@ def split_truncated_subspace(x, max_bond, absorb="right", iters=2,
         U = V
         VH = dag(V) @ x
     return U, None, VH, jnp.asarray(k, jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_bond", "cutoff_mode", "renorm", "absorb"),
+)
+def _trim_mask_kernel(U, s, VH, cutoff, max_bond, cutoff_mode, renorm,
+                      absorb):
+    """One compiled program for the TPU no-sync truncation trailer:
+    static-shape slice to ``min(max_bond, d)``, cutoff applied by
+    zero-masking, then the absorb arithmetic — all on device. Returns
+    the same ``(left, s|None, right)`` triple as ``_do_absorb``."""
+    Um, sm, VHm, _ = _truncate_mask_absorb(
+        U, s, VH, max_bond=max_bond, cutoff=cutoff,
+        cutoff_mode=cutoff_mode, renorm=renorm, absorb=None,
+    )
+    return _do_absorb(Um, sm, VHm, absorb)
 
 
 def _truncate_mask_absorb(U, s, VH, max_bond, cutoff, cutoff_mode,

@@ -88,6 +88,17 @@ class ShardedSparseHam:
         # shard holds a static (rows_per, kmax) block
         counts = np.bincount(Hc.row, minlength=self.n_pad)
         kmax = max(int(counts.max()) if Hc.nnz else 1, 1)
+        nnz = max(int(Hc.nnz), 1)
+        # skew guard (mirrors SparseHam's 4x-nnz guard in core.py): a
+        # single dense-ish row would inflate plain ELL storage to
+        # n_pad*kmax ~ O(n^2). Chunk heavy rows into virtual rows of
+        # width <= kcap and fold partial sums back with a per-slab
+        # segment_sum, bounding device storage to ~4x nnz.
+        kcap = kmax
+        if self.n_pad * kmax > 4 * nnz:
+            kcap = max(-(-4 * nnz // self.n_pad), 1)
+        self._kcap = kcap
+
         order = np.argsort(Hc.row, kind="stable")
         r = Hc.row[order].astype(np.int64)
         c = Hc.col[order].astype(np.int32)
@@ -99,34 +110,95 @@ class ShardedSparseHam:
         starts = np.zeros(self.n_pad + 1, np.int64)
         np.cumsum(counts, out=starts[1:])
         pos = np.arange(len(r), dtype=np.int64) - starts[r]
-        cols2 = np.zeros((self.n_pad, kmax), np.int32)
-        vals2 = np.zeros((self.n_pad, kmax), dtype=self.dtype)
-        cols2[r, pos] = c
-        vals2[r, pos] = v
-        C = cols2.reshape(nd, self.rows_per, kmax)
-        V = vals2.reshape(nd, self.rows_per, kmax)
 
-        shard = NamedSharding(mesh, P(self.axis, None, None))
-        self.C = jax.device_put(C, shard)
-        self.V = jax.device_put(V, shard)
-        self.shape = (n, n)
         axis = self.axis
+        shard = NamedSharding(mesh, P(self.axis, None, None))
+        self.shape = (n, n)
 
-        def _mv_local(C, V, x_shard):
-            # gather the full vector over the mesh (ICI all_gather)
-            x_full = jax.lax.all_gather(
-                x_shard, axis, axis=0, tiled=True
+        if kcap == kmax:
+            # plain ELL: one virtual row per row
+            cols2 = np.zeros((self.n_pad, kmax), np.int32)
+            vals2 = np.zeros((self.n_pad, kmax), dtype=self.dtype)
+            cols2[r, pos] = c
+            vals2[r, pos] = v
+            C = cols2.reshape(nd, self.rows_per, kmax)
+            V = vals2.reshape(nd, self.rows_per, kmax)
+            self.C = jax.device_put(C, shard)
+            self.V = jax.device_put(V, shard)
+            self._S = None
+
+            def _mv_local(C, V, x_shard):
+                # gather the full vector over the mesh (ICI all_gather)
+                x_full = jax.lax.all_gather(
+                    x_shard, axis, axis=0, tiled=True
+                )
+                src = jnp.take(x_full, C[0], axis=0)  # (rows_per, kmax)
+                return jnp.sum(V[0] * src, axis=-1)
+
+            self._mv_sharded = jax.jit(jax.shard_map(
+                _mv_local,
+                mesh=mesh,
+                in_specs=(P(axis, None, None), P(axis, None, None),
+                          P(axis)),
+                out_specs=P(axis),
+            ))
+        else:
+            # chunked ELL: row i owns ceil(count_i / kcap) virtual rows
+            # of width kcap, all within i's owner slab; every slab is
+            # padded to the max virtual-row count so shapes are static
+            vchunk = pos // kcap          # chunk index within the row
+            vpos = pos - vchunk * kcap    # position within the chunk
+            nchunks = np.maximum(-(-counts // kcap), 1)  # per row
+            vstarts = np.zeros(self.n_pad + 1, np.int64)
+            np.cumsum(nchunks, out=vstarts[1:])
+            # virtual rows per slab, padded to the max across slabs
+            slab_edges = vstarts[:: self.rows_per]
+            vrows_slab = np.diff(
+                np.concatenate([slab_edges, [vstarts[-1]]])
+            )[:nd]
+            vper = int(vrows_slab.max())
+            # local virtual-row index of entry = global vrow - slab base
+            gvrow = vstarts[r] + vchunk
+            slab_of = r // self.rows_per
+            lvrow = gvrow - slab_edges[slab_of]
+            cols2 = np.zeros((nd, vper, kcap), np.int32)
+            vals2 = np.zeros((nd, vper, kcap), dtype=self.dtype)
+            cols2[slab_of, lvrow, vpos] = c
+            vals2[slab_of, lvrow, vpos] = v
+            # local true-row of each virtual row (padding rows fold
+            # into row 0 with zero values — harmless)
+            seg = np.zeros((nd, vper), np.int32)
+            rows_all = np.arange(self.n_pad)
+            gv = np.repeat(rows_all % self.rows_per, nchunks)
+            for d in range(nd):
+                sl = gv[slab_edges[d]:slab_edges[d] + vrows_slab[d]]
+                seg[d, : len(sl)] = sl
+            self.C = jax.device_put(cols2, shard)
+            self.V = jax.device_put(vals2, shard)
+            self._S = jax.device_put(
+                seg, NamedSharding(mesh, P(self.axis, None))
             )
-            src = jnp.take(x_full, C[0], axis=0)  # (rows_per, kmax)
-            return jnp.sum(V[0] * src, axis=-1)
+            rows_per = self.rows_per
 
-        self._mv_sharded = jax.jit(jax.shard_map(
-            _mv_local,
-            mesh=mesh,
-            in_specs=(P(axis, None, None), P(axis, None, None),
-                      P(axis)),
-            out_specs=P(axis),
-        ))
+            def _mv_local_chunked(C, V, S, x_shard):
+                x_full = jax.lax.all_gather(
+                    x_shard, axis, axis=0, tiled=True
+                )
+                src = jnp.take(x_full, C[0], axis=0)  # (vper, kcap)
+                partial = jnp.sum(V[0] * src, axis=-1)
+                return jax.ops.segment_sum(
+                    partial, S[0], num_segments=rows_per
+                )
+
+            self._mv_sharded_chunked = jax.jit(jax.shard_map(
+                _mv_local_chunked,
+                mesh=mesh,
+                in_specs=(P(axis, None, None), P(axis, None, None),
+                          P(axis, None), P(axis)),
+                out_specs=P(axis),
+            ))
+            self._mv_sharded = lambda C, V, x: \
+                self._mv_sharded_chunked(C, V, self._S, x)
 
     def shard_vector(self, x):
         """Place (and zero-pad) a vector row-sharded over the mesh."""

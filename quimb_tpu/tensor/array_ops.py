@@ -23,6 +23,10 @@ def asarray(x):
         return x
     if isinstance(x, jax.Array):
         return x
+    if isinstance(x, np.generic):
+        # numpy scalar (e.g. einsum 0-d output): same treatment as a
+        # host ndarray, just coerced to one
+        x = np.asarray(x)
     if isinstance(x, np.ndarray) and x.dtype != object:
         # under the numpy contract-backend context (host-side
         # setup-time graph rewrites: simplification, small circuit

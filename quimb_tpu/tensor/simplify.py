@@ -414,8 +414,19 @@ def full_simplify(
     nt, ni = tn.num_tensors, tn.num_indices
     # the rewrites are host-side setup-time graph surgery on small
     # tensors: run their arithmetic through numpy (one host fetch per
-    # touched tensor) rather than compiling an XLA program per tiny op
+    # touched tensor) rather than compiling an XLA program per tiny op.
+    # pull any stray device leaves to host up front — a single batched
+    # boundary crossing — so no rewrite ever dispatches through the
+    # device mid-pass (the remote TPU transport is the fragile link)
+    from ..ops.backend import to_host
+
+    def _hostify(a):
+        if isinstance(a, np.ndarray) or a.__class__.__name__ == "PArray":
+            return a
+        return np.asarray(to_host(a))
+
     with contract_backend("numpy"):
+        tn.apply_to_arrays(_hostify)
         while (nt, ni) != (old_nt, old_ni) and nt > 1:
             for meth in seq:
                 fn = _FULL_SIMPLIFY_FUNCS[meth]
