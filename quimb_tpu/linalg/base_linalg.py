@@ -73,6 +73,18 @@ def _as_operator(A):
         return mv, n, A.dtype, None
     if callable(A) and not hasattr(A, "shape"):
         raise ValueError("bare callables need a wrapper with .shape")
+    if (
+        not isinstance(A, (np.ndarray, jnp.ndarray))
+        and hasattr(A, "__matmul__")
+        and hasattr(A, "shape")
+        and hasattr(A, "dtype")
+    ):
+        from .lanczos import as_pytree_operator
+
+        if as_pytree_operator(A) is not None:
+            # generic pytree operator (e.g. CoupledHam — the
+            # on-the-fly sector matvec): jit-operand capable
+            return (lambda x: A @ x), A.shape[0], A.dtype, None
     Aa = jnp.asarray(A)
     return (lambda x: Aa @ x), Aa.shape[0], Aa.dtype, Aa
 

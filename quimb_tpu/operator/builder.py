@@ -14,9 +14,12 @@ TPU-native choices:
 - coupling maps are built **vectorized over all sector configurations**
   with numpy bit arithmetic (host, setup time; replaces the numba
   loops), then either assembled into scipy CSR / device
-  ``SparseHam``, or kept as (flip_mask, amp-tables) for the
-  **on-the-fly device matvec** (no matrix materialization — gather +
-  segment-sum over configurations, the configcore replacement).
+  ``SparseHam``, or packed into a
+  :class:`~quimb_tpu.operator.configdevice.CoupledHam` for the
+  **on-the-fly device matvec**: no matrix materialization — per-term
+  XOR + amplitude gathers with combinatorial sector ranking computed
+  on device (the configcore replacement; see ``matvec`` /
+  ``build_coupled_ham``).
 - the MPO is built through a greedy finite-state machine that merges
   terms by identical futures (reference ``build_state_machine_greedy``
   builder.py:1377), reaching the standard optimal bond dimensions
@@ -528,9 +531,31 @@ class SparseOperatorBuilder:
 
         return SparseHam(self.build_sparse_matrix())
 
-    def matvec(self, x):
-        """Multiply a sector-vector by the operator on device."""
-        return self.build_sparse_ham() @ x
+    def build_coupled_ham(self, dtype=None):
+        """On-the-fly device sector operator — the matrix is NEVER
+        materialized (reference ``configcore.matvec_nosymm/z2/u1/u1u1``
+        configcore.py:288-:737). O(sector size) device storage for the
+        configuration list; each matvec is one compiled
+        gather/ranking program (see
+        :class:`~quimb_tpu.operator.configdevice.CoupledHam`)."""
+        from .configdevice import CoupledHam
+
+        dtype = self.get_dtype(dtype)
+        key = ("coupled_ham", np.dtype(dtype).name)
+        if key not in self._cache:
+            self._cache[key] = CoupledHam(
+                self.get_coupling_map(dtype),
+                self.hilbert_space,
+                dtype=dtype,
+            )
+        return self._cache[key]
+
+    def matvec(self, x, dtype=None):
+        """Multiply a sector-vector by the operator on device,
+        on-the-fly from the coupling map — no matrix is built
+        (reference ``SparseOperatorBuilder.matvec`` builder.py:1173 →
+        configcore kernels)."""
+        return self.build_coupled_ham(dtype) @ x
 
     def aslinearoperator(self):
         import scipy.sparse.linalg as spla

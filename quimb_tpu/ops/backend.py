@@ -112,6 +112,25 @@ def _unsqueeze0(x):
     return jnp.reshape(x, (1,))
 
 
+@jax.jit
+def _jit_conj(x):
+    return jnp.conj(x)
+
+
+def safe_conj(x):
+    """Conjugate that never dispatches an *eager* complex op on a
+    device array (UNIMPLEMENTED on the axon TPU backend): real arrays
+    pass through, host arrays use numpy, device complex arrays go
+    through one tiny compiled program (cached)."""
+    if isinstance(x, jax.core.Tracer):
+        return jnp.conj(x)
+    if isinstance(x, jax.Array):
+        if not jnp.iscomplexobj(x):
+            return x
+        return _jit_conj(x)
+    return np.conj(x)
+
+
 def maybe_host_scalar(x):
     """For terminal user-facing quantities: convert a *concrete* jax
     scalar to a host python/numpy scalar (TPU-safe for complex), but

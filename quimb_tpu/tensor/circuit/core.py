@@ -847,17 +847,19 @@ class Circuit(CircuitBase):
             from ...ops.contraction import contract_backend
 
             psi = self.get_psi_reverse_lightcone(region)
-            bra = psi.H
-            kix = [self.ket_site_ind(q) for q in region]
-            bix = [self.bra_site_ind(q) for q in region]
-            bra.reindex_(dict(zip(kix, bix)))
-            bra.mangle_inner_()
-            tn = psi & bra
             with contract_backend("numpy"):
-                # fully host-resident: the per-sample isel / final
-                # simplify / small marginal contractions then never
-                # touch the device
-                tn.apply_to_arrays(to_host)
+                # fully host-resident *before* conjugating/doubling:
+                # the bra build, per-sample isel, final simplify and
+                # small marginal contractions then never touch the
+                # device (one batched host pull, half the transfer of
+                # hostifying <psi|psi>)
+                psi.apply_to_arrays(to_host)
+                bra = psi.H
+                kix = [self.ket_site_ind(q) for q in region]
+                bix = [self.bra_site_ind(q) for q in region]
+                bra.reindex_(dict(zip(kix, bix)))
+                bra.mangle_inner_()
+                tn = psi & bra
                 tn.full_simplify_(
                     seq=seq, atol=atol, output_inds=(*kix, *bix),
                 )

@@ -628,8 +628,10 @@ class Tensor:
     # -- data transforms ----------------------------------------------------
 
     def conj(self, inplace=False):
+        from ..ops.backend import safe_conj
+
         t = self if inplace else self.copy()
-        t.modify(apply=jnp.conj)
+        t.modify(apply=safe_conj)
         return t
 
     conj_ = functools.partialmethod(conj, inplace=True)
