@@ -127,9 +127,11 @@ __all__ += [
 
 from . import interface  # noqa: F401  (registers TN classes as pytrees)
 from .fitting import (
+    conjugate_gradient,
     tensor_network_distance,
     tensor_network_fit_als,
     tensor_network_fit_autodiff,
+    tensor_network_fit_tree,
 )
 from .optimize import MultiLossHandler, TNOptimizer, Vectorizer
 from .interface import pack, unpack
@@ -155,7 +157,8 @@ from . import belief_propagation  # noqa: F401
 
 __all__ += [
     "tensor_network_distance", "tensor_network_fit_als",
-    "tensor_network_fit_autodiff", "MultiLossHandler", "TNOptimizer", "Vectorizer",
+    "tensor_network_fit_autodiff", "tensor_network_fit_tree",
+    "conjugate_gradient", "MultiLossHandler", "TNOptimizer", "Vectorizer",
     "pack", "unpack",
     "edges_1d_chain", "edges_2d_hexagonal", "edges_2d_kagome",
     "edges_2d_square", "edges_2d_triangular",

@@ -2333,10 +2333,19 @@ class TensorNetwork:
     full_simplify_ = functools.partialmethod(full_simplify, inplace=True)
     rank_simplify_ = functools.partialmethod(rank_simplify, inplace=True)
 
-    def fit(self, tn_target, **kwargs):
-        from .fitting import tensor_network_fit_als
+    def fit(self, tn_target, method="als", **kwargs):
+        """Fit this network to ``tn_target`` by ``method``: 'als'
+        (alternating least squares, optional solver='cg'), 'tree'
+        (tree-gauge sweeps, no normal-matrix solve) or 'autodiff'
+        (reference tensor_core.py:10147)."""
+        from . import fitting
 
-        return tensor_network_fit_als(self, tn_target, **kwargs)
+        fn = {
+            "als": fitting.tensor_network_fit_als,
+            "tree": fitting.tensor_network_fit_tree,
+            "autodiff": fitting.tensor_network_fit_autodiff,
+        }[method]
+        return fn(self, tn_target, **kwargs)
 
     def distance(self, other, **kwargs):
         from .fitting import tensor_network_distance

@@ -149,3 +149,49 @@ class TestFitting:
         fitted = guess.fit(target, steps=20)
         assert tensor_network_distance(fitted, target) < \
             tensor_network_distance(guess, target)
+
+    def test_conjugate_gradient_solve(self):
+        import jax.numpy as jnp
+        from quimb_tpu.tensor.fitting import conjugate_gradient
+
+        rng = np.random.default_rng(0)
+        A = rng.normal(size=(12, 12))
+        A = A @ A.T + 0.5 * np.eye(12)
+        b = rng.normal(size=(12, 3))
+        x = conjugate_gradient(jnp.asarray(A), jnp.asarray(b),
+                               maxiter=200)
+        assert np.linalg.norm(A @ np.asarray(x) - b) < 1e-4
+
+    @pytest.mark.parametrize("solver", ["cg", "lstsq", "eigh"])
+    def test_als_solvers(self, solver):
+        target = qtn.MPS_rand_state(6, 6, seed=1, dtype="float64")
+        guess = qtn.MPS_rand_state(6, 6, seed=2, dtype="float64")
+        fitted = tensor_network_fit_als(
+            guess, target, steps=30, solver=solver, solver_maxiter=20,
+        )
+        # cg is an approximate iterative solve (plateaus on the
+        # rank-deficient normal matrices of an exactly-representable
+        # target); direct solvers reach machine-level fits
+        tol = 0.05 if solver == "cg" else 1e-3
+        assert tensor_network_distance(
+            fitted, target, normalized=True) < tol
+
+    def test_fit_tree_mps(self):
+        # an MPS is a tree: tree-gauge fit should reach ALS quality
+        # with no normal-matrix solves (ref fitting.py:608)
+        from quimb_tpu.tensor.fitting import tensor_network_fit_tree
+
+        target = qtn.MPS_rand_state(7, 6, seed=1, dtype="float64")
+        guess = qtn.MPS_rand_state(7, 6, seed=2, dtype="float64")
+        fitted = tensor_network_fit_tree(guess, target, steps=30)
+        assert tensor_network_distance(
+            fitted, target, normalized=True) < 1e-5
+
+    def test_fit_method_dispatch(self):
+        target = qtn.MPS_rand_state(5, 4, seed=3, dtype="float64")
+        guess = qtn.MPS_rand_state(5, 4, seed=6, dtype="float64")
+        f_tree = guess.copy().fit(target, method="tree", steps=20)
+        f_ad = guess.copy().fit(target, method="autodiff", steps=60)
+        for f in (f_tree, f_ad):
+            assert tensor_network_distance(f, target) < \
+                tensor_network_distance(guess, target)
