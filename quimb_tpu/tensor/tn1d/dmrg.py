@@ -721,21 +721,63 @@ class DMRG:
     """
 
     def __init__(self, ham, bond_dims, cutoffs=1e-9, bsz=2, which="SA",
-                 p0=None):
+                 p0=None, cyclic_mode="auto"):
         self.L = ham.L
         self.phys_dim = ham.phys_dim()
         self.bsz = bsz
         self.which = which
         self._set_bond_dim_seq(bond_dims)
         self._set_cutoff_seq(cutoffs)
-        self.opts = get_default_opts()
 
-        if ham.cyclic:
-            # ring Hamiltonians: exact open-boundary form (wrap bond
-            # carried through the chain + recompressed) so the standard
-            # moving-environment sweeps apply unchanged
+        # periodic Hamiltonians: two native routes (reference only has
+        # the segmented one, tn1d/dmrg.py:281-465):
+        # - 'segmented': true ring ansatz + transfer-matrix-compressed
+        #   closures, O(1) env moves — right at scale (long rings, low
+        #   closure rank)
+        # - 'obc': exact open-boundary MPO form (wrap bond carried
+        #   through + recompressed, L-independent bond growth) + the
+        #   standard fused sweeps — *more* accurate than the
+        #   reference's pseudo-orthogonalized small-ring path
+        # - 'auto': segmented for long rings, obc for short ones
+        if cyclic_mode == "auto":
+            cyclic_mode = "segmented" if ham.L >= 40 else "obc"
+        self.cyclic = (bool(getattr(ham, "cyclic", False))
+                       and bsz == 2 and cyclic_mode == "segmented")
+        self.opts = get_default_opts(self.cyclic)
+
+        if getattr(ham, "cyclic", False) and not self.cyclic:
+            # exact open-boundary form (wrap bond carried through the
+            # chain + recompressed) so the standard moving-environment
+            # sweeps apply unchanged
             ham = ham.to_obc()
         self.ham = ham
+
+        if self.cyclic:
+            # segmented PBC engine: transfer-matrix-compressed ring
+            # closures, O(1) moves (reference tn1d/dmrg.py:281-465);
+            # see dmrg_cyclic.CyclicSweeper
+            from .dmrg_cyclic import (
+                CyclicSweeper, cyclic_mpo_arrays, cyclic_mps_arrays,
+            )
+
+            if p0 is not None:
+                self._k = p0.copy()
+            else:
+                self._k = ham.rand_state(self._bond_dim0, cyclic=True)
+            Ws = cyclic_mpo_arrays(ham)
+            As = cyclic_mps_arrays(self._k)
+            dtype = jnp.result_type(*(a.dtype for a in Ws),
+                                    *(a.dtype for a in As))
+            self._cyc = CyclicSweeper(
+                [a.astype(dtype) for a in Ws],
+                [a.astype(dtype) for a in As], self.opts,
+            )
+            self.energies = []
+            self.local_energies = []
+            self.total_energies = []
+            return
+        self._cyc = None
+
         if p0 is not None:
             self._k = p0.copy()
         else:
@@ -779,6 +821,10 @@ class DMRG:
 
     @property
     def state(self):
+        if self._cyc is not None:
+            from .dmrg_cyclic import cyclic_arrays_to_mps
+
+            return cyclic_arrays_to_mps(self._cyc._A, self._k)
         psi = _arrays_to_mps(self._A, self._k)
         psi.drop_tags("_KET")
         return psi
@@ -1244,6 +1290,14 @@ class DMRG:
     def sweep(self, direction, max_bond=None, cutoff=1e-9, canonize=True,
               verbosity=0):
         """One full sweep (reference ``DMRG.sweep`` dmrg.py:885)."""
+        if self._cyc is not None:
+            ncv = max(2 * self.opts["local_eig_ncv"],
+                      self.opts["local_eig_ncv_floor"])
+            return self._cyc.sweep(
+                direction, max_bond=max_bond, cutoff=cutoff, ncv=ncv,
+                restarts=max(self.opts["local_eig_restarts"], 2),
+                method=self.opts["bond_compress_method"],
+            )
         if canonize and direction == "R":
             self._right_canonize_all()
         if direction == "R":
@@ -1295,10 +1349,10 @@ class DMRG1(DMRG):
     """Single-site DMRG (reference dmrg.py:1147)."""
 
     def __init__(self, ham, which="SA", bond_dims=None, cutoffs=1e-8,
-                 p0=None):
+                 p0=None, **kwargs):
         super().__init__(
             ham, bond_dims=bond_dims if bond_dims is not None else 8,
-            cutoffs=cutoffs, bsz=1, which=which, p0=p0,
+            cutoffs=cutoffs, bsz=1, which=which, p0=p0, **kwargs,
         )
 
 
@@ -1306,10 +1360,10 @@ class DMRG2(DMRG):
     """Two-site DMRG (reference dmrg.py:1166)."""
 
     def __init__(self, ham, which="SA", bond_dims=None, cutoffs=1e-8,
-                 p0=None):
+                 p0=None, **kwargs):
         super().__init__(
             ham, bond_dims=bond_dims if bond_dims is not None else 8,
-            cutoffs=cutoffs, bsz=2, which=which, p0=p0,
+            cutoffs=cutoffs, bsz=2, which=which, p0=p0, **kwargs,
         )
 
 

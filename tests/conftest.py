@@ -35,6 +35,25 @@ jax.config.update("jax_default_device", _CPUS[0])
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Auto-apply the ``slow`` marker from ``tests/_slow_tests.txt``
+    (node ids measured >= 3 s on a 1-core box) so that
+    ``pytest -m "not slow"`` is a smoke pass that finishes in a few
+    minutes. Regenerate the list with
+    ``pytest --durations=0 | awk '$1+0>=3' ...`` after large changes."""
+    slow_file = os.path.join(os.path.dirname(__file__),
+                             "_slow_tests.txt")
+    try:
+        with open(slow_file) as f:
+            slow_ids = {line.strip() for line in f if line.strip()}
+    except OSError:
+        return
+    for item in items:
+        nodeid = item.nodeid.replace(os.sep, "/")
+        if nodeid in slow_ids:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def cpu_devices():
     return _CPUS
