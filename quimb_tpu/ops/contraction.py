@@ -292,7 +292,15 @@ def _preprocess_single(array, term, xp=jnp):
 def array_contract_expression(
     inputs, output=None, sizes=None, shapes=None, optimize=None, cache=True,
 ):
-    """Build (or fetch from cache) a :class:`ContractExpression`."""
+    """Build (or fetch from cache) a :class:`ContractExpression`.
+
+    Index labels are canonicalized (first-occurrence integer ids) before
+    both caching and path search, so *structurally* identical
+    contractions share one cached path/expression even when their index
+    names differ — e.g. circuit sampling re-simplifies per sample and
+    mints fresh bond ids each time, but usually lands on the same
+    geometry. Execution is purely positional, so callers are unaffected.
+    """
     inputs = tuple(map(tuple, inputs))
     if output is None:
         output = find_output_inds(inputs)
@@ -305,14 +313,26 @@ def array_contract_expression(
     if optimize is None:
         optimize = get_contract_strategy()
 
+    # canonicalize: same-structure networks -> same key, same expression
+    remap = {}
+    c_inputs = tuple(
+        tuple(remap.setdefault(ix, len(remap)) for ix in term)
+        for term in inputs
+    )
+    c_output = tuple(remap.setdefault(ix, len(remap)) for ix in output)
+    c_sizes = {k: int(sizes[ix]) for ix, k in remap.items()}
+
     hashable_opt = optimize if isinstance(optimize, str) else str(optimize)
-    key = (inputs, output, tuple(sorted(sizes.items())), hashable_opt)
+    key = (
+        c_inputs, c_output,
+        tuple(c_sizes[k] for k in range(len(remap))), hashable_opt,
+    )
     if cache:
         expr = _EXPR_CACHE.get(key)
         if expr is not None:
             return expr
-    path = _paths.optimize_path(inputs, output, sizes, optimize)
-    expr = ContractExpression(inputs, output, sizes, path)
+    path = _paths.optimize_path(c_inputs, c_output, c_sizes, optimize)
+    expr = ContractExpression(c_inputs, c_output, c_sizes, path)
     if cache:
         _EXPR_CACHE[key] = expr
     return expr

@@ -27,6 +27,7 @@
 //       double*  out_flops)            // best flops-sum found (clamped)
 //   returns 0 on success.
 
+#include <chrono>
 #include <cstdint>
 #include <cmath>
 #include <vector>
@@ -250,6 +251,63 @@ long double run_greedy(
 
 }  // namespace
 
+// Core multi-restart driver. The first four restarts are a
+// deterministic (temperature-0) sweep over cost modifiers — these are
+// 10-30x cheaper than noisy restarts (noise produces worse greedy
+// choices -> fatter intermediates -> more candidate scoring) and
+// usually contain the best path. Noisy restarts then continue until
+// `repeats` are done, `patience` consecutive restarts fail to improve,
+// or `max_ms` of wall-clock has elapsed — bounding setup-time path
+// search on large (500-5000 tensor) circuit-sampling networks where an
+// unbounded 128-restart search used to cost ~20 s per marginal.
+static int64_t rgreedy_driver(
+    int32_t n_tensors, int32_t n_inds,
+    const int32_t* term_offsets, const int32_t* term_inds,
+    const double* log2_sizes, const uint8_t* is_output,
+    int32_t repeats, uint64_t seed, double temperature,
+    int32_t patience, double max_ms, double stop_flops,
+    int32_t* out_path, double* out_flops)
+{
+    if (n_tensors < 2) return 1;
+    std::mt19937_64 rng(seed);
+    std::vector<int32_t> best, trial;
+    long double best_fl = std::numeric_limits<long double>::infinity();
+    const double det_costmods[4] = {1.0, 0.5, 2.0, 4.0};
+    const double costmods[3] = {0.5, 1.0, 2.0};
+    Graph g;
+    auto t0 = std::chrono::steady_clock::now();
+    int32_t since_improve = 0;
+    for (int32_t r = 0; r < std::max(repeats, 1); ++r) {
+        bool det = r < 4;
+        double temp = det ? 0.0 : temperature;
+        double cm = det ? det_costmods[r] : costmods[r % 3];
+        g.init(n_tensors, n_inds, log2_sizes, is_output,
+               term_offsets, term_inds);
+        long double fl = run_greedy(g, n_tensors, temp, cm, rng, trial);
+        if (fl < best_fl) {
+            best_fl = fl;
+            best = trial;
+            since_improve = 0;
+        } else if (!det) {
+            ++since_improve;
+        }
+        if (r >= 3) {  // always finish the deterministic sweep
+            // cheap contraction: more search would cost more than the
+            // contraction itself (per-sample circuit marginals)
+            if (stop_flops > 0.0 && best_fl < (long double)stop_flops)
+                break;
+            if (patience > 0 && since_improve >= patience) break;
+            double ms = std::chrono::duration<double, std::milli>(
+                std::chrono::steady_clock::now() - t0).count();
+            if (max_ms > 0.0 && ms >= max_ms) break;
+        }
+    }
+    for (size_t i = 0; i < best.size(); ++i) out_path[i] = best[i];
+    *out_flops = (double)std::min(
+        best_fl, (long double)std::numeric_limits<double>::max());
+    return 0;
+}
+
 extern "C" int64_t find_path_rgreedy(
     int32_t n_tensors, int32_t n_inds,
     const int32_t* term_offsets, const int32_t* term_inds,
@@ -257,25 +315,23 @@ extern "C" int64_t find_path_rgreedy(
     int32_t repeats, uint64_t seed, double temperature,
     int32_t* out_path, double* out_flops)
 {
-    if (n_tensors < 2) return 1;
-    std::mt19937_64 rng(seed);
-    std::vector<int32_t> best, trial;
-    long double best_fl = std::numeric_limits<long double>::infinity();
-    const double costmods[3] = {0.5, 1.0, 2.0};
-    Graph g;
-    for (int32_t r = 0; r < std::max(repeats, 1); ++r) {
-        double temp = (r == 0) ? 0.0 : temperature;
-        double cm = (r == 0) ? 1.0 : costmods[r % 3];
-        g.init(n_tensors, n_inds, log2_sizes, is_output,
-               term_offsets, term_inds);
-        long double fl = run_greedy(g, n_tensors, temp, cm, rng, trial);
-        if (fl < best_fl) {
-            best_fl = fl;
-            best = trial;
-        }
-    }
-    for (size_t i = 0; i < best.size(); ++i) out_path[i] = best[i];
-    *out_flops = (double)std::min(
-        best_fl, (long double)std::numeric_limits<double>::max());
-    return 0;
+    return rgreedy_driver(
+        n_tensors, n_inds, term_offsets, term_inds, log2_sizes,
+        is_output, repeats, seed, temperature,
+        /*patience=*/0, /*max_ms=*/0.0, /*stop_flops=*/0.0,
+        out_path, out_flops);
+}
+
+extern "C" int64_t find_path_rgreedy2(
+    int32_t n_tensors, int32_t n_inds,
+    const int32_t* term_offsets, const int32_t* term_inds,
+    const double* log2_sizes, const uint8_t* is_output,
+    int32_t repeats, uint64_t seed, double temperature,
+    int32_t patience, double max_ms, double stop_flops,
+    int32_t* out_path, double* out_flops)
+{
+    return rgreedy_driver(
+        n_tensors, n_inds, term_offsets, term_inds, log2_sizes,
+        is_output, repeats, seed, temperature, patience, max_ms,
+        stop_flops, out_path, out_flops);
 }

@@ -43,11 +43,16 @@ def get_lib():
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_LIB) and os.path.exists(_SRC):
+            stale = (
+                os.path.exists(_LIB)
+                and os.path.exists(_SRC)
+                and os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+            )
+            if (not os.path.exists(_LIB) or stale) and os.path.exists(_SRC):
                 _build()
             lib = ctypes.CDLL(_LIB)
-            lib.find_path_rgreedy.restype = ctypes.c_int64
-            lib.find_path_rgreedy.argtypes = [
+            lib.find_path_rgreedy2.restype = ctypes.c_int64
+            lib.find_path_rgreedy2.argtypes = [
                 ctypes.c_int32,
                 ctypes.c_int32,
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -56,6 +61,9 @@ def get_lib():
                 np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
                 ctypes.c_int32,
                 ctypes.c_uint64,
+                ctypes.c_double,
+                ctypes.c_int32,
+                ctypes.c_double,
                 ctypes.c_double,
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
                 ctypes.POINTER(ctypes.c_double),
@@ -71,13 +79,21 @@ def native_available():
 
 
 def path_rgreedy_native(
-    inputs, output, sizes, repeats=32, temperature=1.0, seed=None
+    inputs, output, sizes, repeats=32, temperature=1.0, seed=None,
+    patience=16, max_seconds=2.0, stop_flops=0.0,
 ):
     """Run the native multi-restart randomized greedy search.
 
     Parameters mirror :func:`quimb_tpu.ops.paths.path_random_greedy`;
     returns an ssa path (list of index pairs) or ``None`` if the native
-    library is unavailable.
+    library is unavailable. ``patience`` stops the search after that
+    many consecutive non-improving noisy restarts; ``max_seconds``
+    wall-clock-bounds it (either may be 0 to disable) — both exist so
+    per-sample path searches on large circuit marginal networks stay a
+    setup-time detail rather than the dominant cost. ``stop_flops``
+    skips the noisy restarts entirely when the deterministic cost-mod
+    sweep already found a path cheaper than it — search effort then
+    scales with how expensive the contraction actually is.
     """
     lib = get_lib()
     if lib is None:
@@ -109,7 +125,7 @@ def path_rgreedy_native(
     out_flops = ctypes.c_double(0.0)
     if seed is None:
         seed = 42
-    rc = lib.find_path_rgreedy(
+    rc = lib.find_path_rgreedy2(
         np.int32(n),
         np.int32(n_inds),
         offsets,
@@ -119,6 +135,9 @@ def path_rgreedy_native(
         np.int32(repeats),
         np.uint64(int(seed) & (2**64 - 1)),
         float(temperature),
+        np.int32(patience),
+        float(max_seconds * 1000.0),
+        float(stop_flops),
         out_path,
         ctypes.byref(out_flops),
     )

@@ -26,6 +26,7 @@ import functools
 import heapq
 import itertools
 import math
+import os
 import random
 
 # ---------------------------------------------------------------------------
@@ -262,10 +263,16 @@ def path_random_greedy(
     from .native import path_rgreedy_native
 
     # native search is ~30-50x faster per restart, so spend some of that
-    # on extra restarts for better paths
+    # on extra restarts for better paths — but bounded: the native side
+    # stops early after 16 non-improving restarts or the wall-clock
+    # budget, whichever first (per-sample circuit marginals re-search on
+    # every fresh geometry, so an unbounded search dominates sampling)
     npath = path_rgreedy_native(
         inputs, output, sizes,
         repeats=4 * repeats, temperature=temperature, seed=seed,
+        patience=16,
+        max_seconds=float(os.environ.get("QUIMB_TPU_PATH_SECONDS", 0.5)),
+        stop_flops=float(os.environ.get("QUIMB_TPU_PATH_STOP_FLOPS", 1e9)),
     )
     if npath is not None:
         # guard: keep whichever of native / plain-greedy costs less

@@ -44,17 +44,24 @@ _HOST_CONTRACT_FLOPS = float(
 )
 
 
-def _auto_host_backend(tn, optimize, backend):
+def _auto_host_backend(tn, optimize, backend, output_inds=None):
     """Context manager choosing where a simplified circuit network is
     contracted: tiny networks (most amplitudes/marginals after
     lightcone + simplification) run as numpy on the host — zero
     compiles, zero device round-trips — while genuinely large
-    contractions go to the device as one compiled program."""
+    contractions go to the device as one compiled program.
+
+    ``output_inds`` must match the subsequent ``contract`` call exactly
+    (same indices, same order): the cost probe then hits the same
+    cached contraction expression the contract will use, so the path is
+    searched once, not twice."""
     from ...ops.contraction import contract_backend
 
     if backend is None:
         try:
-            flops = tn.contraction_cost(optimize=optimize)
+            flops = tn.contraction_cost(
+                optimize=optimize, output_inds=output_inds
+            )
         except Exception:
             flops = float("inf")
         backend = "numpy" if flops < _HOST_CONTRACT_FLOPS else "jax"
@@ -720,7 +727,7 @@ class Circuit(CircuitBase):
             from ...parallel import contract_tn_mesh
 
             return maybe_host_scalar(contract_tn_mesh(psi, mesh=mesh))
-        with _auto_host_backend(psi, optimize, backend):
+        with _auto_host_backend(psi, optimize, backend, output_inds=()):
             return maybe_host_scalar(psi.contract(..., optimize=optimize))
 
     def amplitude_rehearse(self, b=None, **kwargs):
@@ -773,8 +780,9 @@ class Circuit(CircuitBase):
         return maybe_host_scalar(jnp.trace(G @ rho))
 
     def compute_marginal(self, where, fix=None, optimize="auto",
-                         simplify_sequence="ADCR", simplify_atol=1e-12,
-                         mesh=None, **contract_opts):
+                         simplify_sequence="ADCRS", simplify_atol=1e-6,
+                         equalize_norms=True, mesh=None,
+                         **contract_opts):
         """Probability distribution p(where | fix) as a dense array
         (reference ``compute_marginal`` exact.py:780). With ``mesh``
         given, the simplified network is contracted sliced across the
@@ -812,7 +820,7 @@ class Circuit(CircuitBase):
                 })
             nm_lc.full_simplify_(
                 seq=simplify_sequence, atol=simplify_atol,
-                output_inds=kix,
+                output_inds=kix, equalize_norms=equalize_norms,
             )
         if mesh is not None:
             from ...parallel import contract_tn_mesh
@@ -822,7 +830,8 @@ class Circuit(CircuitBase):
             )
         else:
             with _auto_host_backend(
-                nm_lc, optimize, contract_opts.pop("backend", None)
+                nm_lc, optimize, contract_opts.pop("backend", None),
+                output_inds=kix,
             ):
                 data = nm_lc.contract(
                     ..., output_inds=kix, optimize=optimize,
@@ -878,8 +887,8 @@ class Circuit(CircuitBase):
         return tuple(sorted(sizes, key=sizes.get))
 
     def sample(self, C, qubits=None, order=None, group_size=10,
-               seed=None, optimize="auto", simplify_sequence="ADCR",
-               simplify_atol=1e-12, mesh=None, **contract_opts):
+               seed=None, optimize="auto", simplify_sequence="ADCRS",
+               simplify_atol=1e-6, mesh=None, **contract_opts):
         """Generate ``C`` samples via chain-rule marginals with caching
         (reference ``sample`` exact.py:1135). With ``mesh`` given each
         marginal contraction is sliced across the device mesh."""
@@ -957,8 +966,8 @@ class Circuit(CircuitBase):
 
     def sample_gate_by_gate(self, C, group_size=10, seed=None,
                             optimize="auto",
-                            simplify_sequence="ADCR",
-                            simplify_atol=1e-12, **contract_opts):
+                            simplify_sequence="ADCRS",
+                            simplify_atol=1e-6, **contract_opts):
         """Sample via the gate-by-gate (Markov) method of Bravyi,
         Gosset & Liu arXiv:2112.08499: evolve a bitstring through a
         growing sequence of prefix circuits, resampling only the

@@ -1688,13 +1688,27 @@ class TensorNetwork:
     # -- contraction ----------------------------------------------------------------
 
     def contraction_info(self, output_inds=None, optimize=None):
-        inputs = [t.inds for t in self.tensor_map.values()]
+        # mirror array_contract's single-tensor preprocessing (repeated
+        # indices collapse to their diagonal before the pairwise chain)
+        # so the expression here is byte-identical to — and shares the
+        # cache entry of — the one the actual contraction will use
+        inputs = []
+        shapes = []
+        for t in self.tensor_map.values():
+            term = tuple(dict.fromkeys(t.inds))
+            if len(term) == t.ndim:
+                inputs.append(t.inds)
+                shapes.append(t.shape)
+            else:
+                first = {}
+                for ix, d in zip(t.inds, t.shape):
+                    first.setdefault(ix, d)
+                inputs.append(term)
+                shapes.append(tuple(first[ix] for ix in term))
         if output_inds is None:
             output_inds = self.outer_inds()
         return array_contract_expression(
-            inputs, output_inds,
-            shapes=[t.shape for t in self.tensor_map.values()],
-            optimize=optimize,
+            inputs, output_inds, shapes=shapes, optimize=optimize,
         )
 
     def contraction_cost(self, optimize=None, **kwargs):

@@ -56,6 +56,16 @@ def rank_simplify(tn, output_inds=None, inplace=False, equalize_norms=False,
     ind_map = tn.ind_map
     tensor_map = tn.tensor_map
 
+    # per-tid size cache (Tensor.size recomputes prod(shape) per call,
+    # and the candidate loop below reads sizes ~10x per tensor)
+    tsizes = {}
+
+    def tensor_size(xtid, xt):
+        sz = tsizes.get(xtid)
+        if sz is None:
+            tsizes[xtid] = sz = xt.size
+        return sz
+
     queue = list(tensor_map)
     while queue:
         tid = queue.pop()
@@ -78,14 +88,32 @@ def rank_simplify(tn, output_inds=None, inplace=False, equalize_norms=False,
             continue
 
         t_ind_set = set(t_inds)
-        t_size = t.size
+        t_size = tensor_size(tid, t)
+        t_plain = len(t_ind_set) == len(t_inds)
         best = None
         for otid in neighbors:
             o = tensor_map[otid]
             o_inds = o.inds
             o_ind_set = set(o_inds)
             shared = t_ind_set & o_ind_set
-            cap = max(t_size, o.size)
+            o_size = tensor_size(otid, o)
+            cap = max(t_size, o_size)
+            if t_plain and len(o_ind_set) == len(o_inds):
+                # no intra-tensor repeats: the output size is
+                # t_size * o_size with every shared index divided out
+                # once (it appeared in both) and contracted indices
+                # divided out twice — O(|shared|), no allocation, vs
+                # scanning the whole index union per candidate (this
+                # loop dominates host-side circuit simplification)
+                out_sz = t_size * o_size
+                for ix in shared:
+                    d = ind_size(ix)
+                    out_sz //= d
+                    if not (ix in output_set or len(ind_map[ix]) > 2):
+                        out_sz //= d
+                if out_sz <= cap and (best is None or out_sz < best[0]):
+                    best = (out_sz, otid)
+                continue
             # output size of the contraction
             out_sz = 1
             for ix in dict.fromkeys(t_inds + o_inds):
@@ -232,18 +260,39 @@ def column_reduce(tn, output_inds=None, atol=1e-12, inplace=False,
 def split_simplify(tn, atol=1e-12, inplace=False, cache=None,
                    **split_opts):
     """Split tensors that are exactly low-rank across some bipartition
-    (reference ``split_simplify`` tensor_core.py:11164)."""
+    (reference ``split_simplify`` tensor_core.py:11164).
+
+    ``cache`` (a set) records tensors already found unsplittable so the
+    fixpoint loop in ``full_simplify`` doesn't re-SVD them every pass.
+    The rank probes run as plain ``numpy`` svdvals when the data is
+    host-resident — this is a setup-time pass over many tiny tensors,
+    where per-op dispatch would dominate."""
     tn = tn if inplace else tn.copy()
     for tid, t in tuple(tn.tensor_map.items()):
         if t.ndim < 3:
             continue
+        if len(set(t.inds)) != t.ndim:
+            # repeated index within one tensor (e.g. the marginal
+            # diagonal trick reindexes bra -> ket on a tensor holding
+            # both): no valid bipartition, and diag_simplify ('D')
+            # collapses it anyway
+            continue
+        ckey = (tid, t.shape)
+        if cache is not None and ckey in cache:
+            continue
+        data = t.data if isinstance(t.data, np.ndarray) else None
+        split_done = False
         # try bipartitions: each single index vs rest
         for k in range(t.ndim):
             left = (t.inds[k],)
             dl = t.ind_size(t.inds[k])
             if dl <= 1:
                 continue
-            s = t.split(left_inds=left, get="values", cutoff=0.0)
+            if data is not None:
+                mat = np.reshape(np.moveaxis(data, k, 0), (dl, -1))
+                s = np.linalg.svd(mat, compute_uv=False)
+            else:
+                s = t.split(left_inds=left, get="values", cutoff=0.0)
             rank = int(np.sum(np.asarray(s) > atol * float(s[0])))
             if rank < min(dl, t.size // dl):
                 tl, tr = t.split(
@@ -253,7 +302,10 @@ def split_simplify(tn, atol=1e-12, inplace=False, cache=None,
                 tn._pop_tensor(tid)
                 tn.add_tensor(tl, virtual=True)
                 tn.add_tensor(tr, virtual=True)
+                split_done = True
                 break
+        if not split_done and cache is not None:
+            cache.add(ckey)
     return tn
 
 
@@ -425,6 +477,10 @@ def full_simplify(
             return a
         return np.asarray(to_host(a))
 
+    # shared across fixpoint passes: tensors already found unsplittable
+    # by 'S' (re-SVD-ing every tensor every pass dominated large
+    # circuit-sampling simplifies)
+    split_cache = set() if cache else None
     with contract_backend("numpy"):
         tn.apply_to_arrays(_hostify)
         while (nt, ni) != (old_nt, old_ni) and nt > 1:
@@ -433,6 +489,9 @@ def full_simplify(
                 opts = {}
                 if meth in "DAC":
                     opts["atol"] = atol
+                if meth == "S":
+                    opts["atol"] = atol
+                    opts["cache"] = split_cache
                 if meth in "DRACP":
                     opts["output_inds"] = output_inds
                 fn(tn, inplace=True, **opts)
