@@ -246,8 +246,12 @@ def _np_einsum(*args):
     # np.einsum returns a *numpy scalar* (not ndarray) for 0-d outputs;
     # keep it an ndarray so downstream type dispatch ("is this a host
     # array?") stays host-side — a scalar slipping through here used to
-    # get device_put mid-simplify, poisoning the whole host pass
-    return np.asarray(np.einsum(*out))
+    # get device_put mid-simplify, poisoning the whole host pass.
+    # optimize=True routes BLAS-able pairwise contractions through
+    # tensordot/GEMM instead of the naive c_einsum loops — ~20x on the
+    # PEPS boundary strips; the per-call path overhead is trivial since
+    # our expressions are already pairwise.
+    return np.asarray(np.einsum(*out, optimize=True))
 
 
 class _np_mod:

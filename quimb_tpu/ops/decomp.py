@@ -565,12 +565,113 @@ def _svd_kernel(x):
     return safe_svd(x)
 
 
+# ---------------------------------------------------------------------------
+# host (numpy) fast paths — when the operand is already a host ndarray
+# (setup-time graph rewrites, boundary-MPS compressions at small chi,
+# circuit marginals) LAPACK direct beats an eager XLA dispatch (and a
+# compile per fresh shape) by orders of magnitude. Device arrays never
+# come through here, so the jitted TPU kernels are untouched.
+# ---------------------------------------------------------------------------
+
+
+def _np_nchi(sabs, cutoff, cutoff_mode, max_bond, renorm):
+    """Host replica of ``_nchi_kernel`` + max_bond clamp."""
+    d = sabs.shape[-1]
+    if (cutoff is not None and cutoff > 0.0) or (renorm and renorm > 0):
+        co = cutoff if cutoff else 0.0
+        if cutoff_mode == 1:  # abs
+            n_chi = np.sum(sabs > co, axis=-1)
+        elif cutoff_mode == 2:  # rel
+            n_chi = np.sum(sabs > co * sabs[..., 0:1], axis=-1)
+        else:
+            sp = sabs * sabs if cutoff_mode in (3, 4) else sabs
+            csp = np.cumsum(sp, axis=-1)
+            tot = csp[..., -1:]
+            if cutoff_mode in (4, 6):
+                above = csp < tot * (1 - co)
+            else:
+                above = csp < tot - co
+            n_chi = np.sum(above, axis=-1) + 1
+        n_chi = max(int(np.max(n_chi)), 1)
+        if max_bond and max_bond > 0:
+            n_chi = min(n_chi, max_bond)
+    elif max_bond and max_bond > 0:
+        n_chi = min(max_bond, d)
+    else:
+        n_chi = d
+    return n_chi
+
+
+def _np_absorb(U, s, VH, absorb):
+    if absorb is None:
+        return U, s, VH
+    if absorb == "both":
+        sq = np.sqrt(s)
+        return U * sq[..., None, :], None, VH * sq[..., :, None]
+    if absorb == "right":
+        return U, None, VH * s[..., :, None]
+    if absorb == "left":
+        return U * s[..., None, :], None, VH
+    if absorb == "rfactor":
+        return None, None, VH * s[..., :, None]
+    if absorb == "lfactor":
+        return U * s[..., None, :], None, None
+    if absorb == "lorthog":
+        return U, None, None
+    if absorb == "rorthog":
+        return None, None, VH
+    if absorb == "lsqrt":
+        return U * np.sqrt(s)[..., None, :], None, None
+    if absorb == "rsqrt":
+        return None, None, VH * np.sqrt(s)[..., :, None]
+    if absorb == "s":
+        return None, s, None
+    raise ValueError(f"Invalid absorb mode: {absorb}")
+
+
+def _np_svd_truncated(x, cutoff, cutoff_mode, max_bond, absorb, renorm,
+                      info):
+    cutoff_mode = parse_cutoff_mode(cutoff_mode)
+    absorb = parse_absorb(absorb)
+    try:
+        U, s, VH = np.linalg.svd(x, full_matrices=False)
+    except np.linalg.LinAlgError:
+        # rare gesdd failure: fall back to the (gesvd-like) slower path
+        U, s, VH = np.linalg.svd(
+            x + np.finfo(x.real.dtype).eps, full_matrices=False
+        )
+    n_chi = _np_nchi(s, cutoff, cutoff_mode, max_bond, renorm)
+    d = s.shape[-1]
+    if info is not None and "error" in info:
+        info["error"] = (
+            float(np.sqrt(np.sum(s[..., n_chi:] ** 2, axis=-1).max()))
+            if n_chi < d else 0.0
+        )
+    if n_chi < d:
+        if renorm:
+            pw = (RENORM_LOOKUP.get(cutoff_mode, 2) if renorm is True
+                  else int(renorm))
+            sp = s ** pw
+            csp = np.cumsum(sp, axis=-1)
+            f = (csp[..., -1] / csp[..., n_chi - 1]) ** (1.0 / pw)
+            s = s[..., :n_chi] * f[..., None]
+        else:
+            s = s[..., :n_chi]
+        U = U[..., :, :n_chi]
+        VH = VH[..., :n_chi, :]
+    return _np_absorb(U, s, VH, absorb)
+
+
 @register_split_driver("svd")
 def svd_truncated(
     x, cutoff=-1.0, cutoff_mode=4, max_bond=-1, absorb="both", renorm=0,
     info=None,
 ):
     """Truncated SVD (reference ``svd_truncated`` decomp.py:761)."""
+    if isinstance(x, np.ndarray):
+        return _np_svd_truncated(
+            x, cutoff, cutoff_mode, max_bond, absorb, renorm, info
+        )
     U, s, VH = _svd_kernel(x)
     return _trim_and_renorm(
         U, s, VH, cutoff=cutoff, cutoff_mode=cutoff_mode, max_bond=max_bond,
@@ -694,9 +795,19 @@ def _qr_stab_kernel(x):
     return Q, R
 
 
+def _np_sgn(x):
+    x0 = np.where(x == 0, 1.0, x)
+    return np.where(x == 0, np.ones_like(x), x0 / np.abs(x0))
+
+
 def qr_stabilized(x):
     """QR with R's diagonal made real-positive (reference
     ``qr_stabilized`` decomp.py:1985). Returns ``(Q, None, R)``."""
+    if isinstance(x, np.ndarray):
+        Q, R = np.linalg.qr(x)
+        rd = np.diagonal(R, axis1=-2, axis2=-1)
+        sg = _np_sgn(rd)
+        return Q * sg[..., None, :], None, R * np.conj(sg)[..., :, None]
     Q, R = _qr_stab_kernel(x)
     return Q, None, R
 
@@ -724,6 +835,13 @@ def _lq_stab_kernel(x):
 def lq_stabilized(x):
     """LQ decomposition ``x = L @ Q`` with ``Q`` row-isometric and ``L``'s
     diagonal real-positive. Returns ``(L, None, Q)``."""
+    if isinstance(x, np.ndarray):
+        Qt, Rt = np.linalg.qr(np.swapaxes(x, -2, -1))
+        rd = np.diagonal(Rt, axis1=-2, axis2=-1)
+        sg = _np_sgn(rd)
+        Qt = Qt * sg[..., None, :]
+        Rt = Rt * np.conj(sg)[..., :, None]
+        return np.swapaxes(Rt, -2, -1), None, np.swapaxes(Qt, -2, -1)
     L, Q = _lq_stab_kernel(x)
     return L, None, Q
 

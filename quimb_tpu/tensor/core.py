@@ -186,7 +186,9 @@ def tensor_split(
     right_dims = TT.shape[len(left_inds):]
     ml = int(np.prod(left_dims)) if left_dims else 1
     mr = int(np.prod(right_dims)) if right_dims else 1
-    array = jnp.reshape(TT.data, (ml, mr))
+    # keep host arrays host: the split drivers have LAPACK fast paths
+    xp = np if isinstance(TT.data, np.ndarray) else jnp
+    array = xp.reshape(TT.data, (ml, mr))
 
     if get == "values":
         # singular values must not be absorbed into the factors
@@ -210,11 +212,11 @@ def tensor_split(
     if get == "arrays":
         out = []
         if left is not None:
-            out.append(jnp.reshape(left, (*left_dims, -1)))
+            out.append(xp.reshape(left, (*left_dims, -1)))
         if s is not None:
             out.append(s)
         if right is not None:
-            out.append(jnp.reshape(right, (-1, *right_dims)))
+            out.append(xp.reshape(right, (-1, *right_dims)))
         return tuple(out)
 
     bond_ind = bond_ind or rand_uuid()
@@ -224,7 +226,7 @@ def tensor_split(
     tensors = []
     if left is not None:
         Tl = Tensor(
-            data=jnp.reshape(left, (*left_dims, -1)),
+            data=xp.reshape(left, (*left_dims, -1)),
             inds=(*left_inds, bond_ind), tags=ltags,
         )
         tensors.append(Tl)
@@ -234,7 +236,7 @@ def tensor_split(
         tensors.append(Ts)
     if right is not None:
         Tr = Tensor(
-            data=jnp.reshape(right, (-1, *right_dims)),
+            data=xp.reshape(right, (-1, *right_dims)),
             inds=(bond_ind, *right_inds), tags=rtags,
         )
         tensors.append(Tr)
@@ -272,8 +274,10 @@ def tensor_canonize_bond(T1, T2, absorb="right", gauges=None, **split_opts):
         )
 
     method = split_opts.pop("method", "qr")
+    xp = np if (isinstance(T1.data, np.ndarray)
+                and isinstance(T2.data, np.ndarray)) else jnp
     Q, _, R = decomp.array_split(
-        jnp.reshape(
+        xp.reshape(
             T1.transpose(*left_inds, *shared).data,
             (int(np.prod([T1.ind_size(i) for i in left_inds]) or 1), -1),
         ),
@@ -289,16 +293,17 @@ def tensor_canonize_bond(T1, T2, absorb="right", gauges=None, **split_opts):
 
     left_dims = [T1.ind_size(i) for i in left_inds]
     T1.modify(
-        data=jnp.reshape(Q, (*left_dims, new_bond_size)),
+        data=xp.reshape(Q, (*left_dims, new_bond_size)),
         inds=(*left_inds, bix),
         left_inds=None,
     )
     t2_other = [ix for ix in T2.inds if ix not in shared]
     T2t = T2.transpose(*shared, *t2_other)
     d_other = [T2.ind_size(i) for i in t2_other]
-    new_t2 = _jmm(R, jnp.reshape(T2t.data, (R.shape[-1], -1)))
+    t2m = xp.reshape(T2t.data, (R.shape[-1], -1))
+    new_t2 = R @ t2m if xp is np else _jmm(R, t2m)
     T2.modify(
-        data=jnp.reshape(new_t2, (new_bond_size, *d_other)),
+        data=xp.reshape(new_t2, (new_bond_size, *d_other)),
         inds=(bix, *t2_other),
         left_inds=None,
     )
@@ -324,30 +329,36 @@ def tensor_compress_bond(
     l1 = [ix for ix in T1.inds if ix not in shared]
     r2 = [ix for ix in T2.inds if ix not in shared]
 
+    xp = np if (isinstance(T1.data, np.ndarray)
+                and isinstance(T2.data, np.ndarray)) else jnp
     if reduced:
         # QR reductions: T1 = Q1 R1, T2 = R2 Q2
         Q1, _, R1 = decomp.array_split(
-            jnp.reshape(
+            xp.reshape(
                 T1.transpose(*l1, *shared).data,
                 (int(np.prod([T1.ind_size(i) for i in l1]) or 1), -1),
             ),
             method="qr", cutoff=-1.0,
         )
         L2, _, Q2 = decomp.lq_stabilized(
-            jnp.reshape(
+            xp.reshape(
                 T2.transpose(*shared, *r2).data,
                 (-1, int(np.prod([T2.ind_size(i) for i in r2]) or 1)),
             )
         )
-        core = _jmm(R1, L2)
+        core = R1 @ L2 if xp is np else _jmm(R1, L2)
         U, s, VH = decomp.array_split(
             core, method="svd", absorb=absorb, max_bond=max_bond,
             cutoff=cutoff, info=info, **compress_opts,
         )
-        new_l = _jmm(Q1, U)
-        new_r = _jmm(VH, Q2)
+        if xp is np:
+            new_l = Q1 @ U
+            new_r = VH @ Q2
+        else:
+            new_l = _jmm(Q1, U)
+            new_r = _jmm(VH, Q2)
     else:
-        theta = jnp.reshape(
+        theta = xp.reshape(
             tensor_contract(
                 T1, T2, output_inds=(*l1, *r2), preserve_tensor=True
             ).data,
@@ -363,10 +374,10 @@ def tensor_compress_bond(
     d1 = [T1.ind_size(i) for i in l1]
     d2 = [T2.ind_size(i) for i in r2]
     T1.modify(
-        data=jnp.reshape(new_l, (*d1, chi)), inds=(*l1, bix), left_inds=None
+        data=xp.reshape(new_l, (*d1, chi)), inds=(*l1, bix), left_inds=None
     )
     T2.modify(
-        data=jnp.reshape(new_r, (chi, *d2)), inds=(bix, *r2), left_inds=None
+        data=xp.reshape(new_r, (chi, *d2)), inds=(bix, *r2), left_inds=None
     )
     if absorb is None and s is not None:
         return T1, s, T2
@@ -653,8 +664,12 @@ class Tensor:
         if output_inds == t._inds:
             return t
         perm = tuple(t._inds.index(ix) for ix in output_inds)
+        # numpy in -> numpy out (a zero-copy view): host-resident
+        # tensors (setup-time rewrites, small-chi boundary passes) must
+        # not bounce through a device dispatch just to permute axes
+        xp = np if isinstance(t._data, np.ndarray) else jnp
         t.modify(
-            data=jnp.transpose(t._data, perm), inds=output_inds
+            data=xp.transpose(t._data, perm), inds=output_inds
         )
         return t
 

@@ -15,6 +15,7 @@ TPU-idiomatic schedule (SURVEY §5 'long-context analogue').
 
 import functools
 import itertools
+import os
 import random
 
 import jax.numpy as jnp
@@ -751,55 +752,98 @@ class TensorNetwork2DVector(TensorNetwork2D):
     ):
         """Expectation of a dict of local terms ``{(coo1, coo2): G}``
         via boundary environments (reference
-        ``compute_local_expectation`` tn2d/core.py:4223)."""
+        ``compute_local_expectation`` tn2d/core.py:4223).
+
+        When the boundary-MPS bond dimension (``max_bond * D**2``-ish)
+        is small the whole computation — environments, strips, gated
+        strips — is pulled to host numpy first: these are hundreds of
+        *tiny* contractions with per-step-unique shapes, where an XLA
+        compile per einsum (let alone through the TPU tunnel) costs
+        orders of magnitude more than the arithmetic. Large-chi
+        contractions stay on device. Threshold via
+        ``QUIMB_TPU_PEPS_HOST_MAXBOND`` (boundary bond, default 1024).
+        """
+        import contextlib
+
+        from ...ops.contraction import contract_backend
+
         norm = self.make_norm()
+        host_thresh = int(os.environ.get(
+            "QUIMB_TPU_PEPS_HOST_MAXBOND", 1024
+        ))
+        on_host = max_bond is not None and max_bond <= host_thresh
+        ctx = contextlib.ExitStack()
+        if on_host:
+            from ...ops.backend import to_host
+
+            def _hostify(a):
+                return (a if isinstance(a, np.ndarray)
+                        else np.asarray(to_host(a)))
+
+            # the numpy contract-backend context makes every
+            # intermediate modify/split/contract host-sticky (outside
+            # it, Tensor.modify round-trips results to device)
+            ctx.enter_context(contract_backend("numpy"))
+            norm.apply_to_arrays(_hostify)
+        with ctx:
+            return self._local_expectation_plaquettes(
+                norm, terms, max_bond, cutoff, normalized, return_all,
+                boundary_opts,
+            )
+
+    def _local_expectation_plaquettes(
+        self, norm, terms, max_bond, cutoff, normalized, return_all,
+        boundary_opts,
+    ):
         if normalized:
-            # every (value, norm) pair below contracts the SAME strip
-            # tensors, so their ratio is invariant to per-tensor
-            # rescaling — equalize norms up front so a long-evolved
-            # state (e.g. unit-conditioned SimpleUpdate tensors whose
-            # global norm is ~1e-24) cannot underflow f32 mid-strip
+            # every (value, norm) pair below contracts the SAME
+            # plaquette tensors, so their ratio is invariant to
+            # per-tensor rescaling — equalize norms up front so a
+            # long-evolved state (e.g. unit-conditioned SimpleUpdate
+            # tensors whose global norm is ~1e-24) cannot underflow f32
             norm.equalize_norms_(1.0)
         if max_bond is None:
             max_bond = max(8, 2 * (self.max_bond() or 2) ** 2)
-        x_envs = norm.compute_x_environments(
-            max_bond=max_bond, cutoff=cutoff, **boundary_opts
-        )
 
-        # group terms by the rows they act on
+        # plaquette environments per bounding-box shape: the row strip
+        # AND within-strip column sweeps are each computed once and
+        # shared by every term of that shape — O(local) work per term,
+        # vs re-contracting a whole O(L) strip per term (reference
+        # compute_local_expectation tn2d/core.py:4223 autogroups the
+        # same way)
+        env_maps = {}
+        x_envs = None
         results = {}
         for where, G in terms.items():
             if isinstance(where[0], (int, np.integer)):
                 where = (where,)
             xs = sorted(set(coo[0] for coo in where))
-            x0, x1 = xs[0], xs[-1]
-            # build the strip TN: bottom env + rows x0..x1 + top env
-            strip = TensorNetwork(())
-            bot = x_envs.get(("xmin", x0))
-            if bot is not None and bot.num_tensors:
-                strip.add_tensor_network(bot.copy(), virtual=True,
-                                         check_collisions=False)
-            for x in range(x0, x1 + 1):
-                strip.add_tensor_network(
-                    norm.select(norm.x_tag(x), which="any").copy(),
-                    virtual=True, check_collisions=False,
-                )
-            top = x_envs.get(("xmax", x1))
-            if top is not None and top.num_tensors:
-                strip.add_tensor_network(top.copy(), virtual=True,
-                                         check_collisions=False)
+            ys = sorted(set(coo[1] for coo in where))
+            x0, y0 = xs[0], ys[0]
+            bsz = (xs[-1] - x0 + 1, ys[-1] - y0 + 1)
+            envs = env_maps.get(bsz)
+            if envs is None:
+                if x_envs is None:
+                    x_envs = norm.compute_x_environments(
+                        max_bond=max_bond, cutoff=cutoff,
+                        **boundary_opts,
+                    )
+                envs = env_maps[bsz] = \
+                    norm.compute_plaquette_environments(
+                        x_bsz=bsz[0], y_bsz=bsz[1], max_bond=max_bond,
+                        cutoff=cutoff, x_envs=x_envs, **boundary_opts,
+                    )
+            plq = envs[((x0, y0), bsz)].copy()
+            for dx in range(bsz[0]):
+                for dy in range(bsz[1]):
+                    sel = norm.select(
+                        norm.site_tag(x0 + dx, y0 + dy), which="any"
+                    )
+                    for t in sel.tensor_map.values():
+                        plq.add_tensor(t.copy(), virtual=True)
 
-            # norm of the strip
-            nval = strip.contract(...)
-
-            # gated strip: apply G to the ket layer
-            gstrip = strip.copy()
-            ket_inds = [self.site_ind(*coo) for coo in where]
-            # ket layer phys inds were contracted bra-ket in `norm`;
-            # we need to regate: instead build expectation via rdm
-            ev = self._strip_expectation(
-                gstrip, where, G
-            )
+            nval = plq.contract(...)
+            ev = self._strip_expectation(plq.copy(), where, G)
             results[tuple(where)] = (ev, nval)
 
         if return_all:
@@ -833,11 +877,24 @@ class TensorNetwork2DVector(TensorNetwork2D):
                 strip.tensor_map[t].reindex_({ix: new_ix})
             cut_map[ix] = new_ix
         d = int(np.prod([strip.ind_size(ix) for ix in ixs]))
-        GT = Tensor(
-            jnp.reshape(jnp.asarray(G, dtype=strip.dtype),
-                        tuple(strip.ind_size(ix) for ix in ixs) * 2),
-            inds=(*ixs, *[cut_map[ix] for ix in ixs]),
-        )
+        gshape = tuple(strip.ind_size(ix) for ix in ixs) * 2
+        # match the strip's residence: a lone device array would kick
+        # the whole (host-pulled) strip back onto the jnp path
+        if all(isinstance(t.data, np.ndarray)
+               for t in strip.tensor_map.values()):
+            from ...ops.backend import to_host
+
+            gh = np.asarray(to_host(G))
+            if np.iscomplexobj(gh) and not np.issubdtype(
+                np.dtype(strip.dtype), np.complexfloating
+            ):
+                # real strip, complex-typed gate (e.g. expm of a real
+                # Hamiltonian): drop the (zero) imaginary part cleanly
+                gh = gh.real
+            gdata = np.reshape(gh.astype(strip.dtype), gshape)
+        else:
+            gdata = jnp.reshape(jnp.asarray(G, dtype=strip.dtype), gshape)
+        GT = Tensor(gdata, inds=(*ixs, *[cut_map[ix] for ix in ixs]))
         strip.add_tensor(GT, virtual=True)
         return strip.contract(...)
 
@@ -1325,14 +1382,18 @@ def _2d_compute_ymax_environments(self, **kwargs):
 
 def _2d_compute_plaquette_environments(self, x_bsz=2, y_bsz=2,
                                        max_bond=None, cutoff=1e-10,
-                                       **opts):
+                                       x_envs=None, **opts):
     """Environments of every ``x_bsz x y_bsz`` plaquette: the network
     with the plaquette sites removed, boundary-compressed (reference
-    ``compute_plaquette_environments`` tn2d/core.py:3324)."""
+    ``compute_plaquette_environments`` tn2d/core.py:3324).
+
+    ``x_envs`` may be passed in to share the (expensive) row
+    environments across calls with different plaquette shapes."""
     envs = {}
-    x_envs = self.compute_x_environments(
-        max_bond=max_bond, cutoff=cutoff, **opts
-    )
+    if x_envs is None:
+        x_envs = self.compute_x_environments(
+            max_bond=max_bond, cutoff=cutoff, **opts
+        )
     for x0 in range(self._Lx - x_bsz + 1):
         # strip = bottom env + rows [x0, x0+x_bsz) + top env
         strip = TensorNetwork(())
@@ -1350,47 +1411,19 @@ def _2d_compute_plaquette_environments(self, x_bsz=2, y_bsz=2,
             strip.add_tensor_network(top.copy(), virtual=True,
                                      check_collisions=False)
         strip.view_like_(self)
-        # within-strip left/right sweeps over columns
-        lenvs = {0: TensorNetwork(())}
-        cur = None
-        for j in range(self._Ly - 1):
-            col = strip.select(self.y_tag(j), which="any").copy()
-            if cur is None:
-                cur = col
-            else:
-                cur.add_tensor_network(col, virtual=True,
-                                       check_collisions=False)
-                cur_tns = cur
-                # compress the growing left env
-                for xa, xb in pairwise(range(self._Lx)):
-                    try:
-                        cur.compress_between(
-                            self.site_tag(xa, j),
-                            self.site_tag(xb, j),
-                            max_bond=max_bond, cutoff=cutoff,
-                        )
-                    except (KeyError, ValueError):
-                        pass
-            lenvs[j + 1] = cur.copy()
-        renvs = {self._Ly - 1: TensorNetwork(())}
-        cur = None
-        for j in range(self._Ly - 1, 0, -1):
-            col = strip.select(self.y_tag(j), which="any").copy()
-            if cur is None:
-                cur = col
-            else:
-                cur.add_tensor_network(col, virtual=True,
-                                       check_collisions=False)
-                for xa, xb in pairwise(range(self._Lx)):
-                    try:
-                        cur.compress_between(
-                            self.site_tag(xa, j),
-                            self.site_tag(xb, j),
-                            max_bond=max_bond, cutoff=cutoff,
-                        )
-                    except (KeyError, ValueError):
-                        pass
-            renvs[j - 1] = cur.copy()
+        # within-strip left/right column environments via the boundary
+        # machinery — it absorbs layer-by-layer (fusing the ket/bra/env
+        # tensors sharing a site tag) so the compressions actually
+        # apply; the previous ad-hoc sweep hit multi-tensor tags,
+        # silently skipped every compression, and left mid-lattice
+        # plaquette environments exact (exponentially large)
+        y_envs = strip.compute_y_environments(
+            max_bond=max_bond, cutoff=cutoff, **opts
+        )
+        lenvs = {j: y_envs.get(("ymin", j), TensorNetwork(()))
+                 for j in range(self._Ly)}
+        renvs = {j: y_envs.get(("ymax", j), TensorNetwork(()))
+                 for j in range(self._Ly)}
         for y0 in range(self._Ly - y_bsz + 1):
             env = TensorNetwork(())
             le = lenvs.get(y0)

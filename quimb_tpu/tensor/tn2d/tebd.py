@@ -437,6 +437,11 @@ class SimpleUpdate(TEBD2D):
                 if bs:
                     ta.multiply_index_diagonal_(bs[0], jnp.sqrt(s))
                     tb.multiply_index_diagonal_(bs[0], jnp.sqrt(s))
+        # gauge absorption leaves site tensors with tiny norms (the
+        # Vidal gauges are sub-unit); 256 sites at ~1e-3 each underflow
+        # any f32 global contraction — re-balance to unit norm per site
+        # (pure gauge freedom, expectation values unchanged)
+        psi.equalize_norms_(1.0)
         return psi
 
     def compute_energy(self, method="boundary"):
