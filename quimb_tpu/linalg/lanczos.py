@@ -126,6 +126,69 @@ def _tridiag_eigh(alpha, beta):
     return jnp.linalg.eigh(T)
 
 
+# -- split-phase building blocks for the eager op-operand paths ------------
+#
+# A Krylov step factors as (big device program) + (tiny ncv x ncv
+# tridiagonal eigendecomposition) + (small device recombination). Fusing
+# the eigh into the device program costs a TPU `jnp.linalg.eigh` — whose
+# XLA lowering both compiles for *minutes* through the remote-compile
+# tunnel (the round-3 780 s cold groundstate) and runs far slower than
+# LAPACK on a 32x32. When called eagerly (not under an outer trace) we
+# instead pull the two small REAL vectors (alpha, beta) to host, use
+# LAPACK's specialized tridiagonal solver in float64, and push the small
+# eigensystem back — numerically *better* and compile-free.
+
+
+@partial(jax.jit, static_argnames=("ncv",))
+def _lanczos_basis_op(Aop, v0, ncv):
+    """Jitted basis build with the operator as an operand. Also returns
+    the input norm (needed by expm recombination)."""
+    matvec = _identity_like_matvec(Aop)
+    nrm = _norm(jnp.reshape(v0, (-1,)))
+    V, alpha, beta = _lanczos_basis(matvec, v0, ncv)
+    return V, alpha, beta, nrm
+
+
+def _host_tridiag_eigh(alpha, beta):
+    """LAPACK float64 eigendecomposition of the (device) tridiagonal."""
+    import scipy.linalg as sla
+
+    from ..ops.backend import to_host
+
+    a = np.asarray(to_host(alpha), dtype=np.float64)
+    b = np.asarray(to_host(beta), dtype=np.float64)[: a.shape[0] - 1]
+    try:
+        return sla.eigh_tridiagonal(a, b)
+    except Exception:
+        T = np.diag(a) + np.diag(b, 1) + np.diag(b, -1)
+        return np.linalg.eigh(T)
+
+
+@jax.jit
+def _ritz_vector_op(V, coeff):
+    """Recombine: normalized ``coeff @ V`` reshaped later by caller."""
+    vec = coeff.astype(V.dtype) @ V
+    return vec / _norm(vec)
+
+
+@jax.jit
+def _krylov_expm_recombine(V, w, S, t_re, t_im, nrm):
+    """``exp(t T) e0 |v|`` mapped back through the basis, with the
+    complex time assembled on device (complex host scalars can't cross
+    the TPU tunnel)."""
+    rdt = V.real.dtype
+    t = jax.lax.complex(
+        jnp.asarray(t_re, rdt), jnp.asarray(t_im, rdt)
+    )
+    w = w.astype(rdt)
+    S = S.astype(rdt)
+    phases = jnp.exp(t * w)
+    out_dtype = jnp.result_type(V.dtype, phases.dtype)
+    small = S.astype(out_dtype) @ (phases.astype(out_dtype)
+                                   * S[0, :].astype(out_dtype))
+    return (small @ V.astype(out_dtype)) * nrm.astype(rdt)
+
+
 def eigh_lanczos(
     A,
     v0,
@@ -152,16 +215,29 @@ def eigh_lanczos(
         # (operator-structure, shape, ncv) — repeat calls (e.g. two
         # groundenergy() calls, every Evolution step) hit the cache
         # instead of re-tracing a fresh closure. Restarts run as a
-        # host loop over the compiled single-restart program: each
-        # dispatch stays small (the giant fused 60-restart program
-        # can fault the remote TPU worker) and the Ritz value is
-        # checked on host for early exit, ARPACK-style.
+        # host loop: one compiled basis build per restart, the tiny
+        # ncv x ncv tridiagonal eigh on host LAPACK (an in-program TPU
+        # eigh costs minutes of remote compile), one compiled
+        # recombination; the Ritz value is checked on host for early
+        # exit, ARPACK-style.
+        from ..ops.backend import to_device
+
+        sign_idx_last = which not in ("SA", "SR")
         lam_prev = None
         v = v0
+        lam = None
         for _ in range(max(restarts, 1)):
-            lam, v = _eigh_lanczos_op(Aop, v, ncv=ncv, restarts=1,
-                                      which=which)
-            lamf = float(lam)
+            V, alpha, beta, _ = _lanczos_basis_op(Aop, v, ncv=ncv)
+            w, S = _host_tridiag_eigh(alpha, beta)
+            idx = (ncv - 1) if sign_idx_last else 0
+            lamf = float(w[idx])
+            coeff = to_device(
+                np.ascontiguousarray(S[:, idx]).astype(
+                    np.dtype(str(alpha.dtype))
+                )
+            )
+            v = jnp.reshape(_ritz_vector_op(V, coeff), jnp.shape(v0))
+            lam = jnp.asarray(lamf, alpha.dtype)
             if lam_prev is not None and \
                     abs(lamf - lam_prev) <= tol * max(1.0, abs(lamf)):
                 break
@@ -286,11 +362,33 @@ def expm_multiply_krylov(A, v, t=1.0, ncv=30, hermitian=True):
     """
     from ..ops.backend import to_device
 
+    Aop = as_pytree_operator(A)
+    if (
+        Aop is not None
+        and hermitian
+        and not isinstance(v, jax.core.Tracer)
+        and not isinstance(t, jax.Array)  # host scalar time only —
+        # fetching a complex *device* scalar would itself need a
+        # tunnel-unsafe transfer; that case uses the fused path below
+    ):
+        # eager split-phase path: ONE compiled basis program + host
+        # LAPACK tridiagonal eigh + ONE compiled recombination. The
+        # complex time never crosses the tunnel — its re/im parts ride
+        # as real scalars and combine on device.
+        tc = complex(t)
+        V, alpha, beta, nrm = _lanczos_basis_op(Aop, v, ncv=ncv)
+        w, S = _host_tridiag_eigh(alpha, beta)
+        rdt = np.dtype(str(alpha.dtype))
+        out = _krylov_expm_recombine(
+            V, to_device(w.astype(rdt)), to_device(S.astype(rdt)),
+            tc.real, tc.imag, nrm,
+        )
+        return jnp.reshape(out, jnp.shape(v))
+
     # complex and 0-d host scalars can't be device_put directly
     # through the TPU tunnel
     t = to_device(t) if not isinstance(t, jax.Array) else t
 
-    Aop = as_pytree_operator(A)
     if Aop is not None:
         return _expm_multiply_krylov_op(
             Aop, v, t, ncv=ncv, hermitian=hermitian

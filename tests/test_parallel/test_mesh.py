@@ -72,7 +72,7 @@ class TestShardedSolvers:
         )
         est, err = approx_spectral_sharded(
             np.asarray(rho), lambda x: np.clip(x, 0, None), R=64,
-            mesh=mesh, pos=True,
+            mesh=mesh, pos=True, seed=7,
         )
         assert abs(est - 1.0) < 0.05
 
