@@ -7,6 +7,7 @@ choke-point every host<->device boundary in the framework goes
 through."""
 
 import functools
+import os
 import time
 
 import jax
@@ -20,19 +21,45 @@ def _needs_split():
     return on_tpu()
 
 
+_RETRY_ATTEMPTS = int(os.environ.get("QUIMB_TPU_TRANSFER_RETRIES", 4))
+_RETRY_DELAY = float(os.environ.get("QUIMB_TPU_TRANSFER_RETRY_DELAY", 0.5))
+_retry_warned = False
+
+
 def _retry_transient(fn, *args):
     """Run a raw host<->device transfer, retrying transient tunnel
     failures. The remote TPU transport sporadically returns
     UNIMPLEMENTED under sustained small-transfer load even though the
     identical call succeeds moments later; a genuine unsupported-op
-    error keeps failing and is re-raised after the last attempt."""
-    delay = 0.5
-    for attempt in range(4):
+    error keeps failing and is re-raised after the last attempt.
+
+    A warning is emitted on the first retry so a *systematically*
+    failing path (which pays the full backoff on every call) is
+    visible rather than silently slow; tune via
+    ``QUIMB_TPU_TRANSFER_RETRIES`` / ``QUIMB_TPU_TRANSFER_RETRY_DELAY``
+    (set retries to 1 to fail fast)."""
+    global _retry_warned
+    delay = _RETRY_DELAY
+    attempts = max(_RETRY_ATTEMPTS, 1)
+    for attempt in range(attempts):
         try:
             return fn(*args)
         except jax.errors.JaxRuntimeError as e:
-            if "UNIMPLEMENTED" not in str(e) or attempt == 3:
+            if "UNIMPLEMENTED" not in str(e) or attempt == attempts - 1:
                 raise
+            if not _retry_warned:
+                _retry_warned = True
+                import warnings
+
+                warnings.warn(
+                    "transient UNIMPLEMENTED on a host<->device "
+                    "transfer; retrying with backoff (first "
+                    "occurrence — repeated warnings suppressed; if "
+                    "every call pays this, the path is genuinely "
+                    "unsupported: set QUIMB_TPU_TRANSFER_RETRIES=1 "
+                    "to fail fast while debugging)",
+                    stacklevel=2,
+                )
             time.sleep(delay)
             delay *= 2.0
 
