@@ -191,7 +191,12 @@ class ContractExpression:
         self.flops = _paths.path_cost(inputs, output, sizes, path)
         self.width = _paths.path_width(inputs, output, sizes, path)
 
-    def __call__(self, *arrays, backend=None):
+    def __call__(self, *arrays, backend=None, renorm=False):
+        """Execute. With ``renorm`` every intermediate is rescaled to
+        unit max-magnitude (the scale is NOT tracked — callers use it
+        for scale-free quantities like sampling marginals, where in
+        f32 the true value under- or over-flows long before the
+        normalized distribution does)."""
         xp = _einsum_module(arrays, backend)
         if xp is _np_mod:
             from .backend import to_host
@@ -207,6 +212,16 @@ class ContractExpression:
                 i, j = step
                 a, b = results[i], results[j]
                 r = xp.einsum(a, la, b, lb, lo)
+            if renorm:
+                if xp is _np_mod:
+                    mx = np.max(np.abs(r)) if r.size else 1.0
+                    if mx > 0 and np.isfinite(mx):
+                        r = r / mx
+                else:
+                    mx = jnp.max(jnp.abs(r))
+                    r = jnp.where(
+                        (mx > 0) & jnp.isfinite(mx), r / mx, r
+                    )
             results.append(r)
         final_labels = self.steps[-1][1]
         r = results[-1]
@@ -344,7 +359,7 @@ def array_contract_expression(
 
 def array_contract(
     arrays, inputs, output=None, optimize=None, backend=None,
-    return_expression=False,
+    return_expression=False, renorm=False,
 ):
     """Contract ``arrays`` whose indices are given by ``inputs``
     (reference ``array_contract`` contraction.py:272)."""
@@ -393,7 +408,7 @@ def array_contract(
     # compile (~20-40s through the TPU tunnel), which dominates one-off
     # setup contractions. Eager pairwise einsum shares jit caches across
     # geometries via per-step (labels, shapes) keys.
-    result = expr(*arrays, backend=backend)
+    result = expr(*arrays, backend=backend, renorm=renorm)
     if return_expression:
         return result, expr
     return result

@@ -822,6 +822,11 @@ class Circuit(CircuitBase):
                 seq=simplify_sequence, atol=simplify_atol,
                 output_inds=kix, equalize_norms=equalize_norms,
             )
+            # the stripped global exponent easily exceeds f32 range
+            # (10**exp re-applied at contraction overflowed to NaN on
+            # TPU); marginals are consumed normalized, so drop it —
+            # the returned p is defined up to overall scale
+            nm_lc.exponent = 0.0
         if mesh is not None:
             from ...parallel import contract_tn_mesh
 
@@ -835,7 +840,8 @@ class Circuit(CircuitBase):
             ):
                 data = nm_lc.contract(
                     ..., output_inds=kix, optimize=optimize,
-                    preserve_tensor=True, **contract_opts,
+                    preserve_tensor=True, renorm=True,
+                    **contract_opts,
                 ).data
         if not isinstance(data, np.ndarray):
             from ...ops.backend import to_host

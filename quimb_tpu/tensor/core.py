@@ -136,6 +136,7 @@ def tensor_contract(
     data = array_contract(
         [t.data for t in tensors], inputs, output_inds,
         optimize=optimize, backend=backend,
+        renorm=kwargs.pop("renorm", False),
     )
 
     if not output_inds and not preserve_tensor:
