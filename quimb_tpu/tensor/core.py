@@ -967,12 +967,20 @@ class Tensor:
         """Reverse the order of values along index ``ind``."""
         t = self if inplace else self.copy()
         ax = t._inds.index(ind)
-        t.modify(data=jnp.flip(t._data, ax))
+        # numpy in -> numpy out (a view): antidiag gauging runs during
+        # host-side simplification — an eager jnp.flip would silently
+        # device_put the tensor and every later structure probe then
+        # pays a ~25 ms tunnel fetch (measured: dominated 53q
+        # amplitudes on TPU)
+        xp = np if isinstance(t._data, np.ndarray) else jnp
+        t.modify(data=xp.flip(t._data, ax))
         return t
 
     flip_ = functools.partialmethod(flip, inplace=True)
 
     def largest_element(self):
+        if isinstance(self._data, np.ndarray):
+            return np.max(np.abs(self._data))
         return jnp.max(jnp.abs(self._data))
 
     # -- splitting / gating --------------------------------------------------
@@ -3863,9 +3871,17 @@ def _tensor_flip(self, ind, inplace=False):
         raise ValueError(f"can't find index {ind}")
     t = self if inplace else self.copy()
     ax = t.inds.index(ind)
-    # to_device first: jit's implicit device_put of complex HOST data
-    # is UNIMPLEMENTED through the TPU tunnel
-    t.modify(apply=lambda x: _jflip(to_device(x), ax))
+    if isinstance(t.data, np.ndarray):
+        # host numpy in -> host numpy out (a view): antidiag gauging
+        # runs during host-side simplification, and silently
+        # device-putting here made every later structure probe pay a
+        # ~25 ms tunnel fetch (dominated 53q TPU amplitudes)
+        t.modify(apply=lambda x: np.flip(x, ax))
+    else:
+        # device path under jit: eager flip (lax.rev) of complex
+        # arrays is UNIMPLEMENTED on the TPU backend; to_device first
+        # since jit's implicit device_put of complex HOST data is too
+        t.modify(apply=lambda x: _jflip(to_device(x), ax))
     return t
 
 
