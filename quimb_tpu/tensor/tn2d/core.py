@@ -604,6 +604,11 @@ class TensorNetwork2D(TensorNetwork):
                     (i - 1, i), (0, self._Ly - 1), "xmin",
                     max_bond=max_bond, cutoff=cutoff, **opts,
                 )
+                # keep the boundary mantissas O(1): the absorbed-row
+                # product underflows f32 within ~dozens of sites; the
+                # scale rides TN.exponent (propagated on combination,
+                # applied at contraction)
+                boundary.equalize_norms_(1.0)
             env = boundary.copy()
             envs["xmin", i + 1] = env
             if i == 0:
@@ -627,6 +632,7 @@ class TensorNetwork2D(TensorNetwork):
                     (i, i + 1), (0, self._Ly - 1), "xmax",
                     max_bond=max_bond, cutoff=cutoff, **opts,
                 )
+                boundary.equalize_norms_(1.0)
             envs["xmax", i - 1] = boundary.copy()
         return envs
 
@@ -647,6 +653,7 @@ class TensorNetwork2D(TensorNetwork):
                     (0, self._Lx - 1), (j - 1, j), "ymin",
                     max_bond=max_bond, cutoff=cutoff, **opts,
                 )
+                boundary.equalize_norms_(1.0)
             envs["ymin", j + 1] = boundary.copy()
         envs["ymin", 0] = TensorNetwork(())
         boundary = None
@@ -665,6 +672,7 @@ class TensorNetwork2D(TensorNetwork):
                     (0, self._Lx - 1), (j, j + 1), "ymax",
                     max_bond=max_bond, cutoff=cutoff, **opts,
                 )
+                boundary.equalize_norms_(1.0)
             envs["ymax", j - 1] = boundary.copy()
         envs["ymax", self._Ly - 1] = TensorNetwork(())
         return envs
@@ -842,8 +850,15 @@ class TensorNetwork2DVector(TensorNetwork2D):
                     for t in sel.tensor_map.values():
                         plq.add_tensor(t.copy(), virtual=True)
 
-            nval = plq.contract(...)
-            ev = self._strip_expectation(plq.copy(), where, G)
+            # ONE scale-free contraction per term: cut the bra/ket
+            # phys bonds open and contract to the local reduced
+            # density environment with per-step renormalization —
+            # <G> and <1> then come from the SAME rho, so their ratio
+            # is exact while neither can under/overflow f32 (the
+            # separately-contracted plaquette norm underflowed to 0
+            # on TPU)
+            rho, _, _ = self._plaquette_rho(plq, where)
+            ev, nval = _rho_expectation(rho, G)
             results[tuple(where)] = (ev, nval)
 
         if return_all:
@@ -855,6 +870,35 @@ class TensorNetwork2DVector(TensorNetwork2D):
         for (v, n) in results.values():
             total += complex(v) / (complex(n) if normalized else 1.0)
         return total.real if abs(total.imag) < 1e-10 else total
+
+    def _plaquette_rho(self, strip, where):
+        """Cut the bra/ket phys bonds of ``where`` open and contract
+        the plaquette to the local reduced density environment, with
+        per-step renormalization (scale-free — safe at any depth in
+        f32). Returns ``(rho (d, d) array, ket_inds, bra_inds)``."""
+        ixs = [self.site_ind(*coo) for coo in where]
+        cut = []
+        for ix in ixs:
+            tids = strip.ind_map.get(ix)
+            ket_tids = [
+                t for t in tids if "KET" in strip.tensor_map[t].tags
+            ]
+            new_ix = rand_uuid()
+            for t in ket_tids:
+                strip.tensor_map[t].reindex_({ix: new_ix})
+            cut.append(new_ix)
+        out = (*cut, *ixs)
+        # scale-free: drop the accumulated exponent (10**exp overflows
+        # f32 long before the normalized expectation does) and
+        # renormalize every intermediate
+        strip.exponent = 0.0
+        t = strip.contract(
+            ..., output_inds=out, preserve_tensor=True, renorm=True
+        )
+        d = int(np.prod([strip.ind_size(ix) for ix in ixs]))
+        data = t.data
+        xp = np if isinstance(data, np.ndarray) else jnp
+        return xp.reshape(data, (d, d)), cut, ixs
 
     def _strip_expectation(self, strip, where, G):
         """Insert operator G on the bra-ket bond of sites ``where``
@@ -897,6 +941,23 @@ class TensorNetwork2DVector(TensorNetwork2D):
         GT = Tensor(gdata, inds=(*ixs, *[cut_map[ix] for ix in ixs]))
         strip.add_tensor(GT, virtual=True)
         return strip.contract(...)
+
+
+def _rho_expectation(rho, G):
+    """``(tr(G rho), tr(rho))`` with G reshaped/cast to match ``rho``'s
+    dtype and residency; rho rows are the (cut) ket legs, columns the
+    bra legs, so ``<G> = sum_{b,k} G[b,k] rho[k,b]``."""
+    d = rho.shape[0]
+    if isinstance(rho, np.ndarray):
+        from ...ops.backend import to_host
+
+        gh = np.asarray(to_host(G)).reshape(d, d)
+        if np.iscomplexobj(gh) and not np.iscomplexobj(rho):
+            gh = gh.real
+        gh = gh.astype(rho.dtype)
+        return np.sum(gh * rho.T), np.trace(rho)
+    gh = jnp.reshape(jnp.asarray(G, dtype=rho.dtype), (d, d))
+    return jnp.sum(gh * rho.T), jnp.trace(rho)
 
 
 # ---------------------------------------------------------------------------
