@@ -783,11 +783,14 @@ class Circuit(CircuitBase):
                          simplify_sequence="ADCRS", simplify_atol=1e-6,
                          equalize_norms=True, mesh=None,
                          **contract_opts):
-        """Probability distribution p(where | fix) as a dense array
-        (reference ``compute_marginal`` exact.py:780). With ``mesh``
-        given, the simplified network is contracted sliced across the
-        mesh's devices (each marginal is one batched XLA program +
-        psum — the multi-chip sampling path)."""
+        """Probability distribution p(where | fix) as a dense array,
+        normalized to sum to 1 (reference ``compute_marginal``
+        exact.py:780 returns the joint-scaled marginal; here the
+        contraction is performed scale-free for f32 range safety and
+        the conditional normalization is restored on host in f64).
+        With ``mesh`` given, the simplified network is contracted
+        sliced across the mesh's devices (each marginal is one batched
+        XLA program + psum — the multi-chip sampling path)."""
         fix = dict(fix or {})
         key = (tuple(where), tuple(sorted(fix.items())))
         cached = self._marginal_cache.get(key)
@@ -847,7 +850,12 @@ class Circuit(CircuitBase):
             from ...ops.backend import to_host
 
             data = to_host(data)
-        p = np.clip(np.real(np.reshape(data, (-1,))), 0, None)
+        p = np.clip(
+            np.real(np.reshape(data, (-1,))).astype(np.float64), 0, None
+        )
+        total = p.sum()
+        if total > 0:
+            p = p / total
         self._marginal_cache[key] = p
         return p
 

@@ -323,6 +323,9 @@ register_param_gate("RYY", ryy_gate, 2)
 register_param_gate("RZZ", rzz_gate, 2)
 register_param_gate("XX_PLUS_YY", xx_plus_yy_gate, 2)
 register_param_gate("XX_MINUS_YY", xx_minus_yy_gate, 2)
+# reference registry spelling (gates.py:570,601)
+register_param_gate("XXPLUSYY", xx_plus_yy_gate, 2)
+register_param_gate("XXMINUSYY", xx_minus_yy_gate, 2)
 register_param_gate("GIVENS", givens_gate, 2)
 register_param_gate("GIVENS2", givens2_gate, 2)
 register_param_gate("FSIM", fsim_gate, 2)

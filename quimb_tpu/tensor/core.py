@@ -1675,7 +1675,7 @@ class TensorNetwork:
             else:
                 t = self.tensor_map[tid_or_tensor]
             norm = float(t.norm())
-            if norm == 0.0:
+            if norm == 0.0 or not math.isfinite(norm):
                 return
             t.modify(apply=lambda d: d / norm)
             self.exponent += math.log10(norm)

@@ -741,8 +741,12 @@ class DMRG:
         # - 'auto': segmented for long rings, obc for short ones
         if cyclic_mode == "auto":
             cyclic_mode = "segmented" if ham.L >= 40 else "obc"
+        # the segmented engine's local solve targets the smallest
+        # eigenpair only, so non-'SA' requests fall back to the exact
+        # OBC conversion route
         self.cyclic = (bool(getattr(ham, "cyclic", False))
-                       and bsz == 2 and cyclic_mode == "segmented")
+                       and bsz == 2 and cyclic_mode == "segmented"
+                       and which == "SA")
         self.opts = get_default_opts(self.cyclic)
 
         if getattr(ham, "cyclic", False) and not self.cyclic:

@@ -417,10 +417,11 @@ def _renormalize_stack(Ms):
     per-step trace normalization and a log accumulator so it cannot
     overflow even at L=128."""
     L = Ms.shape[0]
+    tiny = jnp.finfo(Ms.real.dtype).tiny
     fro = jnp.sqrt(jnp.sum(
         jnp.abs(Ms) ** 2, axis=(1, 2, 3), keepdims=True
     ))
-    Ms = Ms / jnp.maximum(fro, 1e-300).astype(Ms.real.dtype)
+    Ms = Ms / jnp.maximum(fro, tiny).astype(Ms.real.dtype)
 
     nl0 = jnp.zeros(
         (Ms.shape[1], Ms.shape[1]), Ms.dtype
@@ -430,12 +431,12 @@ def _renormalize_stack(Ms):
         NL, logn = carry
         NL = _nenv_step_right(NL, Mj)
         tr = jnp.maximum(
-            jnp.real(jnp.trace(NL)), 1e-300
+            jnp.real(jnp.trace(NL)), tiny
         )
         return (NL / tr.astype(Ms.real.dtype), logn + jnp.log(tr)), None
 
     (NL, logn), _ = jax.lax.scan(body, (nl0, jnp.asarray(0.0, Ms.real.dtype)), Ms)
-    logn = logn + jnp.log(jnp.maximum(jnp.real(NL[0, 0]), 1e-300))
+    logn = logn + jnp.log(jnp.maximum(jnp.real(NL[0, 0]), tiny))
     return Ms * jnp.exp(-logn / (2.0 * L)).astype(Ms.real.dtype)
 
 

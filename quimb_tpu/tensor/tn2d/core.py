@@ -175,6 +175,11 @@ class TensorNetwork2D(TensorNetwork):
                             )
                         except (KeyError, ValueError):
                             pass
+                        # the absorbed gauge piles the whole row norm
+                        # (~q^Ly) into the terminal tensor: strip it
+                        # into TN.exponent each step or the sweep
+                        # underflows f32 at Ly >~ 14
+                        self._strip_tag_exponent(self.site_tag(x1, jb))
                 for ja, jb in pairwise(jlist):
                     try:
                         self.compress_between(
@@ -185,6 +190,7 @@ class TensorNetwork2D(TensorNetwork):
                         )
                     except (KeyError, ValueError):
                         pass
+                    self._strip_tag_exponent(self.site_tag(x1, jb))
         else:
             if from_which == "ymin":
                 y0, y1 = yrange[0], yrange[0] + 1
@@ -218,6 +224,7 @@ class TensorNetwork2D(TensorNetwork):
                             )
                         except (KeyError, ValueError):
                             pass
+                        self._strip_tag_exponent(self.site_tag(ib, y1))
                 for ia, ib in pairwise(ilist):
                     try:
                         self.compress_between(
@@ -228,9 +235,17 @@ class TensorNetwork2D(TensorNetwork):
                         )
                     except (KeyError, ValueError):
                         pass
+                    self._strip_tag_exponent(self.site_tag(ib, y1))
         if equalize_norms:
             self.equalize_norms_()
         return self
+
+    def _strip_tag_exponent(self, tag):
+        """Rescale the tensor(s) under ``tag`` to unit norm, folding
+        the factor into ``self.exponent`` (f32 range safety for the
+        boundary canonize/compress sweeps)."""
+        for tid in tuple(self.tag_map.get(tag, ())):
+            self.strip_exponent(tid)
 
     def _boundary_step(self, xrange, yrange, from_which, max_bond=None,
                        cutoff=1e-10, mode="mps", **opts):

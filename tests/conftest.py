@@ -50,7 +50,10 @@ def pytest_collection_modifyitems(config, items):
         return
     for item in items:
         nodeid = item.nodeid.replace(os.sep, "/")
-        if nodeid in slow_ids:
+        # nodeids are relative to pytest's rootdir: when run from
+        # inside tests/ the 'tests/' prefix is absent, so match on
+        # suffix rather than exact equality
+        if nodeid in slow_ids or ("tests/" + nodeid) in slow_ids:
             item.add_marker(pytest.mark.slow)
 
 

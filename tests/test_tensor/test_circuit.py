@@ -331,3 +331,41 @@ class TestCircuitPEPSAndPEPO:
         a0 = complex(cp.amplitude("0101"))
         cp.equilibrate()
         assert abs(complex(cp.amplitude("0101")) - a0) < 1e-10
+
+
+class TestGateRegistryParity:
+    def test_xxplusyy_alias_matches_dense(self):
+        """Reference-named XXPLUSYY/XXMINUSYY aliases (reference
+        gates.py:570,601) agree with the canonical registrations and
+        with direct dense application."""
+        import quimb_tpu as qu
+        from quimb_tpu.tensor.circuit import Circuit
+        from quimb_tpu.tensor.circuit.gates import (
+            PARAM_GATES, GATE_SIZE,
+        )
+
+        for name in ("XXPLUSYY", "XXMINUSYY"):
+            assert name in PARAM_GATES
+            assert GATE_SIZE[name] == 2
+
+        theta, beta = 0.7, 0.3
+        U = np.asarray(PARAM_GATES["XXPLUSYY"](theta, beta))
+        Ucanon = np.asarray(PARAM_GATES["XX_PLUS_YY"](theta, beta))
+        assert np.allclose(U, Ucanon)
+        # unitary
+        assert np.allclose(U.conj().T @ U, np.eye(4), atol=1e-12)
+
+        c = Circuit(2)
+        c.h(0)
+        c.h(1)
+        c.apply_gate("XXPLUSYY", theta, beta, 0, 1)
+        psi = np.asarray(c.to_dense()).reshape(-1)
+        plus = np.full(4, 0.5, dtype=complex)
+        want = U @ plus
+        assert np.allclose(psi, want, atol=1e-6)
+
+        Um = np.asarray(PARAM_GATES["XXMINUSYY"](theta, beta))
+        assert np.allclose(
+            Um, np.asarray(PARAM_GATES["XX_MINUS_YY"](theta, beta))
+        )
+        assert np.allclose(Um.conj().T @ Um, np.eye(4), atol=1e-12)
