@@ -2,7 +2,7 @@
 
 The standard 2-site sweep is a serial chain of ~L small solves; at the
 north-star config (L=128, chi=256) each ~8 ms serial step does only
-~1.3 GFLOP, capping the sweep near 10% of the chip's matmul ceiling
+~1.3 GFLOP, capping the sweep near 15% of the chip's matmul ceiling
 (docs/performance.md). This module implements the real-space parallel
 decomposition of Stoudenmire & White (arXiv:1301.3494) re-designed for
 one TPU chip: the chain is split into S segments which are swept
@@ -15,25 +15,45 @@ One outer sweep:
 
 1. a reverse ``lax.scan``: LQ-canonize the whole stack (right-
    canonical B-form) while building every right H-environment;
-2. a forward ``lax.scan``: QR-canonize (A-form) while building every
-   left H-environment — together these give, for EVERY segment
-   boundary, environments in an exactly mixed-canonical gauge of one
-   consistent global state (no whitening, no norm inverses anywhere —
-   a brickwork-Jacobi variant in whitened gauge was built first and
-   diverges: its ``N^(-1/2)`` factors amplify noise by 1/lambda_min);
-3. ``inner_passes`` batched right+left sweeps within all segments at
-   once, boundary environments FROZEN (each segment solves a
-   well-posed fixed-boundary variational problem — the parallel phase
-   cannot feed back within itself, which is what made naive Jacobi
-   brickwork diverge);
-4. write-back. Segment offsets alternate by half a segment every
-   outer sweep so boundary bonds are interior on alternating sweeps.
+2. a forward ``lax.scan`` over the B-stack: QR-canonize to A-form
+   while building every left H-environment, also emitting the
+   *entering center gauge* ``R[j]`` at every bond (the triangular
+   factor carried by the scan **before** absorbing site ``j``).
+   Together the two scans give, for EVERY segment boundary, exact
+   environments in an exactly mixed-canonical gauge of one consistent
+   global state: segment ``i``'s boundary conditions are
+   ``lenvs[a-1]`` (from orthonormal A-tensors), ``renvs[a+m]`` (from
+   orthonormal B-tensors) and first tensor ``R[a-1] @ B[a]`` — all
+   orthogonal transforms and plain multiplications. (Earlier designs
+   whitened the left seam with a Cholesky *inverse* of the prefix
+   norm matrix; its conditioning is the squared Schmidt spectrum of
+   the cut, ~1e-10 at chi=256, which in f32 injected O(1e-2) energy
+   errors. No inverse of any kind appears here.)
+3. ``2*inner_passes + 1`` batched directional half-sweeps within all
+   segments at once (right, then ``inner_passes`` x (left, right)),
+   boundary environments FROZEN — each segment solves a well-posed
+   fixed-boundary variational problem. Ending on a right half-sweep
+   leaves every segment left-canonical (A-form) with its center
+   gauge on the last site tensor.
+4. write-back: interior segments QR-factor their last tensor and
+   DROP the triangular gauge — the next segment's first tensor
+   already absorbed the (previous) center gauge at that seam, so at
+   convergence the drop is exact (gauge transport is transitive:
+   QR-sweeping sites ``a..b`` from gauge ``R[a-1]`` reproduces
+   ``R[b]``); away from convergence it is the O(update)
+   block-Jacobi consistency error inherent to any parallel DMRG.
+   The final segment keeps its gauge (its right neighbour — chain
+   end or untouched B-tail — absorbed nothing). Segment offsets
+   alternate by half a segment every outer sweep so seam bonds are
+   interior on alternating sweeps; on offset sweeps the prefix sites
+   ``[0, off)`` are stored as their A-form tensors (the basis the
+   first segment's left environment is expressed in).
 
 Used as the steady-state production loop once ordinary ``DMRG2``
 sweeps have converged the state; each outer sweep applies
-``inner_passes`` full updates of every interior bond.
+``2*inner_passes + 1`` half-sweep updates of every interior bond.
 
-Reference counterpart: the serial engine (tensor_dmrg.py:1026); the
+Reference counterpart: the serial engine (tn1d/dmrg.py:1026); the
 reference has no parallel-sweep machinery — this is TPU-native design
 following the published real-space-parallel algorithm.
 """
@@ -61,59 +81,96 @@ from .dmrg_jacobi import (
 # ---------------------------------------------------------------------------
 
 
+def bond_rank_masks(L, chi, d=2, dtype=np.float32):
+    """(L+1, chi) 0/1 masks of the true (untruncated) bond ranks of an
+    OBC chain: ``masks[j]`` masks the bond *left of* site ``j``
+    (``min(d**j, d**(L-j), chi)`` live columns). Padded-stack QR/LQ of
+    rank-deficient edge matrices otherwise fills the dead directions
+    with arbitrary orthonormal vectors, poisoning the environments
+    with couplings to states that are not orthonormal extensions of
+    the physical space."""
+    m = np.zeros((L + 1, chi), dtype=dtype)
+    for j in range(L + 1):
+        r = min(d ** min(j, 63), d ** min(L - j, 63), chi)
+        m[j, :r] = 1.0
+    return m
+
+
 @jax.jit
-def _canonize_right_and_renvs(Ms, Ws):
+def _canonize_right_and_renvs(Ms, Ws, masks):
     """Reverse scan: right-canonize (LQ) every site while absorbing it
     into the right H-environment. Returns (Bstack, renvs) where
-    ``renvs[j]`` is the environment of sites > j-1 i.e. including j
-    (so the env *right of* bond (j-1, j)); and the leftover left
-    gauge (absorbed norm) is dropped (state normalized)."""
+    ``renvs[j]`` is the environment of sites >= j (the env *right of*
+    bond (j-1, j)); the leftover left gauge (absorbed norm) is
+    dropped (state normalized). ``masks`` = :func:`bond_rank_masks` —
+    dead left-bond directions of each B are zeroed exactly."""
     L, chi, d, _ = Ms.shape
     w = Ws.shape[1]
     renv0 = jnp.zeros((chi, w, chi), Ms.dtype).at[0, 0, 0].set(1.0)
 
     def body(carry, x):
         R, renv = carry
-        Mj, Wj = x
+        Mj, Wj, mk = x
         # absorb pending right gauge
         Mj = jnp.einsum("kdc,cr->kdr", Mj, R)
         # LQ: Mj = Lf @ Q with Q (k', d*chi) row-orthonormal
         mat = jnp.reshape(Mj, (chi, d * chi))
         Lf, _, Q = decomp.lq_stabilized(mat)
+        Q = Q * mk[:, None]
+        Lf = Lf * mk[None, :]
         Bj = jnp.reshape(Q, (chi, d, chi))
         renv = _env_step_left(renv, jnp.conj(Bj), Wj, Bj)
         return (Lf, renv), (Bj, renv)
 
     eyeR = jnp.eye(chi, dtype=Ms.dtype)
     (_, _), (Bstack, renvs) = jax.lax.scan(
-        body, (eyeR, renv0), (Ms, Ws), reverse=True
+        body, (eyeR, renv0), (Ms, Ws, masks[:-1].astype(Ms.dtype)),
+        reverse=True,
     )
     return Bstack, renvs
 
 
 @jax.jit
-def _lenvs_and_norms(Bstack, Ws):
-    """Forward scan over the B-stack: left H-environments and left
-    *norm* environments of every prefix (no factorizations — the
-    left-of-segment parts are whitened at the seams instead of
-    canonized, so this scan is pure matmul work)."""
+def _canonize_left_and_lenvs(Bstack, Ws, masks):
+    """Forward scan over the right-canonical stack: QR-canonize to
+    A-form while building every left H-environment, and emit the
+    entering center gauge at every site.
+
+    Returns ``(Astack, lenvs, Rpre)``: ``lenvs[j]`` = H-environment
+    of sites <= j built from the orthonormal A-tensors; ``Rpre[j]`` =
+    the (chi, chi) gauge carried into site ``j``, i.e. the exact
+    center matrix of the mixed-canonical form
+    ``A[0..j-1] @ Rpre[j] @ B[j..]``. Dead right-bond directions of
+    each A (and the matching gauge rows) are zeroed via ``masks``."""
     L, chi, d, _ = Bstack.shape
     w = Ws.shape[1]
     lenv0 = jnp.zeros((chi, w, chi), Bstack.dtype).at[0, 0, 0].set(1.0)
-    nl0 = jnp.zeros((chi, chi), Bstack.dtype).at[0, 0].set(1.0)
+    # the entering gauge at site 0 is the boundary projector, not the
+    # identity: only left-bond direction 0 is physical
+    R0 = jnp.zeros((chi, chi), Bstack.dtype).at[0, 0].set(1.0)
 
     def body(carry, x):
-        lenv, NL = carry
-        Bj, Wj = x
-        lenv = _env_step_right(lenv, jnp.conj(Bj), Wj, Bj)
-        T = jnp.einsum("ak,kdx->adx", NL, Bj)
-        NL = jnp.einsum("adx,ady->yx", T, jnp.conj(Bj))
-        return (lenv, NL), (lenv, NL)
+        R, lenv = carry
+        Bj, Wj, mk = x
+        Mj = jnp.einsum("ak,kdr->adr", R, Bj)
+        mat = jnp.reshape(Mj, (chi * d, chi))
+        Q, _, Rn = decomp.qr_stabilized(mat)
+        Q = Q * mk[None, :]
+        Rn = Rn * mk[:, None]
+        # keep the carried gauge normalized: its norm is the state
+        # norm (1 after the reverse scan) but f32 drift compounds
+        # over 128 sites
+        Rn = Rn / jnp.maximum(
+            jnp.linalg.norm(Rn), jnp.finfo(Rn.real.dtype).tiny
+        )
+        Aj = jnp.reshape(Q, (chi, d, chi))
+        lenv2 = _env_step_right(lenv, jnp.conj(Aj), Wj, Aj)
+        return (Rn, lenv2), (Aj, lenv2, R)
 
-    (_, _), (lenvs, NLs) = jax.lax.scan(
-        body, (lenv0, nl0), (Bstack, Ws)
+    (_, _), (Astack, lenvs, Rpre) = jax.lax.scan(
+        body, (R0, lenv0), (Bstack, Ws, masks[1:].astype(Bstack.dtype))
     )
-    return lenvs, NLs
+    return Astack, lenvs, Rpre
 
 
 # ---------------------------------------------------------------------------
@@ -169,12 +226,14 @@ def _batched_solve_2site(Lb, W1, W2, Rb, th0, ncv):
     return ens, jnp.reshape(th, th0.shape)
 
 
-def _batched_split_2site(th, max_bond, absorb, oversample=8,
+def _batched_split_2site(th, max_bond, absorb, oversample=0,
                          power_iters=2):
     """Batched rank-``max_bond`` orthogonal split of th
     (S, chi, d, d, chi) -> (A1 (S,chi,d,k), A2 (S,k,d,chi)). The
     discarded-side factor carries the rest (absorb 'right': A1
-    isometric)."""
+    isometric). ``oversample=0`` skips the Rayleigh-Ritz rotation
+    entirely (the bond basis is pure gauge — svd:sub0, the serial
+    engine's production split)."""
     S_, chi, d, _, _ = th.shape
     rdt = th.real.dtype
     mat = jnp.reshape(th, (S_, chi * d, d * chi))
@@ -222,19 +281,25 @@ def _batched_split_2site(th, max_bond, absorb, oversample=8,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "ncv", "max_bond", "inner_passes"),
+    static_argnames=("m", "ncv", "max_bond", "inner_passes",
+                     "oversample"),
 )
-def _segment_inner(seg_M0, seg_Ms, seg_W, lenv_b, renv_b, m, ncv,
-                   max_bond, inner_passes):
+def _segment_inner(seg_M0, seg_Ms, seg_W, lenv_b, renv_b, seg_bm,
+                   m, ncv, max_bond, inner_passes, oversample=0):
     """Batched fixed-boundary DMRG on S segments of length ``m``.
 
     seg_M0: (S, chi, d, chi) the first site tensor (carries the
     center gauge); seg_Ms: (S, m-1, chi, d, chi) remaining site
     tensors (right-canonical); seg_W: (S, m, w, w, d, d);
-    lenv_b/renv_b: frozen boundary envs (S, chi, w, chi).
+    lenv_b/renv_b: frozen boundary envs (S, chi, w, chi);
+    seg_bm: (m-1, S, chi) true-rank masks of the segment-interior
+    bonds (scan-step aligned) — splits at unsaturated edge bonds
+    would otherwise fill dead directions with junk.
 
-    Runs ``inner_passes`` right+left sweeps; returns updated
-    (seg_M0, seg_Ms, last bond energies)."""
+    Runs a right half-sweep, then ``inner_passes`` x (left + right)
+    half-sweeps — ending left-canonical with the center gauge on the
+    last site tensor. Returns (Arest (S, m-1, ...), Mlast, bond
+    energies of the final right half-sweep)."""
 
     venv_right = jax.vmap(_env_step_right)
     venv_left = jax.vmap(_env_step_left)
@@ -256,12 +321,15 @@ def _segment_inner(seg_M0, seg_Ms, seg_W, lenv_b, renv_b, m, ncv,
 
         def body(carry, x):
             lenv, Mcur = carry
-            Mnext, W1, W2, renv = x
+            Mnext, W1, W2, renv, bm = x
             th0 = jnp.einsum("nkpc,ncqr->nkpqr", Mcur, Mnext)
             en, th = _batched_solve_2site(lenv, W1, W2, renv, th0, ncv)
             A1, A2 = _batched_split_2site(
-                th, max_bond=max_bond, absorb="right"
+                th, max_bond=max_bond, absorb="right",
+                oversample=oversample,
             )
+            A1 = A1 * bm[:, None, None, :]
+            A2 = A2 * bm[:, :, None, None]
             lenv = venv_right(lenv, jnp.conj(A1), W1, A1)
             return (lenv, A2), (A1, en)
 
@@ -272,6 +340,7 @@ def _segment_inner(seg_M0, seg_Ms, seg_W, lenv_b, renv_b, m, ncv,
                 jnp.swapaxes(seg_W[:, :-1], 0, 1),
                 jnp.swapaxes(seg_W[:, 1:], 0, 1),
                 renv_stack,
+                seg_bm,
             ),
         )
         return jnp.swapaxes(A1s, 0, 1), Mlast, ens
@@ -290,12 +359,15 @@ def _segment_inner(seg_M0, seg_Ms, seg_W, lenv_b, renv_b, m, ncv,
 
         def body(carry, x):
             renv, Mcur = carry
-            Aprev, W1, W2, lenv = x
+            Aprev, W1, W2, lenv, bm = x
             th0 = jnp.einsum("nkpc,ncqr->nkpqr", Aprev, Mcur)
             en, th = _batched_solve_2site(lenv, W1, W2, renv, th0, ncv)
             A1, A2 = _batched_split_2site(
-                th, max_bond=max_bond, absorb="left"
+                th, max_bond=max_bond, absorb="left",
+                oversample=oversample,
             )
+            A1 = A1 * bm[:, None, None, :]
+            A2 = A2 * bm[:, :, None, None]
             renv = venv_left(renv, jnp.conj(A2), W2, A2)
             return (renv, A1), (A2, en)
 
@@ -306,50 +378,48 @@ def _segment_inner(seg_M0, seg_Ms, seg_W, lenv_b, renv_b, m, ncv,
                 jnp.swapaxes(seg_W[:, :-1], 0, 1)[::-1],
                 jnp.swapaxes(seg_W[:, 1:], 0, 1)[::-1],
                 lenv_stack[::-1],
+                seg_bm[::-1],
             ),
         )
         return Mfirst, jnp.swapaxes(A2s, 0, 1)[:, ::-1], ens
 
-    M0, Mrest = seg_M0, seg_Ms
-    ens = None
+    Arest, Mlast, ens = right_sweep(seg_M0, seg_Ms)
     for _ in range(inner_passes):
-        Arest, Mlast, _ = right_sweep(M0, Mrest)
-        M0, Brest, ens = left_sweep(Arest, Mlast)
-        Mrest = Brest
-    return M0, Mrest, ens
+        M0, Brest, _ = left_sweep(Arest, Mlast)
+        Arest, Mlast, ens = right_sweep(M0, Brest)
+    return Arest, Mlast, ens
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("starts", "m", "ncv", "max_bond", "inner_passes"),
+    static_argnames=("starts", "m", "ncv", "max_bond", "inner_passes",
+                     "oversample", "off"),
 )
-def _parallel_outer_sweep(Ms, Ws, starts, m, ncv, max_bond,
-                          inner_passes):
+def _parallel_outer_sweep(Ms, Ws, masks, starts, m, ncv, max_bond,
+                          inner_passes, oversample=0, off=0):
     """One full outer sweep as one compiled program: canonize/env
-    scans, seam whitening, batched inner passes, un-whitening and
-    write-back. Returns (new stack, bond energies)."""
-    from .dmrg_jacobi import _chol_and_inv
-
+    scans, exact-gauge segment extraction, batched inner passes,
+    gauge-dropping write-back. Returns (new stack, bond energies)."""
     L, chi, d, _ = Ms.shape
     w = Ws.shape[1]
-    Bstack, renvs = _canonize_right_and_renvs(Ms, Ws)
-    lenvs, NLs = _lenvs_and_norms(Bstack, Ws)
+    Bstack, renvs = _canonize_right_and_renvs(Ms, Ws, masks)
+    Astack, lenvs, Rpre = _canonize_left_and_lenvs(Bstack, Ws, masks)
 
     a = jnp.asarray(np.asarray(starts))
     idx = a[:, None] + jnp.arange(m)[None, :]
     segB = Bstack[idx]                          # (S', m, chi, d, chi)
     segW = Ws[idx]
+    # segment-interior bond masks, scan-step aligned: (m-1, S, chi)
+    bidx = a[:, None] + jnp.arange(1, m)[None, :]
+    seg_bm = jnp.swapaxes(
+        masks.astype(Ms.dtype)[bidx], 0, 1
+    )
 
     lenv0 = jnp.zeros((chi, w, chi), Ms.dtype).at[0, 0, 0].set(1.0)
-    nl0 = jnp.zeros((chi, chi), Ms.dtype).at[0, 0].set(1.0)
     at_left = a == 0
     Lb = jnp.where(
         at_left[:, None, None, None], lenv0[None],
         lenvs[jnp.maximum(a - 1, 0)],
-    )
-    NLb = jnp.where(
-        at_left[:, None, None], nl0[None],
-        NLs[jnp.maximum(a - 1, 0)],
     )
     renvN = jnp.zeros_like(lenv0).at[0, 0, 0].set(1.0)
     Rb = jnp.where(
@@ -357,24 +427,49 @@ def _parallel_outer_sweep(Ms, Ws, starts, m, ncv, max_bond,
         renvs[jnp.minimum(a + m, L - 1)],
     )
 
-    # whiten the left seam: NL = C C†; the frame is FROZEN for the
-    # whole inner phase, so whitening noise enters once per sweep and
-    # only perturbs the (variationally second-order) boundary basis
-    CL, CLi = _chol_and_inv(NLb)
-    Lt = jnp.einsum("nab,nbwk->nawk", CLi, Lb)
-    Lt = jnp.einsum("nawk,nck->nawc", Lt, jnp.conj(CLi))
-    M0 = jnp.einsum("nka,nkdr->nadr", jnp.conj(CL), segB[:, 0])
+    # exact center gauge at each left seam: M0 = R[a-1..] @ B[a]
+    # (Rpre[a] IS that gauge — the carry before absorbing site a)
+    M0 = jnp.einsum("nab,nbdr->nadr", Rpre[a], segB[:, 0])
 
-    M0, Mrest, ens = _segment_inner(
-        M0, segB[:, 1:], segW, Lt, Rb, m=m, ncv=ncv,
+    Arest, Mlast, ens = _segment_inner(
+        M0, segB[:, 1:], segW, Lb, Rb, seg_bm, m=m, ncv=ncv,
         max_bond=max_bond, inner_passes=inner_passes,
+        oversample=oversample,
     )
-    # un-whiten the first tensor: B_a = C⁻† T̃
-    M0 = jnp.einsum(
-        "nab,nbdr->nadr", jnp.conj(jnp.swapaxes(CLi, -2, -1)), M0
+
+    # write-back: interior segments QR their gauge-carrying last
+    # tensor and drop the triangular factor (transitively absorbed by
+    # the next segment's M0); the final segment keeps it
+    matl = jnp.reshape(Mlast, (-1, chi * d, chi))
+    # MUST be the sign-stabilized QR: the dropped R's column-sign
+    # convention has to match Rpre's (positive diagonal, from
+    # qr_stabilized in the forward scan) or a ±1 diagonal is left
+    # interleaved at every seam
+    Qs, _, _ = decomp.qr_stabilized(matl)
+    # seam bond masks (interior seams are saturated at chi in
+    # production configs; dead directions still get zeroed exactly)
+    seammask = masks.astype(Ms.dtype)[a + m]
+    Qs = Qs * seammask[:, None, :]
+    Alast = jnp.reshape(Qs, Mlast.shape)
+    nrm = jnp.linalg.norm(
+        jnp.reshape(Mlast, (Mlast.shape[0], -1)), axis=-1
     )
-    seg_new = jnp.concatenate([M0[:, None], Mrest], axis=1)
-    return Bstack.at[idx].set(seg_new), ens
+    Mlast_n = Mlast / jnp.maximum(
+        nrm, jnp.finfo(nrm.dtype).tiny
+    )[:, None, None, None]
+    is_final = (a == a[-1])
+    last_site = jnp.where(
+        is_final[:, None, None, None], Mlast_n, Alast
+    )
+    seg_new = jnp.concatenate(
+        [Arest, last_site[:, None]], axis=1
+    )
+    new = Bstack.at[idx].set(seg_new)
+    if off:
+        # offset sweeps: the first segment's left environment is in
+        # the A-basis, so the untouched prefix must be stored A-form
+        new = new.at[:off].set(Astack[:off])
+    return new, ens
 
 
 class ParallelDMRG:
@@ -388,16 +483,21 @@ class ParallelDMRG:
         divisible by ``2 * n_segments`` (offsets alternate by half a
         segment).
     ncv : Lanczos basis size per local solve.
-    inner_passes : full right+left passes per outer sweep.
+    inner_passes : (left + right) half-sweep pairs per outer sweep on
+        top of the leading right half-sweep.
+    oversample : extra subspace columns + Rayleigh-Ritz rotation in
+        the truncated split (0 = pure subspace iteration, the serial
+        engine's production setting).
     """
 
     def __init__(self, psi, ham, max_bond, n_segments=8, ncv=8,
-                 inner_passes=1):
+                 inner_passes=1, oversample=0):
         self.like = psi.copy()
         self.chi = int(max_bond)
         self.S = int(n_segments)
         self.ncv = int(ncv)
         self.inner_passes = int(inner_passes)
+        self.oversample = int(oversample)
         self.Ms = mps_to_stack(psi, self.chi)
         self.L = int(self.Ms.shape[0])
         if self.L % (2 * self.S):
@@ -406,21 +506,24 @@ class ParallelDMRG:
             )
         self.m = self.L // self.S
         self.Ws = to_device(mpo_to_padded_stack(ham))
+        d = int(self.Ms.shape[2])
+        self.masks = to_device(bond_rank_masks(self.L, self.chi, d))
         self.energies = []
         self._phase = 0
 
     def sweep(self):
-        """One outer sweep: canonize + env scans, seam whitening,
-        batched inner passes, write-back."""
+        """One outer sweep: canonize + env scans, exact-gauge segment
+        extraction, batched inner passes, write-back."""
         L, m = self.L, self.m
         off = (m // 2) * (self._phase % 2)
         self._phase += 1
         starts = tuple(int(x) for x in np.arange(off, L - m + 1, m))
         self.Ms, ens = _parallel_outer_sweep(
-            self.Ms, self.Ws, starts, m=m, ncv=self.ncv,
+            self.Ms, self.Ws, self.masks, starts, m=m, ncv=self.ncv,
             max_bond=self.chi, inner_passes=self.inner_passes,
+            oversample=self.oversample, off=off,
         )
-        en = float(jnp.mean(ens))
+        en = float(jnp.mean(ens[-1]))
         self.energies.append(en)
         return en
 
