@@ -220,6 +220,8 @@ class TEBD:
         self.split_opts.setdefault("cutoff", 1e-10)
         self.progbar = progbar
         self._err = 0.0
+        self._trunc_err = 0.0
+        self._ham_norm = self.H.mean_norm()
         self.taus = []
         self._U_cache = {}
 
@@ -272,19 +274,33 @@ class TEBD:
             total = _jax.jit(lambda xs: jnp.sum(jnp.stack(xs)))(
                 tuple(self._err_pending)
             )
-            self._err += float(jnp.real(total))
+            self._trunc_err += float(jnp.real(total))
             self._err_pending = []
 
     @property
     def err(self):
-        """Accumulated truncation error (flushes any deferred
-        device-side per-sweep sums)."""
-        self._flush_err()
+        """Estimated accumulated Trotter error
+        ``sum_steps |H|_mean * dt**(order+1)`` — the reference's
+        ``TEBD.err`` convention (tn1d/tebd.py:458). For the
+        *truncation* (discarded Schmidt weight) tally see
+        :attr:`trunc_err`."""
         return self._err
 
     @err.setter
     def err(self, value):
         self._err = float(value)
+
+    @property
+    def trunc_err(self):
+        """Accumulated per-bond discarded Schmidt weight (flushes any
+        deferred device-side per-sweep sums). Not part of the
+        reference API — its ``err`` is the Trotter estimate."""
+        self._flush_err()
+        return self._trunc_err
+
+    @trunc_err.setter
+    def trunc_err(self, value):
+        self._trunc_err = float(value)
         self._err_pending = []
 
     def schmidt_values(self, i):
@@ -393,9 +409,9 @@ class TEBD:
         self._dt = dt
 
     def choose_time_step(self, tol, T, order):
-        """Trotter error ~ T * dt^order → dt = (tol / T)^(1/order)
-        (reference ``TEBD.choose_time_step`` :306)."""
-        return (tol / T) ** (1 / order)
+        """Trotter error is ``~ (T / dt) * |H|_mean * dt^(order+1)``;
+        invert for dt (reference ``TEBD.choose_time_step`` :306)."""
+        return (tol / (T * self._ham_norm)) ** (1 / order)
 
     def _get_gate(self, where, dt_frac):
         factor = -dt_frac if self.imag else (-1j * dt_frac)
@@ -465,6 +481,9 @@ class TEBD:
         {2: self._step_order2, 4: self._step_order4}[order](**sweep_opts)
         dt = self._dt if dt is None else dt
         self.t += dt
+        # reference err semantics (tn1d/tebd.py:458): accumulate the
+        # per-step Trotter error estimate |H|_mean * dt**(order+1)
+        self._err += self._ham_norm * abs(dt) ** (order + 1)
         self.taus.append(dt)
         if progbar is not None:
             progbar.cupdate(self.t)

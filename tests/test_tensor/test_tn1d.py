@@ -305,7 +305,22 @@ class TestTEBD:
         tebd.update_to(0.5, dt=0.05)
         # direct summation of dropped values: ~1e-7 f32 residue. The
         # cancellation formula it replaces read ~1e-2 on this config.
-        assert float(tebd.err) < 1e-5
+        assert float(tebd.trunc_err) < 1e-5
+
+    def test_tebd_err_is_reference_trotter_estimate(self):
+        """``TEBD.err`` follows the reference convention (reference
+        tn1d/tebd.py:458): sum over steps of |H|_mean * dt**(order+1),
+        independent of truncation."""
+        L = 8
+        psi0 = qtn.MPS_neel_state(L).astype("complex64")
+        H = qtn.ham_1d_heis(L)
+        tebd = qtn.TEBD(psi0, H, progbar=False,
+                        split_opts={"max_bond": 16, "cutoff": 0.0})
+        nsteps, dt, order = 6, 0.05, 4
+        for k in range(nsteps):
+            tebd.update_to((k + 1) * dt, dt=dt, order=order)
+        want = nsteps * H.mean_norm() * dt ** (order + 1)
+        assert float(tebd.err) == pytest.approx(want, rel=1e-6)
 
     def test_tebd_err_estimate_accumulates(self):
         L = 6
@@ -445,7 +460,7 @@ class TestTEBDFused:
             fused=True, progbar=False,
         )
         tebd.update_to(1.5, dt=0.05, order=2, progbar=False)
-        assert tebd.err > 1e-8  # truncation really happened
+        assert tebd.trunc_err > 1e-8  # truncation really happened
         nrm = float(abs(tebd.pt.norm()))
         assert abs(nrm - 1.0) < 1e-8
 
