@@ -517,7 +517,25 @@ def ham_from_terms(terms, dims, sparse=False, dtype=None):
     if sparse:
         if np.allclose(H.imag.data if hasattr(H, 'imag') else 0, 0):
             pass
-        return H.astype(np.dtype(str(dtype)))
+        H = H.astype(np.dtype(str(dtype)))
+        # record the local-term structure so device solvers can use
+        # the gather-free LocalTermsHam matvec instead of ELL
+        if all(len(sites) <= 2 for _, _, sites in terms):
+            combined = {}
+            for coeff, ops, sites in terms:
+                sites_ops = sorted(
+                    zip(sites, ops), key=lambda x: x[0]
+                )
+                key = tuple(s for s, _ in sites_ops)
+                mat = functools.reduce(
+                    np.kron, [np.asarray(op) for _, op in sites_ops]
+                ) * coeff
+                if key in combined:
+                    combined[key] = combined[key] + mat
+                else:
+                    combined[key] = mat
+            H._quimb_tpu_local_terms = (tuple(dims), combined)
+        return H
     return jnp.asarray(H.toarray(), dtype=dtype)
 
 
@@ -653,6 +671,135 @@ jax.tree_util.register_pytree_node(
 )
 
 
+class LocalTermsHam:
+    """Device Hamiltonian stored as its *local terms* — the TPU-native
+    matvec for sums of few-site operators.
+
+    ``H @ v`` applies each (pre-summed per site-tuple) local matrix by
+    reshaping ``v`` to the site grid and contracting the term's axes:
+    pure dense matmul/einsum traffic, bandwidth-bound at ~(n_terms x
+    2 x state) bytes. The general sparse ELL matvec (:class:`SparseHam`)
+    is instead a (N, K) random gather — on TPU that gather dominates
+    (the reference's CSR kernels, core.py:779, have the same access
+    pattern but CPU caches forgive it).
+
+    Parameters
+    ----------
+    dims : tuple of int
+        Site dimensions of the product space.
+    terms : dict[(site, ...), ndarray]
+        Pre-summed local matrix per site tuple (1- or 2-site).
+    """
+
+    def __init__(self, dims, terms, dtype=None):
+        from .ops.backend import to_device
+
+        self.dims = tuple(int(d) for d in dims)
+        n = prod(self.dims)
+        self.shape = (n, n)
+        real = all(
+            np.allclose(np.asarray(m).imag, 0) for m in terms.values()
+        )
+        if dtype is None:
+            dtype = get_default_dtype()
+            if real:
+                dtype = {"complex128": "float64",
+                         "complex64": "float32"}.get(str(dtype), dtype)
+        self.dtype = np.dtype(str(dtype))
+        self.sites = tuple(sorted(terms))
+        self.mats = tuple(
+            to_device(
+                np.asarray(terms[s]).real if real
+                else np.asarray(terms[s]),
+                dtype=self.dtype,
+            )
+            for s in self.sites
+        )
+
+    def matvec(self, x):
+        dims = self.dims
+        n = len(dims)
+        v = jnp.reshape(x, dims)
+        out = jnp.zeros_like(v)
+        for sites, m in zip(self.sites, self.mats):
+            md = m.astype(v.dtype) if m.dtype != x.dtype else m
+            if len(sites) == 1:
+                (i,) = sites
+                pre = prod(dims[:i])
+                post = prod(dims[i + 1:])
+                t = jnp.reshape(v, (pre, dims[i], post))
+                r = jnp.einsum("qp,apb->aqb", md, t)
+                out = out + jnp.reshape(r, dims)
+            else:
+                i, j = sites
+                di, dj = dims[i], dims[j]
+                mr = jnp.reshape(md, (di, dj, di, dj))
+                if j == i + 1:
+                    pre = prod(dims[:i])
+                    post = prod(dims[j + 1:])
+                    t = jnp.reshape(v, (pre, di * dj, post))
+                    r = jnp.einsum(
+                        "qp,apb->aqb",
+                        jnp.reshape(mr, (di * dj, di * dj)), t,
+                    )
+                else:
+                    pre = prod(dims[:i])
+                    mid = prod(dims[i + 1:j])
+                    post = prod(dims[j + 1:])
+                    t = jnp.reshape(v, (pre, di, mid, dj, post))
+                    r = jnp.einsum("pqij,aimjb->apmqb", mr, t)
+                out = out + jnp.reshape(r, dims)
+        return jnp.reshape(out, jnp.shape(x))
+
+    def __matmul__(self, x):
+        x = jnp.asarray(x)
+        if x.ndim == 2 and x.shape[1] == 1:
+            return jnp.reshape(self.matvec(x[:, 0]), (-1, 1))
+        if x.ndim == 1 or x.ndim == len(self.dims):
+            return self.matvec(x)
+        return jax.vmap(
+            lambda c: self.matvec(c), in_axes=1, out_axes=1
+        )(x)
+
+    def to_dense(self):
+        from .ops.backend import to_host
+
+        n = self.shape[0]
+        eye = np.eye(n, dtype=self.dtype.name)
+        cols = [np.reshape(np.asarray(to_host(
+            self.matvec(jnp.asarray(eye[:, k])))), (-1,))
+            for k in range(n)]
+        return jnp.asarray(np.stack(cols, axis=1))
+
+
+def _localterms_flatten(h):
+    return h.mats, (h.dims, h.sites, h.shape, h.dtype)
+
+
+def _localterms_unflatten(aux, children):
+    h = LocalTermsHam.__new__(LocalTermsHam)
+    h.mats = tuple(children)
+    h.dims, h.sites, h.shape, h.dtype = aux
+    return h
+
+
+jax.tree_util.register_pytree_node(
+    LocalTermsHam, _localterms_flatten, _localterms_unflatten
+)
+
+
+def device_operator(A, dtype=None):
+    """Best device-operator form of a host sparse matrix: the
+    local-terms matvec when the builder recorded the terms
+    (:func:`ham_from_terms` does), else the generic ELL
+    :class:`SparseHam`."""
+    lt = getattr(A, "_quimb_tpu_local_terms", None)
+    if lt is not None:
+        dims, terms = lt
+        return LocalTermsHam(dims, terms, dtype=dtype)
+    return SparseHam(A, dtype=dtype)
+
+
 __all__ = [
     "prod", "isket", "isbra", "isop", "isvec", "isdense", "issparse",
     "isreal", "isherm", "ispos", "isscalarish", "make_immutable",
@@ -662,7 +809,7 @@ __all__ = [
     "expec", "tr", "trace", "itrace", "nmlz", "dim_compress", "kron",
     "kronpow", "eye", "identity", "eyepad", "ikron", "pkron", "permute",
     "partial_trace", "ptr", "ham_from_terms", "sparse_to_bcoo",
-    "SparseHam",
+    "SparseHam", "LocalTermsHam", "device_operator",
     "qarray", "speye", "sparse", "dim_map",
     "cos", "exp", "log", "log2", "log10", "pi", "sin", "sqrt", "tan",
 ]

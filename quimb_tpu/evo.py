@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
-from .core import SparseHam, dag, isop, qu
+from .core import LocalTermsHam, SparseHam, dag, device_operator, isop, qu
 from .linalg.lanczos import expm_multiply_krylov
 from .utils import continuous_progbar
 
@@ -74,7 +74,7 @@ def lindblad_eq(ham, ls, gamma):
 
 
 def _as_dense(ham):
-    if isinstance(ham, SparseHam):
+    if isinstance(ham, (SparseHam, LocalTermsHam)):
         return ham.to_dense()
     if sp.issparse(ham):
         return jnp.asarray(ham.toarray())
@@ -82,7 +82,7 @@ def _as_dense(ham):
 
 
 def _matvec_of(ham):
-    if isinstance(ham, SparseHam):
+    if isinstance(ham, (SparseHam, LocalTermsHam)):
         H = ham
 
         def mv(x):
@@ -90,7 +90,7 @@ def _matvec_of(ham):
 
         return mv
     if sp.issparse(ham):
-        H = SparseHam(ham)
+        H = device_operator(ham)
 
         def mv(x):
             return H @ x
@@ -209,8 +209,9 @@ class Evolution:
             # Arnoldi program also compiles exactly once.
             from .linalg.lanczos import as_pytree_operator
 
-            self._ham_op = ham if isinstance(ham, SparseHam) else (
-                SparseHam(ham) if sp.issparse(ham)
+            self._ham_op = ham if isinstance(
+                ham, (SparseHam, LocalTermsHam)) else (
+                device_operator(ham) if sp.issparse(ham)
                 else as_pytree_operator(ham)
             )
             if self._ham_op is None:

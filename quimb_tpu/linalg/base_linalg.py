@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
-from ..core import SparseHam, dag, isdense, prod, qu
+from ..core import LocalTermsHam, SparseHam, dag, device_operator, isdense, prod, qu
 from .lanczos import eigh_lanczos, expm_multiply_krylov, lobpcg_block
 
 AUTO_DENSE_CUTOFF = 2**13
@@ -58,10 +58,10 @@ def _as_operator(A):
     """Normalize input: returns (matvec, n, dtype, dense_or_none)."""
     if isinstance(A, Lazy):
         A = A()
-    if isinstance(A, SparseHam):
+    if isinstance(A, (SparseHam, LocalTermsHam)):
         return A.matvec, A.shape[0], A.dtype, None
     if sp.issparse(A):
-        Ah = SparseHam(A)
+        Ah = device_operator(A)
         return Ah.matvec, Ah.shape[0], Ah.dtype, None
     if hasattr(A, "matvec_fn"):  # TNLinearOperator
         fn, arrays = A.matvec_fn()
@@ -118,7 +118,7 @@ def eigensystem_partial(A, k, isherm=True, B=None, which=None, return_vecs=True,
     if backend in ("numpy", "dense"):
         mv, n, dtype, Aa = _as_operator(A)
         if Aa is None:
-            if isinstance(A, SparseHam):
+            if isinstance(A, (SparseHam, LocalTermsHam)):
                 Aa = A.to_dense()
             elif sp.issparse(A):
                 Aa = jnp.asarray(A.toarray())
@@ -130,7 +130,7 @@ def eigensystem_partial(A, k, isherm=True, B=None, which=None, return_vecs=True,
         import scipy.sparse.linalg as spla
 
         Ah = A
-        if isinstance(A, SparseHam):
+        if isinstance(A, (SparseHam, LocalTermsHam)):
             mv, n, dtype, _ = _as_operator(A)
             Ah = spla.LinearOperator(
                 shape=A.shape, dtype=np.dtype(str(dtype)),
@@ -152,7 +152,7 @@ def eigensystem_partial(A, k, isherm=True, B=None, which=None, return_vecs=True,
     if sp.issparse(A):
         # device-resident operator: also makes A a jit-operand pytree
         # so the Lanczos program compiles once per shape
-        A = SparseHam(A)
+        A = device_operator(A)
     mv, n, dtype, _ = _as_operator(A)
 
     if sigma is not None:
