@@ -233,8 +233,11 @@ def main():
         try:
             from quimb_tpu.tensor.tn1d.dmrg_parallel import ParallelDMRG
 
-            S_ = int(os.environ.get("BENCH_PAR_SEGMENTS", 8))
-            INNER = int(os.environ.get("BENCH_PAR_INNER", 2))
+            # default n_segments=2: the only segmentation measured
+            # STABLE at the north-star config (S>=4 block-Jacobi
+            # amplification diverges — docs/performance.md r5)
+            S_ = int(os.environ.get("BENCH_PAR_SEGMENTS", 2))
+            INNER = int(os.environ.get("BENCH_PAR_INNER", 1))
             PNCV = int(os.environ.get("BENCH_PAR_NCV", 8))
             pd = ParallelDMRG(
                 dmrg.state, H, max_bond=CHI, n_segments=S_,
@@ -253,22 +256,23 @@ def main():
                 en_par = pd.sweep()
             jax.block_until_ready(pd.Ms)
             dt_par = (time.perf_counter() - t0) / NP
-            # flops per outer sweep (conservative): inner solves/splits
-            # over ~all bonds x inner_passes (restarts=1), plus the two
-            # canonize/env scans (env steps + an LQ per site)
-            f_inner = 0
-            for i in range(L - 1):
-                f_inner += PNCV * flops_2site_matvec(
-                    CHI, CHI, CHI, d, 5
-                )
-                f_inner += flops_fuse_lwr(CHI, CHI, d, 5)
-                f_inner += flops_eig_split(CHI * d, d * CHI)
-                f_inner += flops_env_step(CHI, CHI, d, 5)
-            f_scans = L * (
-                2 * flops_env_step(CHI, CHI, d, 5)
+            # flops per outer sweep: (2*inner_passes + 1) batched
+            # half-sweeps over the segments' interior bonds (solve +
+            # split + env absorb each), plus the two canonize/env
+            # scans (env steps + a QR/LQ per site each)
+            m_seg = L // S_
+            nbond = S_ * (m_seg - 1)
+            f_bond = (
+                PNCV * flops_2site_matvec(CHI, CHI, CHI, d, 5)
+                + flops_fuse_lwr(CHI, CHI, d, 5)
+                + flops_eig_split(CHI * d, d * CHI)
+                + flops_env_step(CHI, CHI, d, 5)
+            )
+            f_scans = 2 * L * (
+                flops_env_step(CHI, CHI, d, 5)
                 + flops_svd(CHI, d * CHI)
             )
-            f_par = INNER * f_inner + f_scans
+            f_par = (2 * INNER + 1) * nbond * f_bond + f_scans
             par = {
                 "sweep_seconds_parallel": round(dt_par, 3),
                 "tflops_parallel": round(f_par / dt_par / 1e12, 4),

@@ -178,9 +178,12 @@ def _canonize_left_and_lenvs(Bstack, Ws, masks):
 # ---------------------------------------------------------------------------
 
 
-def _batched_solve_2site(Lb, W1, W2, Rb, th0, ncv):
+def _batched_solve_2site(Lb, W1, W2, Rb, th0, ncv, damp=1.0):
     """Batched restarted-Lanczos smallest eigenpair of the 2-site
-    effective Hamiltonian. th0 (S, chi, d, d, chi)."""
+    effective Hamiltonian. th0 (S, chi, d, d, chi). ``damp`` < 1
+    blends the Ritz vector with the warm start (trust-region for the
+    block-Jacobi outer iteration: frozen-boundary segment optima
+    overshoot when neighbouring segments move simultaneously)."""
     S_, chi, d, _, _ = th0.shape
     rdt = th0.real.dtype
     LW1 = jnp.einsum("nawk,nwxup->naxupk", Lb, W1)
@@ -223,6 +226,16 @@ def _batched_solve_2site(Lb, W1, W2, Rb, th0, ncv):
     th = th / jnp.maximum(
         jnp.linalg.norm(th, axis=-1, keepdims=True), 1e-30
     )
+    if damp != 1.0:
+        # phase-align with the warm start before blending (the Ritz
+        # vector's global sign is arbitrary)
+        ov = jnp.sum(jnp.conj(V[:, 0]) * th, axis=-1, keepdims=True)
+        sign = jnp.where(jnp.real(ov) < 0, -1.0, 1.0).astype(th.dtype)
+        th = sign * th
+        th = V[:, 0] + damp * (th - V[:, 0])
+        th = th / jnp.maximum(
+            jnp.linalg.norm(th, axis=-1, keepdims=True), 1e-30
+        )
     return ens, jnp.reshape(th, th0.shape)
 
 
@@ -282,10 +295,11 @@ def _batched_split_2site(th, max_bond, absorb, oversample=0,
 @functools.partial(
     jax.jit,
     static_argnames=("m", "ncv", "max_bond", "inner_passes",
-                     "oversample"),
+                     "oversample", "damp"),
 )
 def _segment_inner(seg_M0, seg_Ms, seg_W, lenv_b, renv_b, seg_bm,
-                   m, ncv, max_bond, inner_passes, oversample=0):
+                   m, ncv, max_bond, inner_passes, oversample=0,
+                   damp=1.0):
     """Batched fixed-boundary DMRG on S segments of length ``m``.
 
     seg_M0: (S, chi, d, chi) the first site tensor (carries the
@@ -323,7 +337,8 @@ def _segment_inner(seg_M0, seg_Ms, seg_W, lenv_b, renv_b, seg_bm,
             lenv, Mcur = carry
             Mnext, W1, W2, renv, bm = x
             th0 = jnp.einsum("nkpc,ncqr->nkpqr", Mcur, Mnext)
-            en, th = _batched_solve_2site(lenv, W1, W2, renv, th0, ncv)
+            en, th = _batched_solve_2site(
+                lenv, W1, W2, renv, th0, ncv, damp=damp)
             A1, A2 = _batched_split_2site(
                 th, max_bond=max_bond, absorb="right",
                 oversample=oversample,
@@ -361,7 +376,8 @@ def _segment_inner(seg_M0, seg_Ms, seg_W, lenv_b, renv_b, seg_bm,
             renv, Mcur = carry
             Aprev, W1, W2, lenv, bm = x
             th0 = jnp.einsum("nkpc,ncqr->nkpqr", Aprev, Mcur)
-            en, th = _batched_solve_2site(lenv, W1, W2, renv, th0, ncv)
+            en, th = _batched_solve_2site(
+                lenv, W1, W2, renv, th0, ncv, damp=damp)
             A1, A2 = _batched_split_2site(
                 th, max_bond=max_bond, absorb="left",
                 oversample=oversample,
@@ -393,10 +409,11 @@ def _segment_inner(seg_M0, seg_Ms, seg_W, lenv_b, renv_b, seg_bm,
 @functools.partial(
     jax.jit,
     static_argnames=("starts", "m", "ncv", "max_bond", "inner_passes",
-                     "oversample", "off"),
+                     "oversample", "off", "damp"),
 )
 def _parallel_outer_sweep(Ms, Ws, masks, starts, m, ncv, max_bond,
-                          inner_passes, oversample=0, off=0):
+                          inner_passes, oversample=0, off=0,
+                          damp=1.0):
     """One full outer sweep as one compiled program: canonize/env
     scans, exact-gauge segment extraction, batched inner passes,
     gauge-dropping write-back. Returns (new stack, bond energies)."""
@@ -434,7 +451,7 @@ def _parallel_outer_sweep(Ms, Ws, masks, starts, m, ncv, max_bond,
     Arest, Mlast, ens = _segment_inner(
         M0, segB[:, 1:], segW, Lb, Rb, seg_bm, m=m, ncv=ncv,
         max_bond=max_bond, inner_passes=inner_passes,
-        oversample=oversample,
+        oversample=oversample, damp=damp,
     )
 
     # write-back: interior segments QR their gauge-carrying last
@@ -491,13 +508,14 @@ class ParallelDMRG:
     """
 
     def __init__(self, psi, ham, max_bond, n_segments=8, ncv=8,
-                 inner_passes=1, oversample=0):
+                 inner_passes=1, oversample=0, damp=1.0):
         self.like = psi.copy()
         self.chi = int(max_bond)
         self.S = int(n_segments)
         self.ncv = int(ncv)
         self.inner_passes = int(inner_passes)
         self.oversample = int(oversample)
+        self.damp = float(damp)
         self.Ms = mps_to_stack(psi, self.chi)
         self.L = int(self.Ms.shape[0])
         if self.L % (2 * self.S):
@@ -521,7 +539,7 @@ class ParallelDMRG:
         self.Ms, ens = _parallel_outer_sweep(
             self.Ms, self.Ws, self.masks, starts, m=m, ncv=self.ncv,
             max_bond=self.chi, inner_passes=self.inner_passes,
-            oversample=self.oversample, off=off,
+            oversample=self.oversample, off=off, damp=self.damp,
         )
         en = float(jnp.mean(ens[-1]))
         self.energies.append(en)

@@ -41,6 +41,66 @@ from ...ops.decomp import safe_qr, safe_svd
 # --------------------------------------------------------------------------
 
 
+def _use_sub_split():
+    """Whether the bond truncation uses the matmul-only subspace split
+    instead of the XLA SVD. On TPU the batched tiny SVD lowers to a
+    long Jacobi iteration that dominated the whole fused sweep
+    (~2.4 s of the 2.9 s/step at 16x16); the subspace split is pure
+    MXU/VPU work. Override with QUIMB_TPU_SU_SPLIT={sub,svd}."""
+    import os
+
+    v = os.environ.get("QUIMB_TPU_SU_SPLIT", "")
+    if v == "sub":
+        return True
+    if v == "svd":
+        return False
+    from ...config import on_tpu
+
+    return on_tpu()
+
+
+def _mgs_cols(Y):
+    """Orthonormalize the (few) trailing columns of ``Y`` by unrolled
+    modified Gram-Schmidt — no QR, pure vector ops (the column count
+    is the PEPS bond dimension, e.g. 3)."""
+    cols = []
+    for c in range(Y.shape[-1]):
+        v = Y[..., :, c]
+        for u in cols:
+            v = v - u * jnp.sum(
+                jnp.conj(u) * v, axis=-1, keepdims=True
+            )
+        v = v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30
+        )
+        cols.append(v)
+    return jnp.stack(cols, axis=-1)
+
+
+def _topd_split(M, D, iters=10):
+    """Top-``D`` truncated split of batched small matrices ``M``
+    (..., m, n) -> (U (..., m, D), s (..., D), V (..., D, n)) using
+    Gram subspace iteration with MGS orthonormalization and a
+    Newton-Schulz row cleanup — matmul-only (TPU-fast; XLA's batched
+    SVD is a slow Jacobi loop)."""
+    G = jnp.einsum("...ij,...kj->...ik", M, jnp.conj(M))
+    Q = G[..., :, :D]
+    for _ in range(iters):
+        Q = _mgs_cols(jnp.einsum("...ik,...kj->...ij", G, Q))
+    B = jnp.einsum("...ki,...kj->...ij", jnp.conj(Q), M)  # (D, n)
+    s = jnp.linalg.norm(B, axis=-1)
+    V = B / jnp.maximum(s[..., None], 1e-30)
+    # Newton-Schulz orthonormalization of V's rows (two steps of
+    # V <- (3I - V V†)/2 V); also rotates U consistently through s
+    for _ in range(2):
+        C = jnp.einsum("...ik,...jk->...ij", V, jnp.conj(V))
+        V = jnp.einsum(
+            "...ij,...jk->...ik",
+            1.5 * jnp.eye(D, dtype=V.dtype) - 0.5 * C, V,
+        )
+    return Q, s, V
+
+
 def _axis_masks(Lx, Ly, D, dtype):
     """Per-axis virtual-bond masks: mask[i/j, a] = 1 iff the bond
     exists there or a == 0 (the padded slot carrying the true
@@ -129,10 +189,13 @@ def _h_class_update(S, GH, GV, U, o, smudge):
     M = theta.reshape(Lx, nj, kA * p, p * kB)
 
     # truncate back to D
-    Um, s, Vm = safe_svd(M)
-    Um = Um[..., :, :D]
-    s = s[..., :D]
-    Vm = Vm[..., :D, :]
+    if _use_sub_split():
+        Um, s, Vm = _topd_split(M, D)
+    else:
+        Um, s, Vm = safe_svd(M)
+        Um = Um[..., :, :D]
+        s = s[..., :D]
+        Vm = Vm[..., :D, :]
     s = s / jnp.maximum(
         jnp.linalg.norm(s, axis=-1, keepdims=True), 1e-30
     )
