@@ -47,7 +47,8 @@ def main():
     psi0 = qtn.PEPS.rand(L, L, bond_dim=D, seed=42)
     ham = qtn.ham_2d_heis(L, L)
 
-    su = qtn.SimpleUpdate(psi0, ham, D=D, compute_energy_every=None)
+    su = qtn.SimpleUpdate(psi0, ham, D=D, compute_energy_every=None,
+                          compute_energy_final=False)
     # warm the compiled step programs before timing
     t0 = time.perf_counter()
     su.evolve(2, tau=0.3)

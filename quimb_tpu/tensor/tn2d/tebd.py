@@ -267,12 +267,50 @@ class SimpleUpdate(TEBD2D):
     def __init__(self, psi0, ham, tau=0.01, D=None, chi=None,
                  gate_opts=None, gauge_smudge=1e-6, condition_tensors=True,
                  **kwargs):
+        self._fstacks = None
         super().__init__(psi0, ham, tau=tau, D=D, chi=chi,
                          gate_opts=gate_opts, **kwargs)
         self.gauge_smudge = gauge_smudge
         self.condition_tensors = condition_tensors
         # gauges: bond pair -> singular value vector
         self.gauges = {}
+
+    # -- lazy fused-stack residency ----------------------------------------
+    # the fused engine keeps the whole lattice as device stacks across
+    # ``evolve`` calls; materializing a PEPS does ~2 eager device ops
+    # per site (512+ tunnel round-trips at 16x16 — measured ~4 s/call
+    # on TPU vs ~21 ms for the actual sweep kernel), so it only
+    # happens when ``state``/``gauges`` are actually read.
+
+    def _materialize(self):
+        if self._fstacks is not None:
+            from .su_fused import stacks_to_peps
+
+            S, GH, GV = self._fstacks
+            self._fstacks = None
+            self._state, self._gauges = stacks_to_peps(
+                S, GH, GV, self._state
+            )
+
+    @property
+    def state(self):
+        self._materialize()
+        return self._state
+
+    @state.setter
+    def state(self, value):
+        self._fstacks = None
+        self._state = value
+
+    @property
+    def gauges(self):
+        self._materialize()
+        return self._gauges
+
+    @gauges.setter
+    def gauges(self, value):
+        self._fstacks = None
+        self._gauges = value
 
     def _maybe_bond(self, a, b):
         ta = self.state[self.state.site_tag(*a)]
@@ -289,7 +327,9 @@ class SimpleUpdate(TEBD2D):
 
         if not fused_su_enabled():
             return False
-        psi = self.state
+        # geometry checks only — do NOT touch ``self.state`` (that
+        # would materialize the resident stacks every evolve call)
+        psi = self._state
         if not isinstance(psi, PEPS) or psi.Lx < 2 or psi.Ly < 2:
             return False
         if self.gate_opts.get("max_bond") != self._D:
@@ -311,17 +351,20 @@ class SimpleUpdate(TEBD2D):
 
     def _evolve_fused(self, steps):
         """Run ``steps`` full sweeps as one compiled scan program
-        (one device dispatch per call)."""
+        (one device dispatch per call). The lattice stacks stay
+        device-resident between calls (see ``_materialize``)."""
         from .su_fused import (
             _axis_masks, _su_evolve, class_gate_stacks, peps_to_stacks,
-            stacks_to_peps,
         )
         from ...ops.backend import to_device
 
-        psi = self.state
+        psi = self._state
         Lx, Ly, D = psi.Lx, psi.Ly, self._D
+        if self._fstacks is not None:
+            S, GH, GV = self._fstacks
+        else:
+            S, GH, GV = peps_to_stacks(psi, self._gauges, D)
         p = psi.phys_dim()
-        S, GH, GV = peps_to_stacks(psi, self.gauges, D)
         rdt = np.zeros(1, dtype=np.dtype(str(S.dtype))).real.dtype
         gates = class_gate_stacks(
             self.ham, Lx, Ly, -self.tau, p, rdt
@@ -336,7 +379,7 @@ class SimpleUpdate(TEBD2D):
             S, GH, GV, *gates, masks_h, masks_v,
             nsteps=int(steps), smudge=float(self.gauge_smudge),
         )
-        self.state, self.gauges = stacks_to_peps(S, GH, GV, psi)
+        self._fstacks = (S, GH, GV)
 
     def evolve(self, steps, tau=None, progbar=None, fused=None):
         """Evolve ``steps`` sweeps. Uses the fused batched kernel when
