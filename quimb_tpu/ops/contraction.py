@@ -399,6 +399,23 @@ def array_contract(
         )
         return r
 
+    if len(arrays) == 2 and not renorm and not return_expression:
+        # direct pairwise einsum: skips expression canonicalization +
+        # cache round-trip (~0.7 ms/call of pure host bookkeeping —
+        # the dominant cost of the pair-absorptions inside the
+        # simplification passes, which funnel here thousands of times
+        # per circuit amplitude/marginal)
+        label = {}
+        for term in (*inputs, output):
+            for ix in term:
+                label.setdefault(ix, len(label))
+        if len(label) <= 48:
+            return xp.einsum(
+                arrays[0], [label[ix] for ix in inputs[0]],
+                arrays[1], [label[ix] for ix in inputs[1]],
+                [label[ix] for ix in output],
+            )
+
     shapes = [a.shape for a in arrays]
     expr = array_contract_expression(
         inputs, output, shapes=shapes, optimize=optimize

@@ -267,11 +267,16 @@ def path_random_greedy(
     # stops early after 16 non-improving restarts or the wall-clock
     # budget, whichever first (per-sample circuit marginals re-search on
     # every fresh geometry, so an unbounded search dominates sampling)
+    # scale the wall-clock budget with network size: per-sample
+    # circuit marginals (~50-150 terms) would otherwise spend the full
+    # budget on every fresh value-simplified geometry
+    budget = float(os.environ.get("QUIMB_TPU_PATH_SECONDS", 0.0)) or \
+        max(0.04, min(0.5, len(inputs) / 500.0))
     npath = path_rgreedy_native(
         inputs, output, sizes,
         repeats=4 * repeats, temperature=temperature, seed=seed,
         patience=16,
-        max_seconds=float(os.environ.get("QUIMB_TPU_PATH_SECONDS", 0.5)),
+        max_seconds=budget,
         stop_flops=float(os.environ.get("QUIMB_TPU_PATH_STOP_FLOPS", 1e9)),
     )
     if npath is not None:

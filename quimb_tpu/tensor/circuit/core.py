@@ -43,6 +43,39 @@ _HOST_CONTRACT_FLOPS = float(
     __import__("os").environ.get("QUIMB_TPU_HOST_CONTRACT_FLOPS", 2e8)
 )
 
+# log2 of the largest intermediate a cached marginal expression may
+# allocate before compute_marginal falls back to per-sample
+# value-specific simplification
+_EXPR_WIDTH_LIMIT = float(
+    __import__("os").environ.get("QUIMB_TPU_MARGINAL_EXPR_WIDTH", 24)
+)
+_EXPR_FLOPS_LIMIT = float(
+    __import__("os").environ.get("QUIMB_TPU_MARGINAL_EXPR_FLOPS", 3e7)
+)
+# per-sample (post bit-fixing) simplify sequence: the region network
+# was already fully simplified with open outputs, so a lighter pass
+# usually suffices and the full 'ADCRS' re-run dominates sampling time
+_POST_FIX_SIMPLIFY = __import__("os").environ.get(
+    "QUIMB_TPU_POST_FIX_SIMPLIFY", "R"
+)
+
+
+def _collapse_repeats(a, term):
+    """Collapse repeated indices of a single tensor to their diagonal
+    (host, build-time) so contraction *expressions* — which assume
+    unique labels per input — can be built over bra=ket-merged
+    networks."""
+    if len(set(term)) == len(term):
+        return a, term
+    letters = {}
+    for ix in term:
+        if ix not in letters:
+            letters[ix] = chr(97 + len(letters))
+    lhs = "".join(letters[ix] for ix in term)
+    out_term = tuple(dict.fromkeys(term))
+    rhs = "".join(letters[ix] for ix in out_term)
+    return np.einsum(f"{lhs}->{rhs}", a), out_term
+
 
 def _auto_host_backend(tn, optimize, backend, output_inds=None):
     """Context manager choosing where a simplified circuit network is
@@ -263,6 +296,16 @@ class CircuitBase:
         """Clear cached marginals/samples (reference
         circuit/core.py:1145)."""
         self._storage.clear()
+        for attr in ("_sample_cache", "_marginal_cache",
+                     "_lightcone_cache", "_region_expr_cache",
+                     "_amp_expr"):
+            c = getattr(self, attr, None)
+            if c is None:
+                continue
+            if hasattr(c, "clear"):
+                c.clear()
+            else:
+                setattr(self, attr, None)
         self._sample_n_gates = self.num_gates
 
     def _maybe_init_storage(self):
@@ -602,6 +645,8 @@ class Circuit(CircuitBase):
         self._sample_cache = LRU(2**16)
         self._marginal_cache = LRU(2**12)
         self._lightcone_cache = LRU(2**8)
+        self._region_expr_cache = LRU(2**8)
+        self._amp_expr = None
 
     def _init_state(self, psi0):
         psi = TensorNetwork(psi0, virtual=False)
@@ -706,6 +751,7 @@ class Circuit(CircuitBase):
             b = tuple(int(x) for x in b)
         from ...ops.contraction import contract_backend
 
+        self._maybe_init_storage()
         # the whole setup phase (output selection + simplification) is
         # host-side graph surgery: pin it to numpy so no tiny tensor
         # round-trips through the device
@@ -792,11 +838,44 @@ class Circuit(CircuitBase):
         sliced across the mesh's devices (each marginal is one batched
         XLA program + psum — the multi-chip sampling path)."""
         fix = dict(fix or {})
+        self._maybe_init_storage()
         key = (tuple(where), tuple(sorted(fix.items())))
         cached = self._marginal_cache.get(key)
         if cached is not None:
             return cached
         region = tuple(sorted(set(where) | set(fix)))
+
+        if mesh is None and not contract_opts:
+            # fast path: ONE cached contraction expression per
+            # (region, where, fix-keys) — the fixed bits enter as
+            # basis vectors which any path optimizer absorbs first
+            # (equivalent to isel), so per-SAMPLE work is a single
+            # cached-path host contraction in c128: no per-sample
+            # graph simplify, no path search (the reference's
+            # group-marginal caching, exact.py:1135, re-simplifies
+            # per sample). Value-specific re-simplification can
+            # however shrink hard networks by far more than a good
+            # path can recover, so the fast path is WIDTH-GUARDED:
+            # oversized expressions fall back to the per-sample
+            # simplify route.
+            entry = self._get_region_marginal_expr(
+                region, tuple(where), tuple(sorted(fix)),
+                simplify_sequence, simplify_atol,
+            )
+            if entry is not None:
+                expr, arrays, present = entry
+                eye2 = np.eye(2, dtype=np.complex128)
+                vecs = [eye2[int(fix[q])] for q in present]
+                data = expr(*arrays, *vecs)
+                p = np.clip(
+                    np.real(np.reshape(data, (-1,))).astype(
+                        np.float64), 0, None,
+                )
+                total = p.sum()
+                if total > 0:
+                    p = p / total
+                self._marginal_cache[key] = p
+                return p
         # the expensive lightcone + simplify is cached per *region* —
         # across samples only the fixed bit values change, so the
         # per-sample work is a cheap final simplify + one contraction
@@ -822,7 +901,8 @@ class Circuit(CircuitBase):
                     if self.ket_site_ind(q) in nm_lc.ind_map
                 })
             nm_lc.full_simplify_(
-                seq=simplify_sequence, atol=simplify_atol,
+                seq=_POST_FIX_SIMPLIFY or simplify_sequence,
+                atol=simplify_atol,
                 output_inds=kix, equalize_norms=equalize_norms,
             )
             # the stripped global exponent easily exceeds f32 range
@@ -858,6 +938,58 @@ class Circuit(CircuitBase):
             p = p / total
         self._marginal_cache[key] = p
         return p
+
+    def _get_region_marginal_expr(self, region, where, fixkeys, seq,
+                                  atol):
+        """Cached: (contract expression, host c128 arrays, fixed
+        qubits present in the region lightcone) for computing the
+        marginal of ``where`` given any values of ``fixkeys``."""
+        key = (region, where, fixkeys, seq, atol)
+        entry = self._region_expr_cache.get(key)
+        if entry is not None:
+            return None if entry == "fallback" else entry
+        from ...ops.backend import to_host
+        from ...ops.contraction import (
+            array_contract_expression, contract_backend,
+        )
+
+        nm = self._get_norm_lightcone_simplified(region, seq, atol)
+        with contract_backend("numpy"):
+            nm.reindex_({
+                self.bra_site_ind(q): self.ket_site_ind(q)
+                for q in region
+                if self.bra_site_ind(q) in nm.ind_map
+            })
+            # scale-free: mantissas O(1), exponent irrelevant (the
+            # marginal is normalized) and contraction is host c128
+            nm.equalize_norms_(1.0)
+        kix = tuple(self.ket_site_ind(q) for q in where)
+        present = tuple(
+            q for q in fixkeys
+            if self.ket_site_ind(q) in nm.ind_map
+        )
+        tensors = tuple(nm.tensor_map.values())
+        arrays, inputs = [], []
+        for t in tensors:
+            a, term = _collapse_repeats(
+                np.asarray(to_host(t.data)).astype(np.complex128),
+                tuple(t.inds),
+            )
+            arrays.append(a)
+            inputs.append(term)
+        inputs += [(self.ket_site_ind(q),) for q in present]
+        expr = array_contract_expression(
+            tuple(inputs), kix,
+            shapes=[a.shape for a in arrays] + [(2,)] * len(present),
+        )
+        if expr.width > _EXPR_WIDTH_LIMIT or \
+                expr.flops > _EXPR_FLOPS_LIMIT:
+            # a value-specific re-simplify will beat any path here
+            self._region_expr_cache[key] = "fallback"
+            return None
+        entry = (expr, arrays, present)
+        self._region_expr_cache[key] = entry
+        return entry
 
     def _get_norm_lightcone_simplified(self, region, seq, atol):
         """Cached: the lightcone norm network <psi|psi> with the ket
@@ -915,6 +1047,19 @@ class Circuit(CircuitBase):
             order[i:i + group_size]
             for i in range(0, len(order), group_size)
         ]
+        if C > 1 and mesh is None and not contract_opts:
+            # breadth-first: advance ALL samples one group at a time —
+            # the C distinct-fix marginals of a group share one cached
+            # contraction expression with the batch riding as an extra
+            # index on the bit vectors, so the per-group cost is ONE
+            # batched contraction instead of C simplify+search+contract
+            # rounds (the reference re-simplifies per sample,
+            # exact.py:1135)
+            yield from self._sample_breadth_first(
+                C, groups, rng, optimize, simplify_sequence,
+                simplify_atol,
+            )
+            return
         for _ in range(C):
             fix = {}
             for grp in groups:
@@ -932,6 +1077,117 @@ class Circuit(CircuitBase):
                     fix[q] = v
             yield "".join(str(fix[q]) for q in range(self.N)
                           if q in fix)
+
+    def _sample_breadth_first(self, C, groups, rng, optimize, seq,
+                              atol):
+        fixes = [dict() for _ in range(C)]
+        for grp in groups:
+            fixkeys = tuple(sorted(fixes[0]))
+            region = tuple(sorted(set(grp) | set(fixkeys)))
+            entry = self._get_region_marginal_batch_expr(
+                region, tuple(grp), fixkeys, seq, atol, C,
+            )
+            if entry is None:
+                # oversized: per-sample route for this group
+                ps = [
+                    self.compute_marginal(
+                        grp, fix=fixes[i], optimize=optimize,
+                        simplify_sequence=seq, simplify_atol=atol,
+                    )
+                    for i in range(C)
+                ]
+            else:
+                expr, arrays, present, B = entry
+                eye2 = np.eye(2, dtype=np.complex128)
+                vecs = []
+                for q in present:
+                    v = np.zeros((B, 2), dtype=np.complex128)
+                    for i in range(C):
+                        v[i] = eye2[int(fixes[i][q])]
+                    v[C:] = eye2[0]
+                    vecs.append(v)
+                data = expr(*arrays, *vecs)
+                P = np.clip(
+                    np.real(np.reshape(data, (B, -1))).astype(
+                        np.float64), 0, None,
+                )
+                ps = [P[i] for i in range(C)]
+            for i in range(C):
+                p = ps[i]
+                total = p.sum()
+                p = p / total if total > 0 else np.full(
+                    p.size, 1.0 / p.size
+                )
+                outcome = rng.choice(p.size, p=p)
+                bits = [(outcome >> (len(grp) - 1 - k)) & 1
+                        for k in range(len(grp))]
+                for q, v in zip(grp, bits):
+                    fixes[i][q] = v
+        for i in range(C):
+            yield "".join(
+                str(fixes[i][q]) for q in range(self.N)
+                if q in fixes[i]
+            )
+
+    def _get_region_marginal_batch_expr(self, region, where, fixkeys,
+                                        seq, atol, C):
+        """Cached batched variant of :meth:`_get_region_marginal_expr`:
+        the fixed-bit vectors carry a shared batch index (padded to a
+        power of two >= C so different sample counts reuse one
+        path/expression)."""
+        B = 1
+        while B < C:
+            B *= 2
+        key = ("batch", region, where, fixkeys, seq, atol, B)
+        entry = self._region_expr_cache.get(key)
+        if entry is not None:
+            return None if entry == "fallback" else entry
+        from ...ops.backend import to_host
+        from ...ops.contraction import (
+            array_contract_expression, contract_backend,
+        )
+
+        nm = self._get_norm_lightcone_simplified(region, seq, atol)
+        with contract_backend("numpy"):
+            nm.reindex_({
+                self.bra_site_ind(q): self.ket_site_ind(q)
+                for q in region
+                if self.bra_site_ind(q) in nm.ind_map
+            })
+            nm.equalize_norms_(1.0)
+        kix = tuple(self.ket_site_ind(q) for q in where)
+        present = tuple(
+            q for q in fixkeys
+            if self.ket_site_ind(q) in nm.ind_map
+        )
+        if not present:
+            # no batch coupling — fall back (first group: the plain
+            # per-sample cache already computes it exactly once)
+            self._region_expr_cache[key] = "fallback"
+            return None
+        bix = rand_uuid()
+        tensors = tuple(nm.tensor_map.values())
+        arrays, inputs = [], []
+        for t in tensors:
+            a, term = _collapse_repeats(
+                np.asarray(to_host(t.data)).astype(np.complex128),
+                tuple(t.inds),
+            )
+            arrays.append(a)
+            inputs.append(term)
+        inputs += [(bix, self.ket_site_ind(q)) for q in present]
+        expr = array_contract_expression(
+            tuple(inputs), (bix,) + kix,
+            shapes=[a.shape for a in arrays]
+            + [(B, 2)] * len(present),
+        )
+        if expr.width > _EXPR_WIDTH_LIMIT + math.log2(B) or \
+                expr.flops > B * _EXPR_FLOPS_LIMIT:
+            self._region_expr_cache[key] = "fallback"
+            return None
+        entry = (expr, arrays, present, B)
+        self._region_expr_cache[key] = entry
+        return entry
 
     def sample_chaotic(self, C, marginal_qubits, seed=None, **kwargs):
         """Sample assuming chaotic (near-uniform) marginals on all but
