@@ -50,8 +50,18 @@ def _parity32(c):
     return c & 1
 
 
-def _u1_rank_count(c, binom_flat, nbits, ncols, offset=0):
-    """Combinatorial rank of configs ``c`` among fixed-popcount
+def _word_bit(clo, chi, pos):
+    """Bit ``pos`` of dual-word configs (31 bits per int32 word:
+    nsites <= 62 without int64 — x64 programs are UNIMPLEMENTED on the
+    TPU backend)."""
+    hi = pos >= 31
+    sh = jnp.where(hi, pos - 31, pos)
+    w = jnp.where(hi, chi, clo)
+    return (w >> sh) & 1
+
+
+def _u1_rank_count(clo, chi, binom_flat, nbits, ncols, offset=0):
+    """Combinatorial rank of dual-word configs among fixed-popcount
     integers, plus their popcount, scanning bits ``offset`` ..
     ``offset+nbits-1`` (reference ``configcore.rank_into_flatconfig``,
     vectorized over the whole batch on device).
@@ -60,11 +70,11 @@ def _u1_rank_count(c, binom_flat, nbits, ncols, offset=0):
     position. Returns ``(rank, count)`` — for out-of-sector inputs the
     rank is garbage but the count exposes that, and the caller masks.
     """
-    zeros = jnp.zeros(c.shape, jnp.int32)
+    zeros = jnp.zeros(clo.shape, jnp.int32)
 
     def body(i, carry):
         cnt, r = carry
-        b = ((c >> (offset + i)) & 1).astype(jnp.int32)
+        b = _word_bit(clo, chi, offset + i).astype(jnp.int32)
         cnt = cnt + b
         r = r + b * jnp.take(binom_flat, i * ncols + cnt)
         return cnt, r
@@ -85,9 +95,15 @@ class CoupledHam:
     def __init__(self, coupling_map, hilbert_space, dtype="float32"):
         hs = hilbert_space
         n = hs.nsites
-        if n > 31:
+        if n > 62:
             raise NotImplementedError(
-                "configs are packed int32: nsites <= 31"
+                "configs are packed as 2x int32 words: nsites <= 62"
+            )
+        if n > 31 and hs.symmetry not in ("U1", "U1U1"):
+            raise NotImplementedError(
+                "nsites > 31 needs a rankable sector (U1/U1U1): the "
+                "nosymm/Z2 spaces are 2**nsites-sized and cannot be "
+                "stored anyway"
             )
         self.nsites = n
         self.symmetry = hs.symmetry
@@ -97,10 +113,13 @@ class CoupledHam:
         self.dtype = np.dtype(dtype)
         iscomplex = np.issubdtype(self.dtype, np.complexfloating)
 
-        # sector configurations, rank-ordered (O(D) device storage)
-        self.configs = jnp.asarray(
-            hs.get_configs().astype(np.int32)
-        )
+        # sector configurations, rank-ordered (O(D) device storage),
+        # packed as two 31-bit int32 words
+        cfg = hs.get_configs().astype(np.int64)
+        self.configs = jnp.asarray(np.stack(
+            [(cfg & 0x7FFFFFFF).astype(np.int32),
+             (cfg >> 31).astype(np.int32)], axis=1,
+        ))
 
         # cumulative binomial tables for device ranking
         if self.symmetry == "U1":
@@ -146,7 +165,8 @@ class CoupledHam:
                                       "flip": [], "mats": []})
             g["coeff"].append(complex(coeff))
             g["sites"].append(list(sites))
-            g["flip"].append(int(flip) & 0x7FFFFFFF)
+            g["flip"].append([int(flip) & 0x7FFFFFFF,
+                              (int(flip) >> 31) & 0x7FFFFFFF])
             g["mats"].append(
                 [np.asarray(M, complex).reshape(4) for M in mats]
             )
@@ -226,27 +246,31 @@ class CoupledHam:
 
     # -- device ranking -------------------------------------------------------
 
-    def _rank_valid(self, csrc):
-        """(rank, in-sector mask) of coupled configs, on device."""
+    def _rank_valid(self, clo, chi):
+        """(rank, in-sector mask) of coupled dual-word configs, on
+        device."""
         sym = self.symmetry
         if sym is None:
-            return csrc, jnp.ones(csrc.shape, bool)
+            return clo, jnp.ones(clo.shape, bool)
         if sym == "Z2":
             want = {"even": 0, "odd": 1}.get(self.sector,
                                              self.sector)
-            return csrc >> 1, _parity32(csrc) == (int(want) % 2)
+            par = _parity32(clo) ^ _parity32(chi)
+            return clo >> 1, par == (int(want) % 2)
         if sym == "U1":
             r, cnt = _u1_rank_count(
-                csrc, self.binom, self.nsites, self._ncols
+                clo, chi, self.binom, self.nsites, self._ncols
             )
             return r, cnt == int(self.sector)
         if sym == "U1U1":
             na = self._na
             nb = self.nsites - na
             ka, kb = (int(v) for v in self.sector)
-            ra, ca = _u1_rank_count(csrc, self.binom, na, self._ncols)
+            ra, ca = _u1_rank_count(
+                clo, chi, self.binom, na, self._ncols
+            )
             rb, cb = _u1_rank_count(
-                csrc, self.binom, nb, self._ncols, offset=na
+                clo, chi, self.binom, nb, self._ncols, offset=na
             )
             return rb * self._size_a + ra, (ca == ka) & (cb == kb)
         raise ValueError(sym)
@@ -254,7 +278,8 @@ class CoupledHam:
     # -- matvec ---------------------------------------------------------------
 
     def matvec(self, x):
-        c = self.configs
+        clo = self.configs[:, 0]
+        chi = self.configs[:, 1]
         D = self.shape[0]
         out_dtype = jnp.result_type(self.dtype, x.dtype)
         y = (self.const_shift * x).astype(out_dtype) \
@@ -265,11 +290,12 @@ class CoupledHam:
         ):
             def body(y, term, k=k):
                 coeff, ss, fl, M = term
-                csrc = c ^ fl
+                slo = clo ^ fl[0]
+                shi = chi ^ fl[1]
                 amp = None
                 for a in range(k):
-                    nb = ((c >> ss[a]) & 1).astype(jnp.int32)
-                    ob = ((csrc >> ss[a]) & 1).astype(jnp.int32)
+                    nb = _word_bit(clo, chi, ss[a]).astype(jnp.int32)
+                    ob = _word_bit(slo, shi, ss[a]).astype(jnp.int32)
                     g = jnp.take(M[a], nb * 2 + ob)
                     amp = g if amp is None else amp * g
                 # real-dtype operators have real term products even
@@ -277,7 +303,7 @@ class CoupledHam:
                 amp = coeff * amp
                 if not jnp.issubdtype(out_dtype, jnp.complexfloating):
                     amp = jnp.real(amp)
-                j, valid = self._rank_valid(csrc)
+                j, valid = self._rank_valid(slo, shi)
                 j = jnp.clip(j, 0, D - 1)
                 xv = jnp.take(x, j)
                 contrib = jnp.where(

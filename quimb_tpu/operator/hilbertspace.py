@@ -265,6 +265,33 @@ class HilbertSpace:
         if self._configs is not None:
             return self._configs
         n = self.nsites
+        if n > 28 and self.symmetry in ("U1", "U1U1"):
+            # sector-direct enumeration: 2**n is not enumerable, the
+            # sector often is (reference configcore builds the same
+            # flat config lists, configcore.py:112)
+            import itertools
+
+            if self.symmetry == "U1":
+                combos = itertools.combinations(range(n), self.sector)
+                out = np.fromiter(
+                    (sum(1 << b for b in c) for c in combos),
+                    dtype=np.int64,
+                    count=int(math.comb(n, self.sector)),
+                )
+            else:
+                ka, kb = self.sector
+                na = n // 2
+                nb = n - na
+                la = [sum(1 << b for b in c) for c in
+                      itertools.combinations(range(na), ka)]
+                lb = [sum(1 << (na + b) for b in c) for c in
+                      itertools.combinations(range(nb), kb)]
+                out = np.asarray(
+                    [a | b for b in lb for a in la], dtype=np.int64
+                )
+            out.sort()
+            self._configs = out
+            return out
         if self.symmetry is None:
             out = np.arange(2**n, dtype=np.int64)
         else:
@@ -299,6 +326,13 @@ class HilbertSpace:
         configs = np.asarray(configs, dtype=np.int64)
         if self.symmetry is None:
             return configs
+        if self.nsites > 28:
+            # a 2**nsites lookup table does not fit: binary-search the
+            # (sorted) sector config list instead — O(log D) per query
+            cs = self.get_configs()
+            idx = np.searchsorted(cs, configs)
+            idx = np.clip(idx, 0, cs.size - 1)
+            return np.where(cs[idx] == configs, idx, -1)
         if self._rank_lookup is None:
             cs = self.get_configs()
             lut = np.full(2**self.nsites, -1, dtype=np.int64)

@@ -148,3 +148,35 @@ def test_expm_multiply_coupled():
     got = np.asarray(expm_multiply_krylov(op, v, t=-0.3j, ncv=24))
     want = spla.expm_multiply(-0.3j * H, v)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_coupled_matvec_u1_40_sites_dual_word():
+    """nsites > 31: configs pack as two 31-bit words (reference
+    configcore ranks 64-bit configs, configcore.py:288,530,737).
+    k=2 sector of a 40-site Heisenberg chain vs the within-sector
+    CSR."""
+    n, k = 40, 2
+    hs = HilbertSpace(n, symmetry="U1", sector=k)
+    assert hs.size == n * (n - 1) // 2
+    b = heis_builder(n, hs=hs)
+    H = b.build_sparse_matrix()
+    op = b.build_coupled_ham()
+    assert op.shape == H.shape
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(H.shape[0])
+    np.testing.assert_allclose(
+        np.asarray(op @ x), H @ x, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_coupled_matvec_u1u1_36_sites_dual_word():
+    n = 36
+    hs = HilbertSpace(n, symmetry="U1U1", sector=(1, 2))
+    b = heis_builder(n, hs=hs)
+    H = b.build_sparse_matrix()
+    op = b.build_coupled_ham()
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal(H.shape[0])
+    np.testing.assert_allclose(
+        np.asarray(op @ x), H @ x, rtol=1e-5, atol=1e-6
+    )
