@@ -1176,15 +1176,23 @@ class Circuit(CircuitBase):
             arrays.append(a)
             inputs.append(term)
         inputs += [(bix, self.ket_site_ind(q)) for q in present]
-        expr = array_contract_expression(
-            tuple(inputs), (bix,) + kix,
-            shapes=[a.shape for a in arrays]
-            + [(B, 2)] * len(present),
+        shapes = [a.shape for a in arrays] + [(B, 2)] * len(present)
+        # cheap plain-greedy probe first: the full multi-restart path
+        # search on a big network that is then discarded (oversized)
+        # would dominate the cold sampling setup
+        probe = array_contract_expression(
+            tuple(inputs), (bix,) + kix, shapes=shapes,
+            optimize="greedy",
         )
-        if expr.width > _EXPR_WIDTH_LIMIT + math.log2(B) or \
-                expr.flops > B * _EXPR_FLOPS_LIMIT:
+        if probe.width > _EXPR_WIDTH_LIMIT + math.log2(B) or \
+                probe.flops > B * _EXPR_FLOPS_LIMIT:
             self._region_expr_cache[key] = "fallback"
             return None
+        expr = array_contract_expression(
+            tuple(inputs), (bix,) + kix, shapes=shapes,
+        )
+        if expr.flops > probe.flops:
+            expr = probe
         entry = (expr, arrays, present, B)
         self._region_expr_cache[key] = entry
         return entry
