@@ -152,8 +152,13 @@ class LocalHam1D:
             return U
 
     def mean_norm(self):
+        # host-side: eager complex norms/fetches are UNIMPLEMENTED
+        # through the TPU tunnel
+        from ...ops.backend import to_host
+
         return float(np.mean([
-            float(jnp.linalg.norm(h)) for h in self.terms.values()
+            np.linalg.norm(np.asarray(to_host(h)))
+            for h in self.terms.values()
         ]))
 
     def build_mpo_propagator_trotterized(

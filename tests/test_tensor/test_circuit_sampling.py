@@ -218,3 +218,31 @@ class TestMarginalAndConditional:
         assert np.allclose(
             p01 / p01.sum(), want / want.sum(), atol=1e-8,
         )
+
+
+class TestBreadthFirstSampling:
+    def test_batched_matches_fallback_exactly(self, monkeypatch):
+        """The breadth-first batched-expression path and the
+        per-sample simplify fallback draw IDENTICAL samples for the
+        same seed (same rng consumption order, same marginals)."""
+        import quimb_tpu.tensor.circuit.core as cc
+
+        def build():
+            c = qtn.Circuit(8)
+            for q in range(8):
+                c.h(q)
+            for q in range(7):
+                c.cx(q, q + 1)
+            for q in range(8):
+                c.rz(0.1 + 0.05 * q, q)
+            for q in range(0, 7, 2):
+                c.cz(q, q + 1)
+            for q in range(8):
+                c.rx(0.2, q)
+            return c
+
+        s_fast = list(build().sample(6, seed=11, group_size=3))
+        monkeypatch.setattr(cc, "_EXPR_WIDTH_LIMIT", -1.0)
+        monkeypatch.setattr(cc, "_EXPR_FLOPS_LIMIT", -1.0)
+        s_slow = list(build().sample(6, seed=11, group_size=3))
+        assert s_fast == s_slow
