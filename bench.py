@@ -237,7 +237,7 @@ def main():
             # STABLE at the north-star config (S>=4 block-Jacobi
             # amplification diverges — docs/performance.md r5)
             S_ = int(os.environ.get("BENCH_PAR_SEGMENTS", 2))
-            INNER = int(os.environ.get("BENCH_PAR_INNER", 1))
+            INNER = int(os.environ.get("BENCH_PAR_INNER", 3))
             PNCV = int(os.environ.get("BENCH_PAR_NCV", 8))
             pd = ParallelDMRG(
                 dmrg.state, H, max_bond=CHI, n_segments=S_,
