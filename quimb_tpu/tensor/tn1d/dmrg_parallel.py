@@ -59,12 +59,14 @@ following the published real-space-parallel algorithm.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ...ops import decomp
+from ...ops import pallas_kernels as pk
 from ...ops.backend import to_device
 from .dmrg import _env_step_left, _env_step_right
 from .dmrg_jacobi import (
@@ -178,6 +180,35 @@ def _canonize_left_and_lenvs(Bstack, Ws, masks):
 # ---------------------------------------------------------------------------
 
 
+def _sandwich_stacks(LW1, W2R):
+    """Pre-transpose the fused environment tensors into the Pallas
+    sandwich layout (`ops.pallas_kernels.sandwich_matvec`):
+    ``A (n, w, a*u, k*p)``, ``B (n, w, q*r, v*b)`` so the Heff matvec
+    is ``out[n] = sum_x A[n, x] @ th[n] @ B[n, x]`` with
+    ``th (n, k*p, q*r)`` — one transpose per bond, amortized over the
+    whole Lanczos basis build."""
+    n_, a, x, u, p, k = LW1.shape
+    A = jnp.reshape(
+        jnp.transpose(LW1, (0, 2, 1, 3, 5, 4)), (n_, x, a * u, k * p)
+    )
+    _, _, v, q, b, r = W2R.shape
+    B = jnp.reshape(
+        jnp.transpose(W2R, (0, 1, 3, 5, 2, 4)), (n_, x, q * r, v * b)
+    )
+    return A, B
+
+
+def _matvec_via_sandwich(A, B, thm, interpret=False):
+    """S-stacked fused-sandwich Heff matvec: per-segment Pallas calls
+    (S is a static python int, so the loop unrolls inside the jitted
+    sweep program). Returns (n, a*u, v*b) matching
+    ``_batched_matvec``'s output reshaped."""
+    return jnp.stack([
+        pk.sandwich_matvec(A[i], thm[i], B[i], interpret=interpret)
+        for i in range(A.shape[0])
+    ])
+
+
 def _batched_solve_2site(Lb, W1, W2, Rb, th0, ncv, damp=1.0):
     """Batched restarted-Lanczos smallest eigenpair of the 2-site
     effective Hamiltonian. th0 (S, chi, d, d, chi). ``damp`` < 1
@@ -189,6 +220,23 @@ def _batched_solve_2site(Lb, W1, W2, Rb, th0, ncv, damp=1.0):
     LW1 = jnp.einsum("nawk,nwxup->naxupk", Lb, W1)
     W2R = jnp.einsum("nxyvq,nbyr->nxvqbr", W2, Rb)
     n = chi * d * d * chi
+    # the Heff matvec dominates the sweep (ncv applications per bond,
+    # ~90% of the counted flops); on real TPU at production sizes the
+    # fused Pallas sandwich runs it ~5x faster than the einsum pair
+    # (0.26 ms vs 1.28 ms serial A/B, docs/performance.md)
+    # default-off until A/B-validated on the real chip at these block
+    # shapes (the serial engine's kernel is validated at its own
+    # shapes; an unvalidated Mosaic shape can hang at compile, which
+    # would stall the driver bench rather than fall back)
+    use_pk = (
+        os.environ.get("QUIMB_TPU_PAR_PALLAS", "0") != "0"
+        and pk.use_sandwich_kernel(
+            th0.dtype, LW1.shape[2],
+            chi * d, chi * d, d * chi, d * chi,
+        )
+    )
+    if use_pk:
+        Asw, Bsw = _sandwich_stacks(LW1, W2R)
     v = jnp.reshape(th0, (S_, n))
     v = v / jnp.maximum(
         jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30
@@ -200,9 +248,14 @@ def _batched_solve_2site(Lb, W1, W2, Rb, th0, ncv, damp=1.0):
     def body(j, carry):
         V, alpha, beta = carry
         vj = V[:, j]
-        hv = _batched_matvec(
-            LW1, W2R, jnp.reshape(vj, (S_, chi, d, d, chi))
-        )
+        if use_pk:
+            hv = _matvec_via_sandwich(
+                Asw, Bsw, jnp.reshape(vj, (S_, chi * d, d * chi))
+            )
+        else:
+            hv = _batched_matvec(
+                LW1, W2R, jnp.reshape(vj, (S_, chi, d, d, chi))
+            )
         hv = jnp.reshape(hv, (S_, n))
         a = jnp.real(jnp.sum(jnp.conj(vj) * hv, axis=-1))
         alpha = alpha.at[:, j].set(a)

@@ -119,3 +119,32 @@ class TestJacobiDMRG:
             en = jd.sweep()
         te = _true_energy(jd.get_state(), H)
         assert te == pytest.approx(float(dmrg.energy), abs=1e-6)
+
+
+def test_sandwich_matvec_matches_einsum_pair():
+    """The Pallas fused-sandwich Heff matvec (the TPU hot path inside
+    _batched_solve_2site) computes exactly the same contraction as the
+    einsum pair, validated in interpret mode on CPU."""
+    from quimb_tpu.tensor.tn1d.dmrg_parallel import (
+        _batched_matvec,
+        _matvec_via_sandwich,
+        _sandwich_stacks,
+    )
+
+    rng = np.random.default_rng(7)
+    n, chi, d, w = 2, 8, 2, 5
+    LW1 = np.asarray(
+        rng.normal(size=(n, chi, w, d, d, chi)), dtype=np.float32
+    )
+    W2R = np.asarray(
+        rng.normal(size=(n, w, d, d, chi, chi)), dtype=np.float32
+    )
+    th = np.asarray(
+        rng.normal(size=(n, chi, d, d, chi)), dtype=np.float32
+    )
+    ref = np.asarray(_batched_matvec(LW1, W2R, th))
+    A, B = _sandwich_stacks(LW1, W2R)
+    got = np.asarray(_matvec_via_sandwich(
+        A, B, th.reshape(n, chi * d, d * chi), interpret=True
+    )).reshape(ref.shape)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
