@@ -186,7 +186,8 @@ def _sandwich_stacks(LW1, W2R):
     ``A (n, w, a*u, k*p)``, ``B (n, w, q*r, v*b)`` so the Heff matvec
     is ``out[n] = sum_x A[n, x] @ th[n] @ B[n, x]`` with
     ``th (n, k*p, q*r)`` — one transpose per bond, amortized over the
-    whole Lanczos basis build."""
+    whole Lanczos basis build. Both are cast to the promoted dtype so
+    the kernel output matches what the einsum pair would produce."""
     n_, a, x, u, p, k = LW1.shape
     A = jnp.reshape(
         jnp.transpose(LW1, (0, 2, 1, 3, 5, 4)), (n_, x, a * u, k * p)
@@ -203,6 +204,8 @@ def _matvec_via_sandwich(A, B, thm, interpret=False):
     (S is a static python int, so the loop unrolls inside the jitted
     sweep program). Returns (n, a*u, v*b) matching
     ``_batched_matvec``'s output reshaped."""
+    dt = jnp.result_type(A.dtype, thm.dtype)
+    A, B, thm = A.astype(dt), B.astype(dt), thm.astype(dt)
     return jnp.stack([
         pk.sandwich_matvec(A[i], thm[i], B[i], interpret=interpret)
         for i in range(A.shape[0])
@@ -227,9 +230,13 @@ def _batched_solve_2site(Lb, W1, W2, Rb, th0, ncv, damp=1.0):
     # default-off until A/B-validated on the real chip at these block
     # shapes (the serial engine's kernel is validated at its own
     # shapes; an unvalidated Mosaic shape can hang at compile, which
-    # would stall the driver bench rather than fall back)
-    use_pk = (
-        os.environ.get("QUIMB_TPU_PAR_PALLAS", "0") != "0"
+    # would stall the driver bench rather than fall back).
+    # "interpret" forces the kernel in interpreter mode at any shape
+    # on any backend (CPU end-to-end equivalence tests).
+    _pk_env = os.environ.get("QUIMB_TPU_PAR_PALLAS", "0")
+    pk_interpret = _pk_env == "interpret"
+    use_pk = pk_interpret or (
+        _pk_env != "0"
         and pk.use_sandwich_kernel(
             th0.dtype, LW1.shape[2],
             chi * d, chi * d, d * chi, d * chi,
@@ -250,7 +257,8 @@ def _batched_solve_2site(Lb, W1, W2, Rb, th0, ncv, damp=1.0):
         vj = V[:, j]
         if use_pk:
             hv = _matvec_via_sandwich(
-                Asw, Bsw, jnp.reshape(vj, (S_, chi * d, d * chi))
+                Asw, Bsw, jnp.reshape(vj, (S_, chi * d, d * chi)),
+                interpret=pk_interpret,
             )
         else:
             hv = _batched_matvec(

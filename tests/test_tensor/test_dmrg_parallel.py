@@ -148,3 +148,25 @@ def test_sandwich_matvec_matches_einsum_pair():
         A, B, th.reshape(n, chi * d, d * chi), interpret=True
     )).reshape(ref.shape)
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_parallel_sweep_pallas_path_matches_einsum_path(monkeypatch):
+    """Full ParallelDMRG outer sweeps with the Pallas matvec forced in
+    interpret mode produce the same state as the einsum path."""
+    L, chi = 16, 8
+    H = qtn.MPO_ham_heis(L)
+    H.astype_("float32")
+    psi = qtn.MPS_rand_state(L, chi, seed=3, dtype="float32")
+
+    def run(env):
+        monkeypatch.setenv("QUIMB_TPU_PAR_PALLAS", env)
+        pd = ParallelDMRG(psi, H, max_bond=chi, n_segments=2, ncv=6,
+                          inner_passes=1)
+        for _ in range(2):
+            en = pd.sweep()
+        return en, np.asarray(pd.Ms)
+
+    en_e, Ms_e = run("0")
+    en_p, Ms_p = run("interpret")
+    assert en_p == pytest.approx(en_e, abs=1e-5)
+    np.testing.assert_allclose(Ms_p, Ms_e, rtol=5e-4, atol=5e-5)
