@@ -212,31 +212,31 @@ def _matvec_via_sandwich(A, B, thm, interpret=False):
     ])
 
 
-def _batched_solve_2site(Lb, W1, W2, Rb, th0, ncv, damp=1.0):
+def _batched_solve_2site(Lb, W1, W2, Rb, th0, ncv, damp=1.0,
+                         pallas_mode="0"):
     """Batched restarted-Lanczos smallest eigenpair of the 2-site
     effective Hamiltonian. th0 (S, chi, d, d, chi). ``damp`` < 1
     blends the Ritz vector with the warm start (trust-region for the
     block-Jacobi outer iteration: frozen-boundary segment optima
-    overshoot when neighbouring segments move simultaneously)."""
+    overshoot when neighbouring segments move simultaneously).
+
+    ``pallas_mode`` selects the Heff matvec implementation and MUST be
+    threaded through the jitted caller's static args (it changes the
+    traced program): "0" = einsum pair, "1" = fused Pallas sandwich on
+    real TPU when the block shapes qualify (the matvec dominates the
+    sweep, ncv applications per bond ~90% of counted flops; the serial
+    engine's A/B measured the fused kernel ~5x the einsum sandwich,
+    docs/performance.md), "interpret" = force the kernel in
+    interpreter mode at any shape on any backend (CPU end-to-end
+    equivalence tests)."""
     S_, chi, d, _, _ = th0.shape
     rdt = th0.real.dtype
     LW1 = jnp.einsum("nawk,nwxup->naxupk", Lb, W1)
     W2R = jnp.einsum("nxyvq,nbyr->nxvqbr", W2, Rb)
     n = chi * d * d * chi
-    # the Heff matvec dominates the sweep (ncv applications per bond,
-    # ~90% of the counted flops); on real TPU at production sizes the
-    # fused Pallas sandwich runs it ~5x faster than the einsum pair
-    # (0.26 ms vs 1.28 ms serial A/B, docs/performance.md)
-    # default-off until A/B-validated on the real chip at these block
-    # shapes (the serial engine's kernel is validated at its own
-    # shapes; an unvalidated Mosaic shape can hang at compile, which
-    # would stall the driver bench rather than fall back).
-    # "interpret" forces the kernel in interpreter mode at any shape
-    # on any backend (CPU end-to-end equivalence tests).
-    _pk_env = os.environ.get("QUIMB_TPU_PAR_PALLAS", "0")
-    pk_interpret = _pk_env == "interpret"
+    pk_interpret = pallas_mode == "interpret"
     use_pk = pk_interpret or (
-        _pk_env != "0"
+        pallas_mode != "0"
         and pk.use_sandwich_kernel(
             th0.dtype, LW1.shape[2],
             chi * d, chi * d, d * chi, d * chi,
@@ -356,11 +356,11 @@ def _batched_split_2site(th, max_bond, absorb, oversample=0,
 @functools.partial(
     jax.jit,
     static_argnames=("m", "ncv", "max_bond", "inner_passes",
-                     "oversample", "damp"),
+                     "oversample", "damp", "pallas_mode"),
 )
 def _segment_inner(seg_M0, seg_Ms, seg_W, lenv_b, renv_b, seg_bm,
                    m, ncv, max_bond, inner_passes, oversample=0,
-                   damp=1.0):
+                   damp=1.0, pallas_mode="0"):
     """Batched fixed-boundary DMRG on S segments of length ``m``.
 
     seg_M0: (S, chi, d, chi) the first site tensor (carries the
@@ -399,7 +399,8 @@ def _segment_inner(seg_M0, seg_Ms, seg_W, lenv_b, renv_b, seg_bm,
             Mnext, W1, W2, renv, bm = x
             th0 = jnp.einsum("nkpc,ncqr->nkpqr", Mcur, Mnext)
             en, th = _batched_solve_2site(
-                lenv, W1, W2, renv, th0, ncv, damp=damp)
+                lenv, W1, W2, renv, th0, ncv, damp=damp,
+                pallas_mode=pallas_mode)
             A1, A2 = _batched_split_2site(
                 th, max_bond=max_bond, absorb="right",
                 oversample=oversample,
@@ -438,7 +439,8 @@ def _segment_inner(seg_M0, seg_Ms, seg_W, lenv_b, renv_b, seg_bm,
             Aprev, W1, W2, lenv, bm = x
             th0 = jnp.einsum("nkpc,ncqr->nkpqr", Aprev, Mcur)
             en, th = _batched_solve_2site(
-                lenv, W1, W2, renv, th0, ncv, damp=damp)
+                lenv, W1, W2, renv, th0, ncv, damp=damp,
+                pallas_mode=pallas_mode)
             A1, A2 = _batched_split_2site(
                 th, max_bond=max_bond, absorb="left",
                 oversample=oversample,
@@ -470,11 +472,11 @@ def _segment_inner(seg_M0, seg_Ms, seg_W, lenv_b, renv_b, seg_bm,
 @functools.partial(
     jax.jit,
     static_argnames=("starts", "m", "ncv", "max_bond", "inner_passes",
-                     "oversample", "off", "damp"),
+                     "oversample", "off", "damp", "pallas_mode"),
 )
 def _parallel_outer_sweep(Ms, Ws, masks, starts, m, ncv, max_bond,
                           inner_passes, oversample=0, off=0,
-                          damp=1.0):
+                          damp=1.0, pallas_mode="0"):
     """One full outer sweep as one compiled program: canonize/env
     scans, exact-gauge segment extraction, batched inner passes,
     gauge-dropping write-back. Returns (new stack, bond energies)."""
@@ -512,7 +514,7 @@ def _parallel_outer_sweep(Ms, Ws, masks, starts, m, ncv, max_bond,
     Arest, Mlast, ens = _segment_inner(
         M0, segB[:, 1:], segW, Lb, Rb, seg_bm, m=m, ncv=ncv,
         max_bond=max_bond, inner_passes=inner_passes,
-        oversample=oversample, damp=damp,
+        oversample=oversample, damp=damp, pallas_mode=pallas_mode,
     )
 
     # write-back: interior segments QR their gauge-carrying last
@@ -577,6 +579,10 @@ class ParallelDMRG:
         self.inner_passes = int(inner_passes)
         self.oversample = int(oversample)
         self.damp = float(damp)
+        # matvec implementation, resolved once (thread through the
+        # jitted sweep's static args — a trace-time env read would not
+        # participate in the jit cache key)
+        self.pallas_mode = os.environ.get("QUIMB_TPU_PAR_PALLAS", "0")
         self.Ms = mps_to_stack(psi, self.chi)
         self.L = int(self.Ms.shape[0])
         if self.L % (2 * self.S):
@@ -601,6 +607,7 @@ class ParallelDMRG:
             self.Ms, self.Ws, self.masks, starts, m=m, ncv=self.ncv,
             max_bond=self.chi, inner_passes=self.inner_passes,
             oversample=self.oversample, off=off, damp=self.damp,
+            pallas_mode=self.pallas_mode,
         )
         en = float(jnp.mean(ens[-1]))
         self.energies.append(en)

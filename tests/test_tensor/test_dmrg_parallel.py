@@ -152,15 +152,22 @@ def test_sandwich_matvec_matches_einsum_pair():
 
 def test_parallel_sweep_pallas_path_matches_einsum_path(monkeypatch):
     """Full ParallelDMRG outer sweeps with the Pallas matvec forced in
-    interpret mode produce the same state as the einsum path."""
+    interpret mode produce the same state as the einsum path.
+
+    Starts from a CONVERGED state: from a random start the two
+    implementations' f32 rounding differences get amplified into
+    different (equally valid) Lanczos trajectories; at the fixed point
+    the updates are tiny and the trajectories coincide."""
     L, chi = 16, 8
-    H = qtn.MPO_ham_heis(L)
-    H.astype_("float32")
-    psi = qtn.MPS_rand_state(L, chi, seed=3, dtype="float32")
+    H, dmrg = _converged(L, chi)
+    H32 = H.copy()
+    H32.astype_("float32")
+    psi = dmrg.state
+    psi.astype_("float32")
 
     def run(env):
         monkeypatch.setenv("QUIMB_TPU_PAR_PALLAS", env)
-        pd = ParallelDMRG(psi, H, max_bond=chi, n_segments=2, ncv=6,
+        pd = ParallelDMRG(psi, H32, max_bond=chi, n_segments=2, ncv=6,
                           inner_passes=1)
         for _ in range(2):
             en = pd.sweep()
@@ -169,4 +176,19 @@ def test_parallel_sweep_pallas_path_matches_einsum_path(monkeypatch):
     en_e, Ms_e = run("0")
     en_p, Ms_p = run("interpret")
     assert en_p == pytest.approx(en_e, abs=1e-5)
-    np.testing.assert_allclose(Ms_p, Ms_e, rtol=5e-4, atol=5e-5)
+    # element-wise stack comparison is not gauge-meaningful (the
+    # truncated split's basis within degenerate Schmidt multiplets is
+    # arbitrary); compare the physical states via their f64 overlap
+    def _ov(A, B):
+        env = np.zeros((chi, chi)); env[0, 0] = 1.0
+        for j in range(L):
+            env = np.einsum(
+                "ab,adx,bdy->xy",
+                env, A[j].astype(np.float64), B[j].astype(np.float64),
+            )
+        return env[0, 0] if env.shape else float(env)
+
+    ov = abs(_ov(Ms_e, Ms_p)) / np.sqrt(
+        abs(_ov(Ms_e, Ms_e)) * abs(_ov(Ms_p, Ms_p))
+    )
+    assert ov == pytest.approx(1.0, abs=1e-5)
